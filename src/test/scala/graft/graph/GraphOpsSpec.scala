@@ -1,0 +1,54 @@
+package graft.graph
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  test("kChainEdges generates the reference k=3 fixture") {
+    val got = GraphIO.kChainEdges(spark, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L), (2L, 3L), (3L, 0L),
+      (4L, 5L), (5L, 6L), (6L, 0L),
+      (7L, 8L), (8L, 9L), (9L, 0L)))
+  }
+
+  test("transpose twice is identity") {
+    val e = edges((1, 2), (2, 3), (3, 0), (1, 3))
+    val twice = GraphOps.transpose(GraphOps.transpose(e))
+    assert(twice.as[(Long, Long)].collect().toSet ===
+      e.as[(Long, Long)].collect().toSet)
+  }
+
+  test("adjacency dedups and sorts out-neighbors") {
+    val e = edges((1, 3), (1, 2), (1, 3), (2, 1))
+    val adj = GraphOps.adjacency(e).as[(Long, Seq[Long])].collect().toMap
+    assert(adj === Map(1L -> Seq(2L, 3L), 2L -> Seq(1L)))
+  }
+
+  test("danglingNodes finds nodes without out-edges") {
+    val e = edges((1, 2), (2, 3), (2, 0))
+    val d = GraphOps.danglingNodes(e).as[Long].collect().toSet
+    assert(d === Set(0L, 3L))
+  }
+
+  test("degrees count duplicate edges") {
+    val e = edges((1, 2), (1, 2), (2, 3))
+    val out = GraphOps.outDegrees(e).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L))
+    val in = GraphOps.inDegrees(e).as[(Long, Long)].collect().toMap
+    assert(in === Map(2L -> 2L, 3L -> 1L))
+  }
+
+  test("explodeAdjacency inverts adjacency on deduped edges") {
+    val e = edges((1, 2), (1, 3), (2, 3))
+    val back = GraphOps.explodeAdjacency(GraphOps.adjacency(e))
+    assert(back.as[(Long, Long)].collect().toSet ===
+      e.as[(Long, Long)].collect().toSet)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.graph
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.io.Source
+
+/** Compat-mode parity with the reference's committed golden output and
+  * with an independent in-driver reference implementation; standard
+  * mode invariants + GraphX equivalence.
+  */
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Eps = 1e-12
+
+  /** Independent plain-Scala implementation of the reference's intended
+    * semantics (pageRank_v2.java:32-43; SURVEY.md §0.1) — no Spark, no
+    * shared code with graft.graph.PageRank.
+    */
+  private def compatRef(edges: Seq[(Long, Long)], k: Long, passes: Int,
+                        beta: Double = 0.15): (Map[Long, Double], Double) = {
+    val n = (k * k).toDouble
+    val adj: Map[Long, Set[Long]] =
+      edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val nodes0 = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    var contrib: Map[Long, Double] =
+      nodes0.map(v => v -> edges.count(_._2 == v) * (1.0 / n)).toMap
+    var d = contrib.getOrElse(0L, 0.0)
+    contrib -= 0L
+    var pass = 1
+    while (pass < passes) {
+      val rank = contrib.map { case (v, c) =>
+        v -> ((1 - beta) * (c + d / n) + beta / n)
+      }
+      val targets = contrib.keySet ++
+        contrib.keySet.flatMap(v => adj.getOrElse(v, Set.empty))
+      val next = targets.map { v =>
+        v -> contrib.keysIterator
+          .filter(u => adj.getOrElse(u, Set.empty).contains(v))
+          .map(rank).sum
+      }.toMap
+      d = next.getOrElse(0L, 0.0)
+      contrib = next - 0L
+      pass += 1
+    }
+    (contrib, d)
+  }
+
+  private def run(k: Long, passes: Int) = {
+    val edges = GraphIO.kChainEdges(spark, k)
+    val got = PageRank.compat(edges, k, passes)
+    val state = got.state
+      .select("node", "contrib", "adj")
+      .as[(Long, Double, Seq[Long])].collect()
+      .map { case (n, c, a) => n -> (c, a.toSet) }.toMap
+    (state, got)
+  }
+
+  test("compat k=3 single pass matches the committed golden file") {
+    val goldenSrc = Source.fromFile(
+      "/root/reference/output/check3/part-r-00000")
+    val golden = try {
+      goldenSrc.getLines().filter(_.nonEmpty).map { line =>
+        val f = line.split(",")
+        val adj = f(3).split("-").filter(_.nonEmpty).map(_.toLong).toSet
+        f(0).toLong -> (f(2).toDouble, adj)
+      }.toMap
+    } finally goldenSrc.close()
+
+    val (state, res) = run(3, 1)
+    assert(state.keySet === golden.keySet)
+    golden.foreach { case (node, (c, adj)) =>
+      assert(math.abs(state(node)._1 - c) < Eps, s"node $node contrib")
+      assert(state(node)._2 === adj, s"node $node adjacency")
+    }
+    // node 0's mass went to the counter: ⌈(1/3)·10⁸⌉ = 33,333,334
+    assert(math.abs(res.danglingMass - 1.0 / 3) < Eps)
+    assert(res.counterValue === 33333334L)
+  }
+
+  test("compat multi-pass matches the independent reference impl") {
+    for (k <- Seq(3L, 5L); passes <- Seq(2, 3, 7)) {
+      val edges = (for {
+        c <- 0L until k
+        i <- 1L until k
+      } yield (c * k + i, c * k + i + 1)) ++
+        (1L to k).map(c => (c * k, 0L))
+      val (expected, expD) = compatRef(edges, k, passes)
+      val (state, res) = run(k, passes)
+      assert(state.keySet === expected.keySet, s"k=$k passes=$passes")
+      expected.foreach { case (node, c) =>
+        assert(math.abs(state(node)._1 - c) < Eps,
+          s"k=$k passes=$passes node=$node got=${state(node)._1} want=$c")
+      }
+      assert(math.abs(res.danglingMass - expD) < Eps)
+    }
+  }
+
+  test("standard mode conserves total mass on an arbitrary graph") {
+    // graph with multi-out-degree nodes, a dangling node, a cycle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 5L), (6L, 1L)).toDF("src", "dst")
+    for (iters <- Seq(1, 5, 20)) {
+      val ranks = PageRank.standard(edges, iters)
+        .as[(Long, Double)].collect().toMap
+      assert(ranks.size === 6)
+      val total = ranks.values.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"iters=$iters total=$total")
+      assert(ranks.values.forall(_ > 0))
+    }
+  }
+
+  test("standard DataFrame and GraphX paths agree") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 5L), (6L, 1L)).toDF("src", "dst")
+    val df = PageRank.standard(edges, 10).as[(Long, Double)].collect().toMap
+    val gx = PageRankGraphX.standard(edges, 10)
+      .as[(Long, Double)].collect().toMap
+    assert(df.keySet === gx.keySet)
+    df.foreach { case (node, r) =>
+      assert(math.abs(r - gx(node)) < 1e-10, s"node $node: df=$r gx=${gx(node)}")
+    }
+  }
+}
