@@ -10,16 +10,21 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Iterative PageRank over the orders-derived graph — the reference's
+    * core computation (SURVEY.md §0.1) on the driver's testdata.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q03_groupby_sum")(spark, "/root/testdata/sf0.001")
+    queries("g04_pagerank")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracle
+    graft.queries.CoreQueries.oracle ++
+      graft.queries.GraphQueries.oracle
 }

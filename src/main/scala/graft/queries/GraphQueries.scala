@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators from the reference's inventory (SURVEY.md §2:
+  * adjacency O7, degrees O17, dangling O3, iterative PageRank O14) run
+  * against a graph derived deterministically from the `orders` table,
+  * so every query has a DuckDB oracle over the same parquet inputs.
+  *
+  * Derived graph: `src = o_custkey`, `dst = 1 + (o_orderkey % max(o_custkey))`,
+  * restricted to every third order so that dst-only (dangling) nodes
+  * exist; self-loops removed; edges deduped. Scale-relative: the node
+  * domain grows with the customer table at any sf.
+  *
+  * Numeric discipline: iterative ranks are computed in '''int64
+  * fixed-point''' (scale 10¹²) — every operation is integer division /
+  * multiplication / addition, which is associative and engine-exact, so
+  * a 3-iteration PageRank hash-matches DuckDB bit for bit. The
+  * floating-point production variant lives in [[graft.graph.PageRank]]
+  * (ScalaTest-verified); GraphX flagship is exposed rows-only.
+  */
+object GraphQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Fixed-point scale: ranks are `rank * 1e12` as BIGINT. */
+  private val Scale = 1000000000000L
+  /** Teleport β=0.15 split as integer 15/100 (pageRank_v2.java:62). */
+  private val BetaNum = 15L
+
+  /** The shared edge-derivation, Spark side. */
+  def derivedEdges(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val mx = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    orders
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_custkey").as("src"),
+        (lit(1L) + col("o_orderkey") % lit(mx)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** The shared edge-derivation, oracle side (a WITH prefix every graph
+    * oracle starts from; callers append their own CTEs after a comma).
+    */
+  private val EdgesCte: String =
+    """WITH mx AS (SELECT MAX(o_custkey) AS m FROM orders),
+      |edges AS (
+      |  SELECT DISTINCT o_custkey AS src, 1 + (o_orderkey % m) AS dst
+      |  FROM orders, mx
+      |  WHERE o_orderkey % 3 = 0 AND o_custkey <> 1 + (o_orderkey % m)),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""".stripMargin
+
+  // O7+O11: adjacency list, deterministic order, string-packed like the
+  // reference's "-"-joined form (pageRank_v2.java:207-213).
+  def g01_adjacency(s: SparkSession, dir: String): DataFrame =
+    derivedEdges(s, dir)
+      .groupBy(col("src").as("node"))
+      .agg(concat_ws("-", sort_array(collect_set(col("dst")))).as("adj"))
+
+  // O17 generalized: out- and in-degree per node, 0-filled.
+  def g02_degrees(s: SparkSession, dir: String): DataFrame = {
+    val e = derivedEdges(s, dir)
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("indeg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"))
+  }
+
+  // O3: the true dangling set (no out-edges) — left_anti, the Spark
+  // form of the reference's hardcoded node-0 test (pageRank_v2.java:216).
+  def g03_dangling(s: SparkSession, dir: String): DataFrame = {
+    val e = derivedEdges(s, dir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    nodes.join(e.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti")
+  }
+
+  /** O14+O10: fixed-iteration PageRank in int64 fixed-point.
+    *
+    * r0(v) = Scale div n
+    * r_{i+1}(v) = (0.15·Scale) div n
+    *            + (85 · (Σ_{u→v} r_i(u) div outdeg(u) + D_i div n)) div 100
+    * with D_i = Σ_{dangling u} r_i(u).
+    *
+    * All-integer: both engines truncate positive integer division
+    * identically, and long sums are associative — bit-exact across
+    * engines regardless of shuffle/accumulation order.
+    */
+  def g04_pagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = derivedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = (BetaNum * Scale / 100) / n
+
+    var r = nodes.select(col("node"), lit(Scale / n).as("r"))
+    var i = 0
+    while (i < iters) {
+      val withDeg = r.join(deg, Seq("node"), "left_outer")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dm = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val dmShare = dm / n
+      val contribs = e
+        .join(withDeg.filter(col("outdeg").isNotNull),
+          e("src") === col("node"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      r = nodes.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + ${dmShare}L)) div 100"))
+            .as("r"))
+      withDeg.unpersist(false)
+      i += 1
+    }
+    r.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  /** Unrolled-CTE oracle for [[g04_pagerank]] — same integer recurrence,
+    * one CTE pair (dangling scalar + rank relation) per iteration.
+    */
+  def pagerankOracle(iters: Int = 3): String = {
+    val sb = new StringBuilder(EdgesCte)
+    sb.append(""",
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+        |d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r$p
+        |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r$p.node)),
+        |c$i AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS c
+        |  FROM edges e JOIN r$p r ON e.src = r.node
+        |  JOIN deg d ON e.src = d.node GROUP BY e.dst),
+        |r$i AS (SELECT nodes.node,
+        |    (150000000000 // nn.n)
+        |    + (85 * (COALESCE(c$i.c, 0) + (d$i.dm // nn.n))) // 100 AS r
+        |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node, d$i, nn)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters")
+    sb.toString
+  }
+
+  /** Connected components by min-label propagation, `rounds` rounds,
+    * over the symmetrized graph — each round: label'(v) = min(label(v),
+    * min over neighbors). Fixed trip count keeps it SQL-unrollable; the
+    * converged variant is [[graft.graph]]-side GraphX work.
+    */
+  def g05_cc_labelprop(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val e = derivedEdges(s, dir)
+    val sym = e.union(e.select(col("dst"), col("src")))
+      .toDF("src", "dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    var i = 0
+    while (i < rounds) {
+      val nbrMin = sym.join(lab, sym("src") === lab("node"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy("node").agg(min(col("label")).as("nbr"))
+      lab = lab.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      i += 1
+    }
+    lab
+  }
+
+  def ccOracle(rounds: Int = 3): String = {
+    val sb = new StringBuilder(EdgesCte)
+    sb.append(""",
+      |sym AS (SELECT src, dst FROM edges
+      |        UNION SELECT dst AS src, src AS dst FROM edges),
+      |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin)
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb.append(s""",
+        |m$i AS (SELECT sym.dst AS node, MIN(l.label) AS nbr
+        |  FROM sym JOIN l$p l ON sym.src = l.node GROUP BY sym.dst),
+        |l$i AS (SELECT l.node, LEAST(l.label, COALESCE(m$i.nbr, l.label)) AS label
+        |  FROM l$p l LEFT JOIN m$i ON l.node = m$i.node)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, label FROM l$rounds")
+    sb.toString
+  }
+
+  /** Global triangle count over the canonicalized undirected graph
+    * (a<b): two self-joins — the standard distributed formulation; at
+    * scale the join key is the node id and AQE handles the skewed hubs.
+    */
+  def g06_triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = derivedEdges(s, dir)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = und.as("e1"); val e2 = und.as("e2"); val e3 = und.as("e3")
+    e1.join(e2, col("e1.b") === col("e2.a"))
+      .join(e3, col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "g01_adjacency" -> (EdgesCte + """
+      |SELECT src AS node,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT dst)), '-') AS adj
+      |FROM edges GROUP BY src""".stripMargin),
+    "g02_degrees" -> (EdgesCte + """,
+      |o AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |i AS (SELECT dst AS node, COUNT(*) AS indeg FROM edges GROUP BY dst)
+      |SELECT COALESCE(o.node, i.node) AS node,
+      |  COALESCE(outdeg, 0) AS outdeg, COALESCE(indeg, 0) AS indeg
+      |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin),
+    "g03_dangling" -> (EdgesCte + """
+      |SELECT node FROM nodes
+      |WHERE NOT EXISTS (SELECT 1 FROM edges WHERE edges.src = nodes.node)""".stripMargin),
+    "g04_pagerank" -> pagerankOracle(3),
+    "g05_cc_labelprop" -> ccOracle(3),
+    "g06_triangles" -> (EdgesCte + """,
+      |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |        FROM edges)
+      |SELECT COUNT(*) AS n_triangles
+      |FROM und e1 JOIN und e2 ON e1.b = e2.a
+      |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin),
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_adjacency" -> (g01_adjacency _),
+    "g02_degrees" -> (g02_degrees _),
+    "g03_dangling" -> (g03_dangling _),
+    "g04_pagerank" -> ((s, d) => g04_pagerank(s, d)),
+    "g05_cc_labelprop" -> ((s, d) => g05_cc_labelprop(s, d)),
+    "g06_triangles" -> (g06_triangles _),
+    // Flagship GraphX path — iterative double-precision PageRank; not
+    // SQL-expressible bit-exactly (float accumulation order), so no
+    // oracle: the driver records a rows-only check, and ScalaTest
+    // pins its semantics against the DataFrame twin.
+    "g07_pagerank_graphx" -> ((s, d) =>
+      graft.graph.PageRankGraphX.standard(derivedEdges(s, d), 5)),
+  )
+}

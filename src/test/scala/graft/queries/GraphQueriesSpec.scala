@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the derived-graph query family at sf0.001 (the
+  * DuckDB oracle covers value-exactness at sf0.01; these pin invariants
+  * that an oracle can't express, like mass bounds and cross-path
+  * agreement).
+  */
+class GraphQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("fixed-point pagerank approximately conserves scaled mass") {
+    val total = GraphQueries.g04_pagerank(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("rank_fp"))
+      .head().getLong(0)
+    // truncating integer division loses at most a few units per node
+    // per iteration; dangling mass re-enters via D/n. Expect within 1%.
+    assert(math.abs(total - 1000000000000L) < 10000000000L, s"total=$total")
+  }
+
+  test("cc labels are ≤ node id and stable under one more round") {
+    val l3 = GraphQueries.g05_cc_labelprop(spark, dir, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(l3.forall { case (n, l) => l <= n })
+    val l4 = GraphQueries.g05_cc_labelprop(spark, dir, 4)
+      .as[(Long, Long)].collect().toMap
+    // monotone non-increasing labels
+    assert(l4.forall { case (n, l) => l <= l3(n) })
+  }
+
+  test("degrees reconcile with edge count") {
+    val e = GraphQueries.derivedEdges(spark, dir)
+    val nEdges = e.count()
+    val degs = GraphQueries.g02_degrees(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(degs.map(_._2).sum === nEdges)
+    assert(degs.map(_._3).sum === nEdges)
+  }
+
+  test("dangling set has no out-edges") {
+    val e = GraphQueries.derivedEdges(spark, dir)
+    val dangling = GraphQueries.g03_dangling(spark, dir).as[Long].collect().toSet
+    val srcs = e.select("src").as[Long].collect().toSet
+    assert(dangling.nonEmpty)
+    assert(dangling.intersect(srcs).isEmpty)
+  }
+}
