@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
-      graft.queries.GraphQueries.oracle
+      graft.queries.GraphQueries.oracle ++
+      graft.queries.TextQueries.oracle
 }

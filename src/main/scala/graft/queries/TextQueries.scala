@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface layered on top of the reference's
+  * string primitives (SURVEY.md §2 O2/O11: split/concat/format at
+  * pageRank_v2.java:117,207-213, generalized to corpus analytics).
+  *
+  * Every query is a narrow, whole-stage-codegen'd per-row pipeline: no
+  * shuffle except final aggregations, so at 100 TB these scale linearly
+  * with input splits and the parquet scan only reads `text` plus the
+  * few metadata columns actually referenced (column pruning).
+  *
+  * Numeric discipline for oracle parity: counts are integer; every
+  * ratio is a SINGLE double division of two exact integers (one IEEE op
+  * is bit-deterministic across engines); the fingerprint is an int64
+  * polynomial rolling hash mod 2³¹−1 folded left-to-right, which
+  * DuckDB's `list_reduce` reproduces step-for-step.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Occurrences of literal `pat` in `text`: (len − len(remove)) / |pat|. */
+  private def occ(pat: String): Column =
+    ((length(col("text")) -
+      length(expr(s"replace(text, '$pat', '')"))) / lit(pat.length))
+      .cast(LongType)
+
+  // Whitespace token count + char stats. size(split) is exact because
+  // the corpus is single-space separated (TESTDATA.md synthetic text).
+  def t01_tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        length(col("text")).cast(LongType).as("len_chars"),
+        (length(col("text")).cast(DoubleType) /
+          size(split(col("text"), " ")).cast(DoubleType)).as("chars_per_token"))
+
+  // BPE-ish sub-word tokenization: a regex token inventory (letter runs
+  // vs digit runs), the standard pre-tokenizer shape. regexp_extract_all
+  // is codegen'd; the pattern is shared verbatim with the oracle.
+  def t02_bpe_tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT)")
+          .as("n_subtokens"),
+        expr("CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)")
+          .as("n_digit_runs"))
+
+  // Language-ID by n-gram profile scoring: per-language trigram
+  // profiles, score = Σ occurrences, argmax with a fixed tiebreak
+  // order. (On this synthetic corpus the `lang` label is independent of
+  // the text, so the JUDGE of quality is determinism, not accuracy —
+  // the operator shape is the real n-gram-profile classifier.)
+  def t03_langid(s: SparkSession, dir: String): DataFrame = {
+    val sEn = (occ("the") + occ("row") + occ("fast")).as("s_en")
+    val sDe = (occ("win") + occ("batch") + occ("group")).as("s_de")
+    val sFr = (occ("que") + occ("col") + occ("merge")).as("s_fr")
+    val sEs = (occ("dat") + occ("part") + occ("val")).as("s_es")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), sEn, sDe, sFr, sEs)
+      .select(col("doc_id"), col("lang"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es").as("pred_lang"))
+  }
+
+  // Quality scoring: length, stopword ratio, digit ratio, mean token
+  // length — the standard pre-training heuristics (C4/Gopher-style),
+  // each a pruned-scan narrow map.
+  def t04_quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        expr("CAST(size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT)")
+          .as("n_stop"),
+        expr("CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS BIGINT)")
+          .as("n_digit"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("stop_ratio"),
+        (col("n_digit").cast(DoubleType) / length(col("text")).cast(DoubleType))
+          .as("digit_ratio"),
+        ((length(col("text")) - col("n_tokens") + lit(1)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("mean_tok_len"))
+
+  /** Shared polynomial rolling hash h ← (31·h + ascii(c)) mod 2³¹−1,
+    * folded over the characters of `c` left to right. Sequential per-row
+    * fold — order is defined, so Spark and DuckDB agree bit-for-bit.
+    * Also the primitive under the dedup family's shingle hashing.
+    */
+  def polyHash(c: String): Column =
+    // filter(ch <> ''): Spark's split keeps a trailing empty string
+    // (Java split with limit −1); DuckDB's string_split does not.
+    expr(s"aggregate(transform(filter(split($c, ''), ch -> ch <> ''), " +
+      s"ch -> CAST(ascii(ch) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 2147483647)")
+
+  /** DuckDB twin of [[polyHash]] (list_reduce needs the seed prepended). */
+  def polyHashSql(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 2147483647)"
+
+  // Document fingerprinting: whole-text rolling hash (content id for
+  // exact dedup at scale: 8-byte key instead of the full text through
+  // the shuffle).
+  def t05_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        polyHash("text").as("fp"),
+        md5(col("text")).as("md5"))
+
+  val oracle: Map[String, String] = Map(
+    "t01_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(LENGTH(text) AS BIGINT) AS len_chars,
+        |  CAST(LENGTH(text) AS DOUBLE) / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)
+        |    AS chars_per_token
+        |FROM documents""".stripMargin,
+    "t02_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_subtokens,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+        |FROM documents""".stripMargin,
+    "t03_langid" ->
+      """WITH sc AS (SELECT doc_id, lang,
+        |  (LENGTH(text)-LENGTH(REPLACE(text,'the','')))/3
+        |    + (LENGTH(text)-LENGTH(REPLACE(text,'row','')))/3
+        |    + (LENGTH(text)-LENGTH(REPLACE(text,'fast','')))/4 AS s_en,
+        |  (LENGTH(text)-LENGTH(REPLACE(text,'win','')))/3
+        |    + (LENGTH(text)-LENGTH(REPLACE(text,'batch','')))/5
+        |    + (LENGTH(text)-LENGTH(REPLACE(text,'group','')))/5 AS s_de,
+        |  (LENGTH(text)-LENGTH(REPLACE(text,'que','')))/3
+        |    + (LENGTH(text)-LENGTH(REPLACE(text,'col','')))/3
+        |    + (LENGTH(text)-LENGTH(REPLACE(text,'merge','')))/5 AS s_fr,
+        |  (LENGTH(text)-LENGTH(REPLACE(text,'dat','')))/3
+        |    + (LENGTH(text)-LENGTH(REPLACE(text,'part','')))/4
+        |    + (LENGTH(text)-LENGTH(REPLACE(text,'val','')))/3 AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM sc""".stripMargin,
+    "t04_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |      w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop,
+        |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS BIGINT) AS n_digit
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |  CAST(n_digit AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS digit_ratio,
+        |  CAST(LENGTH(text) - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS mean_tok_len
+        |FROM b""".stripMargin,
+    "t05_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${polyHashSql("text")} AS fp,
+         |  MD5(text) AS md5
+         |FROM documents""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_tokens" -> (t01_tokens _),
+    "t02_bpe_tokens" -> (t02_bpe_tokens _),
+    "t03_langid" -> (t03_langid _),
+    "t04_quality" -> (t04_quality _),
+    "t05_fingerprint" -> (t05_fingerprint _),
+  )
+}
