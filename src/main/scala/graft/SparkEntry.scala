@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.GraphQueries.oracle ++
-      graft.queries.TextQueries.oracle
+      graft.queries.TextQueries.oracle ++
+      graft.queries.DedupQueries.oracle
 }

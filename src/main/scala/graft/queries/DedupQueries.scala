@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family over `documents` / `embeddings` — the
+  * training-data-pipeline layer (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding nearest-neighbor), built Spark-first:
+  *
+  *  - Candidate generation is always a '''sparse equi-join''' (shared
+  *    shingle / band bucket / block key), never an O(n²) cross join —
+  *    the property that survives a 100× scale-up. The only cross
+  *    product in the family is d05's brute-force kNN baseline, which is
+  *    bounded to a fixed query set (its scale path is s02's LSH).
+  *  - All arithmetic is int64 or single-IEEE-op double so every query
+  *    hash-matches its DuckDB oracle bit for bit (see
+  *    [[TextQueries.polyHash]] for the shared shingle hash).
+  *
+  * Reference lineage: the reference's `HashSet` in-reduce dedup and
+  * string-packed adjacency (pageRank_v2.java:184,195,207-213) are the
+  * seed of d01's hash-group dedup; everything else generalizes it to
+  * corpus scale.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Mersenne-prime modulus shared with the oracle. */
+  private val P = 2147483647L
+
+  /** MinHash permutation constants (a·h + b) mod P. */
+  private val Perms: Seq[(Long, Long)] =
+    Seq((1L, 0L), (7L, 3L), (13L, 17L), (31L, 29L),
+      (101L, 5L), (131L, 11L), (151L, 23L), (181L, 41L))
+
+  /** Word-3-gram distinct shingles of `text`, as (doc_id, lang, sh) rows.
+    * Spark side of the shared shingle CTE.
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("array_distinct(transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))"))
+          .as("sh"))
+
+  /** Oracle twin of [[shingles]] — a WITH prefix callers extend. */
+  private val ShinglesCte: String =
+    """WITH w AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |  UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      |  FROM w WHERE LEN(w) >= 3)""".stripMargin
+
+  // Exact dedup by content hash over a corpus with real duplicates
+  // (documents unioned with a re-ingested copy, ids offset): group on
+  // md5, keep the min id. At 100 TB the 16-byte digest — not the text —
+  // is the shuffle key, and partial aggregation collapses dup groups
+  // map-side.
+  def d01_exact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = d.union(d.select(col("doc_id") + lit(10000L), col("text")))
+    corpus.groupBy(md5(col("text")).as("content_key"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+  }
+
+  // n-gram Jaccard near-dup pairs via the sparse shingle join: only
+  // pairs sharing ≥1 shingle are ever materialized (the classic
+  // inverted-index formulation — no cross join), blocked by lang.
+  // jaccard = |∩| / (|A|+|B|−|∩|), one double division.
+  def d02_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("ida", "langa", "sha")
+    val b = sh.toDF("idb", "langb", "shb")
+    val inter = a.join(b,
+        col("sha") === col("shb") && col("langa") === col("langb") &&
+          col("ida") < col("idb"))
+      .groupBy(col("ida").as("doc_a"), col("idb").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(n.toDF("doc_a", "na"), "doc_a")
+      .join(n.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast(DoubleType) /
+          (col("na") + col("nb") - col("c")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+  }
+
+  // MinHash + LSH banding: 8 permutation mins per doc, 4 bands of 2 →
+  // band-bucket equi-join yields candidate pairs; n_bands = how many
+  // bands collided (≥3 ⇒ near-certain near-dup at this signature size).
+  // The band join is the scale path: signatures are 64 bytes/doc and
+  // candidates ≪ n².
+  def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val h = shingles(s, dir)
+      .select(col("doc_id"), TextQueries.polyHash("sh").as("h"))
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$i")
+    }
+    val sig = h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until 4).map { bnd =>
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        concat_ws("_", col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}")).as("bkey"))
+    }.reduce(_ union _)
+    bands.toDF("ida", "band", "bkey")
+      .join(bands.toDF("idb", "band", "bkey"), Seq("band", "bkey"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida").as("doc_a"), col("idb").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  // SimHash: 16-bit signature from per-word hash bit votes; near-dups
+  // land within small hamming distance (compare via bit_count(xor) —
+  // done in ScalaTest; the query emits the signatures).
+  def d04_simhash(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("wd"))
+      .select(col("doc_id"), TextQueries.polyHash("wd").as("h"))
+    val votes = (0 until 16).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"b$i")
+    }
+    val fp = (0 until 16).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Index-based dot product Σ a[i]·b[i] folded left-to-right — the
+    * exact same op sequence as the oracle's list_reduce, so the double
+    * result is bit-identical.
+    */
+  private def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(transform(sequence(1, size($a)), " +
+      s"i -> CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  // Embedding-cosine nearest neighbor for a fixed query set (vec_id <
+  // 100): the brute-force baseline — bounded cross product (|Q|·n), a
+  // broadcast of the query side at any scale. The unbounded-scale ANN
+  // path is s02's LSH bucketing.
+  def d05_embed_nn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotExpr("embedding", "embedding")).as("nrm"))
+    val q = broadcast(e.filter(col("vec_id") < 100).toDF("qid", "qv", "qn"))
+    val cand = q.join(e.toDF("did", "dv", "dn"), col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("did").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("did").as("nn_id"), col("cos"))
+  }
+
+  private def permMinSql(i: Int): String = {
+    val (a, b) = Perms(i)
+    s"MIN((h * $a + $b) % $P) AS m$i"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT MD5(text) AS content_key, MIN(doc_id) AS keeper,
+        |  COUNT(*) AS n_copies
+        |FROM corpus GROUP BY 1""".stripMargin,
+    "d02_ngram_jaccard" -> (ShinglesCte + """,
+      |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM s a JOIN s b ON a.sh = b.sh AND a.lang = b.lang
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN n na ON na.doc_id = doc_a
+      |JOIN n nb ON nb.doc_id = doc_b
+      |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.05""".stripMargin),
+    "d03_minhash_lsh" -> (ShinglesCte + s""",
+      |h AS (SELECT doc_id, ${TextQueries.polyHashSql("sh")} AS h FROM s),
+      |sig AS (SELECT doc_id, ${(0 until 8).map(permMinSql).mkString(", ")}
+      |  FROM h GROUP BY doc_id),
+      |bands AS (
+      |${(0 until 4).map(b =>
+        s"  SELECT doc_id, $b AS band, CAST(m${2 * b} AS VARCHAR) || '_' || " +
+          s"CAST(m${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
+        .mkString("\n  UNION ALL\n")})
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin),
+    "d04_simhash" -> {
+      val votes = (0 until 16).map(i =>
+        s"CAST(SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
+        .mkString(",\n  ")
+      val fp = (0 until 16).map(i =>
+        s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH u AS (SELECT doc_id,
+         |    UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS wd
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${TextQueries.polyHashSql("wd")} AS h FROM u),
+         |bits AS (SELECT doc_id,
+         |  $votes
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $fp AS simhash FROM bits""".stripMargin
+    },
+    "d05_embed_nn" -> {
+      def dot(a: String, b: String) =
+        s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
+          s"LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+          s"(acc, x) -> acc + x)"
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    SQRT(${dot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, d.vec_id AS did,
+         |    ${dot("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
+         |  FROM e q JOIN e d ON q.vec_id < 100 AND q.vec_id <> d.vec_id)
+         |SELECT qid, did AS nn_id, cos FROM (
+         |  SELECT qid, did, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rn
+         |  FROM p) WHERE rn = 1""".stripMargin
+    },
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact" -> (d01_exact _),
+    "d02_ngram_jaccard" -> (d02_ngram_jaccard _),
+    "d03_minhash_lsh" -> (d03_minhash_lsh _),
+    "d04_simhash" -> (d04_simhash _),
+    "d05_embed_nn" -> (d05_embed_nn _),
+  )
+}
