@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
       graft.queries.GraphQueries.oracle ++
       graft.queries.TextQueries.oracle ++
-      graft.queries.DedupQueries.oracle
+      graft.queries.DedupQueries.oracle ++
+      graft.queries.SimilarityQueries.oracle
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor similarity search over the
+  * `embeddings` table (`embedding: array<float>`, 64-dim).
+  *
+  *  - s01 is the '''brute-force cosine top-k baseline''': |Q|·n scored
+  *    pairs with the query side broadcast — exact, and the recall
+  *    yardstick for every ANN variant. Linear in n, so fine for a
+  *    bounded query set even at cluster scale, but not for all-pairs.
+  *  - s02 is the '''scale path''': random-hyperplane LSH. Each vector
+  *    hashes to a `nbits`-bit bucket (sign pattern against
+  *    deterministic pseudo-random hyperplanes); search touches only the
+  *    query's bucket — candidate generation is a bucket equi-join, the
+  *    same sparse-join shape as the dedup family, shuffling
+  *    O(n/2^nbits) candidates per query instead of n.
+  *
+  * The hyperplanes are integer pseudo-random weights derived from
+  * (plane, dim) by a LCG-style formula — deterministic, so DuckDB
+  * reproduces them and both queries are oracle-exact (dot products are
+  * identical left-to-right IEEE folds, see [[DedupQueries]]).
+  */
+object SimilarityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** w(p, d) = ((1103515245·p + 12345·d + 42) mod 97) − 48 ∈ [−48, 48]. */
+  private def planeWeightSql(p: String, d: String): String =
+    s"(((1103515245 * CAST($p AS BIGINT) + 12345 * CAST($d AS BIGINT) + 42) % 97) - 48)"
+
+  private val NBits = 8
+
+  /** Index-fold dot product, identical op order to the DuckDB oracle. */
+  private def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(transform(sequence(1, size($a)), " +
+      s"i -> CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** Signed projection of `v` onto hyperplane `p` (integer weights,
+    * double accumulate, left-to-right).
+    */
+  private def projExpr(v: String, p: Int): Column =
+    expr(s"aggregate(transform(sequence(1, size($v)), " +
+      s"i -> CAST(${planeWeightSql(p.toString, "i")} AS DOUBLE) * CAST(element_at($v, i) AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** LSH bucket id: Σ (proj_p(v) > 0) << p over NBits hyperplanes. */
+  private def bucketCol(v: String): Column =
+    (0 until NBits).map { p =>
+      when(projExpr(v, p) > 0d, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotExpr("embedding", "embedding")).as("nrm"))
+
+  // Brute-force cosine top-k (k=5) for queries vec_id < 20: exact
+  // baseline. Query side broadcast; ranking via window row_number with
+  // a deterministic tiebreak.
+  def s01_knn_brute(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn"))
+    val scored = q.join(e.toDF("did", "dv", "dn"), col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("did").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("qid"), col("rk").cast(LongType).as("rk"),
+        col("did").as("nn_id"), col("cos"))
+  }
+
+  // LSH-bucketed ANN: same queries, but candidates restricted to the
+  // query's bucket. Emits each query's best in-bucket neighbor plus the
+  // bucket id — at scale this is a bucket-key equi-join over a
+  // pre-computed (bucketed, persistable) index table, no cross product.
+  def s02_knn_lsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(s, dir).withColumn("bucket", bucketCol("embedding"))
+    val q = broadcast(
+      e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "bucket"))
+    val cand = q.join(e.toDF("did", "dv", "dn", "bucket"), Seq("bucket"))
+      .filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("bucket"), col("did"),
+        (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("did").asc)
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("qid"), col("bucket"), col("did").as("nn_id"), col("cos"))
+  }
+
+  private def dotSql(a: String, b: String): String =
+    s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
+      s"LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
+  private def projSql(v: String, p: Int): String =
+    s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
+      s"LIST_TRANSFORM(RANGE(1, LEN($v) + 1), " +
+      s"i -> CAST(${planeWeightSql(p.toString, "i")} AS DOUBLE) * CAST($v[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
+  private def bucketSql(v: String): String =
+    (0 until NBits).map { p =>
+      s"(CASE WHEN ${projSql(v, p)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "s01_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    SQRT(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, d.vec_id AS did,
+         |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
+         |  FROM e q JOIN e d ON q.vec_id < 20 AND q.vec_id <> d.vec_id)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, did AS nn_id, cos FROM (
+         |  SELECT qid, did, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
+         |  FROM p) WHERE rk <= 5""".stripMargin,
+    "s02_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    SQRT(${dotSql("embedding", "embedding")}) AS nrm,
+         |    ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, q.bucket, d.vec_id AS did,
+         |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
+         |  FROM e q JOIN e d ON q.bucket = d.bucket
+         |    AND q.vec_id < 20 AND q.vec_id <> d.vec_id)
+         |SELECT qid, bucket, did AS nn_id, cos FROM (
+         |  SELECT qid, bucket, did, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
+         |  FROM p) WHERE rk = 1""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_knn_brute" -> (s01_knn_brute _),
+    "s02_knn_lsh" -> (s02_knn_lsh _),
+  )
+}
