@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.GraphQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.GraphQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
-      graft.queries.SimilarityQueries.oracle
+      graft.queries.SimilarityQueries.oracle ++
+      graft.queries.MultimodalQueries.oracle
 }

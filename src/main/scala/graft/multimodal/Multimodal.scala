@@ -1,0 +1,57 @@
+package graft.multimodal
+
+/** Multimodal column support: opaque `binary` payloads with typed
+  * metadata, plus decode / feature-extraction stages.
+  *
+  * The image/audio codec libraries are NOT present in this environment,
+  * so the decode step is a '''clearly-marked deterministic stub'''
+  * ([[MediaCodecs]]): it produces a fake "decoded" feature tensor from
+  * the raw bytes with a fixed shape. Everything AROUND the stub — the
+  * binary column schema, the typed Dataset plumbing, the per-partition
+  * batched iteration (the JVM analogue of `mapInPandas` batch shape),
+  * partitioning, and the metadata struct — is real and tested, so
+  * swapping in a real codec is a one-function change.
+  */
+object MediaCodecs {
+
+  /** Fixed feature dimensionality of the stub "decoder". */
+  val FeatureDim = 16
+
+  /** STUB — stands in for a real image/audio decode + embed step
+    * (e.g. JPEG decode → CNN features). Deterministic fake: a 16-bin
+    * byte-value histogram normalized by payload length. Real codecs
+    * drop in here without touching any caller.
+    */
+  def decodeFeaturesStub(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Int](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xff) * FeatureDim / 256) += 1
+      i += 1
+    }
+    val n = math.max(payload.length, 1).toFloat
+    bins.map(_ / n)
+  }
+
+  /** STUB — stands in for frame decode in a video payload: slices the
+    * byte stream into fixed-size pseudo-frames. Real demuxers replace
+    * this; the sampling/explode plumbing around it stays.
+    */
+  val FrameBytes = 32
+}
+
+/** One media row: the payload is an opaque binary column; `meta` is
+  * the typed metadata that rides alongside it (the pattern for 100 TB
+  * multimodal tables: never decode in the storage layer, push the
+  * payload bytes through untouched, keep metadata queryable columns).
+  */
+case class MediaRow(
+    doc_id: Long,
+    media_type: String,
+    payload: Array[Byte],
+    n_bytes: Long)
+
+case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    features: Array[Float])

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.multimodal.MediaCodecs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plumbing invariants for the multimodal family: the stub decoder is
+  * fake, but the binary schema, typed mapPartitions path, and sampling
+  * must behave exactly as a real codec integration would.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media table carries a real BinaryType payload with exact lengths") {
+    val m = MultimodalQueries.media(spark, dir)
+    assert(m.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val bad = m.filter(octet_length(col("payload")) =!= col("n_bytes")).count()
+    assert(bad === 0L)
+  }
+
+  test("stub decoder: fixed dim, histogram sums to payload length") {
+    val payload = "hello world 123".getBytes("UTF-8")
+    val f = MediaCodecs.decodeFeaturesStub(payload)
+    assert(f.length === MediaCodecs.FeatureDim)
+    assert(math.abs(f.sum - 1.0f) < 1e-5f)
+  }
+
+  test("typed feature extraction yields one fixed-dim row per doc") {
+    val docs = graft.Tables(spark, dir, "documents").count()
+    val feats = MultimodalQueries.m02_features(spark, dir).cache()
+    assert(feats.count() === docs)
+    // signature always has FeatureDim fields
+    val badDims = feats
+      .filter(size(split(col("feat_sig"), "-")) =!= MediaCodecs.FeatureDim)
+      .count()
+    assert(badDims === 0L)
+  }
+
+  test("frame sampling keeps every 4th frame of video payloads only") {
+    val frames = MultimodalQueries.m03_frame_sample(spark, dir).cache()
+    assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0L)
+    val videoDocs = MultimodalQueries.media(spark, dir)
+      .filter(col("media_type") === "video").count()
+    assert(frames.select("doc_id").distinct().count() === videoDocs)
+  }
+}
