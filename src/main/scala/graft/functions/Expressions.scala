@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom codegen-friendly Catalyst expressions for the engine's hot
+  * scalar loops (SURVEY.md §7.1.3 reserved this budget for exactly
+  * this case: profiling showed the higher-order-function forms —
+  * `aggregate(transform(...))` — dominate the dedup/similarity
+  * families, because they materialize a boxed intermediate array per
+  * row per call).
+  *
+  * Both expressions participate in whole-stage codegen via
+  * `defineCodeGen` (a single static-method call per row, no
+  * interpreted fallback on the hot path) and keep '''bit-identical'''
+  * results to their DuckDB-oracle formulations: the fold order is the
+  * same left-to-right IEEE/int64 sequence.
+  */
+object GraftExpressions {
+
+  /** Polynomial rolling hash of a string's code points:
+    * `acc = (acc * 31 + codepoint) % (2^31 - 1)`, left to right —
+    * the codegen'd twin of the `aggregate(transform(split(c, '')))`
+    * form and of DuckDB's `list_reduce(list_transform(string_split(...)))`.
+    */
+  def polyHash(c: Column): Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+
+  /** Σ a[i]·b[i] over two numeric arrays (float or double elements),
+    * each product computed in double, accumulated left to right —
+    * the codegen'd twin of the `aggregate(transform(sequence(...)))`
+    * index fold and of DuckDB's `list_reduce(list_transform(range(...)))`.
+    */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_polyhash needs a string input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  private val P = 2147483647L
+
+  /** Iterates unicode code points — same element sequence as splitting
+    * into single-character strings and taking `ascii()` of each.
+    */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_dot needs array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private lazy val leftIsFloat = elemType(left).contains(FloatType)
+  private lazy val rightIsFloat = elemType(right).contains(FloatType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DotProduct.dot($a, $b, $leftIsFloat, $rightIsFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Left-to-right fold; each term is double(a[i]) * double(b[i]).
+    * Array elements are assumed non-null (enforced by the engine's
+    * vector columns); lengths follow the left operand.
+    */
+  def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}

@@ -132,6 +132,10 @@ object PageRank {
     var ranks = links.select(col("node"), lit(1.0 / n).as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Release each pass's cache only after the NEXT pass's dangling-sum
+    // action has materialized its successor — unpersisting an
+    // un-materialized parent forces a full lineage recompute per pass.
+    var prevRanks: DataFrame = null
     var i = 0
     while (i < iters) {
       val joined = links.join(ranks, Seq("node"))
@@ -139,6 +143,7 @@ object PageRank {
         .select(sum(col("rank"))).collect().headOption
         .flatMap(r => Option(r.get(0))).map(_.asInstanceOf[Double])
         .getOrElse(0.0)
+      if (prevRanks != null) prevRanks.unpersist(false)
       val contribs = joined.filter(col("out_degree") > 0)
         .select(explode(col("adj")).as("node"),
           (col("rank") / col("out_degree")).as("c"))
@@ -150,7 +155,7 @@ object PageRank {
             (coalesce(col("c"), lit(0.0)) + lit(d / n))).as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
-      ranks.unpersist(false)
+      prevRanks = ranks
       ranks = next
       i += 1
     }

@@ -46,20 +46,25 @@ object PageRankGraphX {
       .outerJoinVertices(degrees)((_, _, deg) => (1.0 / n, deg.getOrElse(0)))
       .cache()
 
+    // The dangling-sum action at the top of each pass materializes the
+    // current (cached) graph, so the PREVIOUS pass's cache can be
+    // dropped right after it — no extra count() job per pass.
+    var prev: Graph[(Double, Int), Unit] = null
     var i = 0
     while (i < iters) {
       val d = g.vertices.filter { case (_, (_, deg)) => deg == 0 }
         .map(_._2._1).fold(0.0)(_ + _)
+      if (prev != null) {
+        prev.unpersistVertices(false)
+        prev.edges.unpersist(false)
+      }
       val contribs = g.aggregateMessages[Double](
         ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
         _ + _)
-      val prev = g
+      prev = g
       g = g.outerJoinVertices(contribs) { (_, attr, c) =>
         (beta / n + (1 - beta) * (c.getOrElse(0.0) + d / n), attr._2)
       }.cache()
-      g.vertices.count() // materialize before unpersisting the parent
-      prev.unpersistVertices(false)
-      prev.edges.unpersist(false)
       i += 1
     }
     spark.createDataFrame(

@@ -40,13 +40,15 @@ object DedupQueries {
     * Spark side of the shared shingle CTE.
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("lang"),
-        explode(expr("array_distinct(transform(sequence(1, size(w) - 2), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))"))
-          .as("sh"))
+    SharedRelations(s, dir, "doc_shingles") {
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("array_distinct(transform(sequence(1, size(w) - 2), " +
+            "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))"))
+            .as("sh"))
+    }
 
   /** Oracle twin of [[shingles]] — a WITH prefix callers extend. */
   private val ShinglesCte: String =
@@ -75,8 +77,17 @@ object DedupQueries {
   def d02_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("ida", "langa", "sha")
-    val b = sh.toDF("idb", "langb", "shb")
+    // Singleton shingles (in exactly one doc) generate no pairs —
+    // semi-join both sides down to shared shingles before the
+    // quadratic step. Result-preserving; at corpus scale this is the
+    // difference between joining the long tail and skipping it.
+    val shared = sh.groupBy(col("lang"), col("sh"))
+      .agg(count(lit(1)).as("f")).filter(col("f") >= 2)
+      .select(col("lang"), col("sh"))
+    val pruned = sh.join(shared, Seq("lang", "sh"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("sh"))
+    val a = pruned.toDF("ida", "langa", "sha")
+    val b = pruned.toDF("idb", "langb", "shb")
     val inter = a.join(b,
         col("sha") === col("shb") && col("langa") === col("langb") &&
           col("ida") < col("idb"))
@@ -103,10 +114,14 @@ object DedupQueries {
       min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$i")
     }
     val sig = h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bands = (0 until 4).map { bnd =>
-      sig.select(col("doc_id"), lit(bnd).as("band"),
-        concat_ws("_", col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}")).as("bkey"))
-    }.reduce(_ union _)
+    // One posexplode pass generates all 4 band rows per signature —
+    // a union of per-band selects would recompute the whole
+    // shingle→hash→min pipeline once per band.
+    val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(bnd =>
+          concat_ws("_", col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}"))): _*))
+          .as(Seq("band", "bkey")))
+      .select(col("doc_id"), col("band").cast("int").as("band"), col("bkey"))
     bands.toDF("ida", "band", "bkey")
       .join(bands.toDF("idb", "band", "bkey"), Seq("band", "bkey"))
       .filter(col("ida") < col("idb"))
@@ -135,12 +150,11 @@ object DedupQueries {
 
   /** Index-based dot product Σ a[i]·b[i] folded left-to-right — the
     * exact same op sequence as the oracle's list_reduce, so the double
-    * result is bit-identical.
+    * result is bit-identical. Codegen'd custom expression
+    * ([[graft.functions.DotProduct]]).
     */
   private def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(transform(sequence(1, size($a)), " +
-      s"i -> CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)), " +
-      s"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    graft.functions.GraftExpressions.dot(col(a), col(b))
 
   // Embedding-cosine nearest neighbor for a fixed query set (vec_id <
   // 100): the brute-force baseline — bounded cross product (|Q|·n), a
@@ -148,9 +162,7 @@ object DedupQueries {
   // path is s02's LSH bucketing.
   def d05_embed_nn(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dotExpr("embedding", "embedding")).as("nrm"))
+    val e = SimilarityQueries.normed(s, dir)
     val q = broadcast(e.filter(col("vec_id") < 100).toDF("qid", "qv", "qn"))
     val cand = q.join(e.toDF("did", "dv", "dn"), col("qid") =!= col("did"))
       .select(col("qid"), col("did"),

@@ -32,17 +32,35 @@ object GraphQueries {
   /** Teleport β=0.15 split as integer 15/100 (pageRank_v2.java:62). */
   private val BetaNum = 15L
 
-  /** The shared edge-derivation, Spark side. */
-  def derivedEdges(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders")
-    val mx = orders.agg(max(col("o_custkey"))).head().getLong(0)
-    orders
-      .filter(col("o_orderkey") % 3 === 0)
-      .select(col("o_custkey").as("src"),
-        (lit(1L) + col("o_orderkey") % lit(mx)).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-  }
+  /** The shared edge-derivation, Spark side — memoized + persisted per
+    * (session, sfDir): every graph query keys off this one relation.
+    */
+  def derivedEdges(s: SparkSession, dir: String): DataFrame =
+    SharedRelations(s, dir, "graph_edges") {
+      val orders = t(s, dir, "orders")
+      val mx = orders.agg(max(col("o_custkey"))).head().getLong(0)
+      orders
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey").as("src"),
+          (lit(1L) + col("o_orderkey") % lit(mx)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+  /** Node domain (src ∪ dst), memoized like [[derivedEdges]]. */
+  def derivedNodes(s: SparkSession, dir: String): DataFrame =
+    SharedRelations(s, dir, "graph_nodes") {
+      val e = derivedEdges(s, dir)
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst"))).distinct()
+    }
+
+  /** Out-degree per source node, memoized like [[derivedEdges]]. */
+  def outDeg(s: SparkSession, dir: String): DataFrame =
+    SharedRelations(s, dir, "graph_outdeg") {
+      derivedEdges(s, dir)
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    }
 
   /** The shared edge-derivation, oracle side (a WITH prefix every graph
     * oracle starts from; callers append their own CTEs after a comma).
@@ -77,9 +95,7 @@ object GraphQueries {
   // form of the reference's hardcoded node-0 test (pageRank_v2.java:216).
   def g03_dangling(s: SparkSession, dir: String): DataFrame = {
     val e = derivedEdges(s, dir)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
-    nodes.join(e.select(col("src").as("node")).distinct(),
+    derivedNodes(s, dir).join(e.select(col("src").as("node")).distinct(),
       Seq("node"), "left_anti")
   }
 
@@ -95,22 +111,25 @@ object GraphQueries {
     * engines regardless of shuffle/accumulation order.
     */
   def g04_pagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val e = derivedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = derivedEdges(s, dir)
+    val nodes = derivedNodes(s, dir)
     val n = nodes.count()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = outDeg(s, dir)
     val teleport = (BetaNum * Scale / 100) / n
 
     var r = nodes.select(col("node"), lit(Scale / n).as("r"))
+    // The previous pass's cache is released only AFTER the current
+    // pass's `dm` action has materialized `withDeg` — unpersisting
+    // before that point forces a full lineage recompute (back to the
+    // parquet scan) on every iteration.
+    var prevCache: DataFrame = null
     var i = 0
     while (i < iters) {
       val withDeg = r.join(deg, Seq("node"), "left_outer")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val dm = withDeg.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      if (prevCache != null) prevCache.unpersist(false)
       val dmShare = dm / n
       val contribs = e
         .join(withDeg.filter(col("outdeg").isNotNull),
@@ -122,7 +141,7 @@ object GraphQueries {
           (lit(teleport) +
             expr(s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + ${dmShare}L)) div 100"))
             .as("r"))
-      withDeg.unpersist(false)
+      prevCache = withDeg
       i += 1
     }
     r.select(col("node"), col("r").as("rank_fp"))
@@ -160,10 +179,10 @@ object GraphQueries {
     * converged variant is [[graft.graph]]-side GraphX work.
     */
   def g05_cc_labelprop(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val e = derivedEdges(s, dir)
-    val sym = e.union(e.select(col("dst"), col("src")))
-      .toDF("src", "dst").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = SharedRelations(s, dir, "graph_sym") {
+      val e = derivedEdges(s, dir)
+      e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
+    }
     val nodes = sym.select(col("src").as("node")).distinct()
     var lab = nodes.select(col("node"), col("node").as("label"))
     var i = 0
@@ -202,10 +221,12 @@ object GraphQueries {
     * scale the join key is the node id and AQE handles the skewed hubs.
     */
   def g06_triangles(s: SparkSession, dir: String): DataFrame = {
-    val e = derivedEdges(s, dir)
-    val und = e.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val und = SharedRelations(s, dir, "graph_und") {
+      derivedEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
     val e1 = und.as("e1"); val e2 = und.as("e2"); val e3 = und.as("e3")
     e1.join(e2, col("e1.b") === col("e2.a"))
       .join(e3, col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))

@@ -35,30 +35,38 @@ object SimilarityQueries {
 
   private val NBits = 8
 
-  /** Index-fold dot product, identical op order to the DuckDB oracle. */
+  /** Index-fold dot product, identical op order to the DuckDB oracle;
+    * codegen'd custom expression ([[graft.functions.DotProduct]]).
+    */
   private def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(transform(sequence(1, size($a)), " +
-      s"i -> CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)), " +
-      s"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    graft.functions.GraftExpressions.dot(col(a), col(b))
+
+  /** w(p, i) materialized driver-side for 1-based i ∈ [1, dim] — the
+    * hyperplanes become literal double arrays, so the projection is the
+    * same codegen'd dot product as the scoring path.
+    */
+  private def planeWeights(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(i =>
+      (((1103515245L * p + 12345L * (i + 1) + 42) % 97) - 48).toDouble)
 
   /** Signed projection of `v` onto hyperplane `p` (integer weights,
     * double accumulate, left-to-right).
     */
-  private def projExpr(v: String, p: Int): Column =
-    expr(s"aggregate(transform(sequence(1, size($v)), " +
-      s"i -> CAST(${planeWeightSql(p.toString, "i")} AS DOUBLE) * CAST(element_at($v, i) AS DOUBLE)), " +
-      s"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+  private def projExpr(v: String, p: Int, dim: Int): Column =
+    graft.functions.GraftExpressions.dot(lit(planeWeights(p, dim)), col(v))
 
   /** LSH bucket id: Σ (proj_p(v) > 0) << p over NBits hyperplanes. */
-  private def bucketCol(v: String): Column =
+  private def bucketCol(v: String, dim: Int): Column =
     (0 until NBits).map { p =>
-      when(projExpr(v, p) > 0d, lit(1L << p)).otherwise(0L)
+      when(projExpr(v, p, dim) > 0d, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
-  private def normed(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dotExpr("embedding", "embedding")).as("nrm"))
+  private[queries] def normed(s: SparkSession, dir: String): DataFrame =
+    SharedRelations(s, dir, "embeddings_normed") {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotExpr("embedding", "embedding")).as("nrm"))
+    }
 
   // Brute-force cosine top-k (k=5) for queries vec_id < 20: exact
   // baseline. Query side broadcast; ranking via window row_number with
@@ -83,7 +91,11 @@ object SimilarityQueries {
   // pre-computed (bucketed, persistable) index table, no cross product.
   def s02_knn_lsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = normed(s, dir).withColumn("bucket", bucketCol("embedding"))
+    // Vector dim probed once (one row-group read even at scale); the
+    // hyperplane literals are sized to it.
+    val dim = t(s, dir, "embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
+    val e = normed(s, dir).withColumn("bucket", bucketCol("embedding", dim))
     val q = broadcast(
       e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "bucket"))
     val cand = q.join(e.toDF("did", "dv", "dn", "bucket"), Seq("bucket"))

@@ -98,11 +98,10 @@ object TextQueries {
     * Also the primitive under the dedup family's shingle hashing.
     */
   def polyHash(c: String): Column =
-    // filter(ch <> ''): Spark's split keeps a trailing empty string
-    // (Java split with limit −1); DuckDB's string_split does not.
-    expr(s"aggregate(transform(filter(split($c, ''), ch -> ch <> ''), " +
-      s"ch -> CAST(ascii(ch) AS BIGINT)), " +
-      s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 2147483647)")
+    // Codegen'd custom expression ([[graft.functions.PolyHash]]): same
+    // fold as aggregate(transform(split(c, ''), ascii)) but one static
+    // call per row instead of a materialized per-character array.
+    graft.functions.GraftExpressions.polyHash(col(c))
 
   /** DuckDB twin of [[polyHash]] (list_reduce needs the seed prepended). */
   def polyHashSql(c: String): String =

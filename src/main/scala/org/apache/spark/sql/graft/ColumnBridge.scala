@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the classic `Column` ⇄ Catalyst `Expression` converters,
+  * which became `private[sql]` with Spark 4's Connect/classic API
+  * split. Lives under `org.apache.spark.sql` for access — the standard
+  * pattern for Spark-native extension libraries shipping custom
+  * Catalyst expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
