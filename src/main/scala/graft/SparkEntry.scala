@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
       graft.queries.SimilarityQueries.oracle ++
-      graft.queries.MultimodalQueries.oracle
+      graft.queries.MultimodalQueries.oracle ++
+      graft.queries.StreamQueries.oracle
 }

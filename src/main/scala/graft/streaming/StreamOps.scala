@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Event record of the `events` table (TESTDATA.md), the engine's
+  * streaming subject. The reference is batch-only (SURVEY.md §2
+  * "streaming: none"), so this module is pure north-star surface:
+  * the operations a training-data ingest pipeline runs continuously —
+  * windowed rollups, exactly-once dedup, sessionization, custom
+  * per-key state.
+  */
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** Running per-user aggregate emitted by [[StreamOps.userRunningStats]]. */
+final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured-Streaming operators. Every transform here takes a plain
+  * DataFrame/Dataset and works identically on a batch frame (where the
+  * watermark node is a no-op and `session_window` is an ordinary
+  * aggregation) and a `readStream` frame (where the same plan runs
+  * incrementally with state in the state store). That symmetry is the
+  * design point: the batch twins in
+  * [[graft.queries.StreamQueries]] are DuckDB-oracle-checked, and the
+  * streaming path is pinned to them by the MemoryStream specs.
+  *
+  * Scale notes: all state is keyed (window/event_id/user_id), so it
+  * shards across executors with the shuffle; watermarks bound state
+  * size — nothing here grows with total stream length.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window rollup per event_type with a
+    * `wm` watermark: counts + exact decimal value sum. Append-mode
+    * emits each window once its end passes the watermark.
+    */
+  def windowedCounts(events: DataFrame, wm: String = "10 minutes",
+                     win: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", wm)
+      .groupBy(window(col("ts"), win).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup on event_id, with state bounded by the
+    * watermark horizon (late duplicates beyond `wm` age out of the
+    * state store instead of accumulating forever — the property that
+    * makes exact dedup viable on an unbounded stream).
+    * Streaming-only: batch callers just use `dropDuplicates`.
+    */
+  def dedupWithinWatermark(events: DataFrame, wm: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", wm)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization: consecutive events of a user belong to
+    * one session while the gap between them is < `gap`; the session
+    * spans [first_ts, last_ts + gap). Same `session_window` call on a
+    * batch frame gives the oracle-checkable twin
+    * (q24_sessions).
+    */
+  def sessions(events: DataFrame, gap: String = "5 minutes",
+               wm: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", wm)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Arbitrary keyed state via `mapGroupsWithState`: running per-user
+    * event count + value total, emitted (update mode) once per user per
+    * micro-batch. The template for custom state machines the built-in
+    * windowed aggregates can't express.
+    */
+  def userRunningStats(events: Dataset[Ev]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          evs.foreach { e => n += 1; total += e.value }
+          val cur = UserStat(userId, n, total)
+          state.update(cur)
+          cur
+      }
+  }
+}

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics pinned via MemoryStream micro-batches: the SAME
+  * StreamOps transforms that the oracle-checked batch twins
+  * (q23/q24) run, executed incrementally with watermarks + state.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def ev(id: Long, m: Int, user: Long = 1L, typ: String = "click",
+                 v: Double = 1.0, sec: Int = 0): Ev =
+    Ev(id, ts(m, sec), user, typ, v)
+
+  private def runAppend(name: String, df: org.apache.spark.sql.DataFrame,
+                        mode: OutputMode = OutputMode.Append) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("windowedCounts finalizes a window only after the watermark passes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runAppend("wc", StreamOps.windowedCounts(in.toDF(),
+      wm = "10 minutes", win = "5 minutes"))
+    try {
+      // two events in [10:00, 10:05), one in [10:05, 10:10)
+      in.addData(ev(1, 0), ev(2, 3, v = 2.0), ev(3, 6))
+      q.processAllAvailable()
+      // append mode: nothing final yet (watermark = 10:06 - 10m)
+      assert(spark.table("wc").count() === 0)
+      // advance event time to 10:20 → watermark 10:10 closes both
+      // [10:00,10:05) and [10:05,10:10)
+      in.addData(ev(9, 20))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("window_start", "n_events", "total_value")
+        .collect().sortBy(_.getTimestamp(0).getTime)
+      assert(rows.length === 2)
+      assert(rows(0).getTimestamp(0) === ts(0))
+      assert(rows(0).getLong(1) === 2L)
+      assert(rows(0).getDouble(2) === 3.0)
+      assert(rows(1).getTimestamp(0) === ts(5))
+      assert(rows(1).getLong(1) === 1L)
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runAppend("late", StreamOps.windowedCounts(in.toDF(),
+      wm = "2 minutes", win = "5 minutes"))
+    try {
+      in.addData(ev(1, 0), ev(2, 30))   // watermark → 10:28
+      q.processAllAvailable()
+      in.addData(ev(3, 1))              // 10:01 — far behind watermark
+      in.addData(ev(4, 59))             // closes everything up to 10:57
+      q.processAllAvailable()
+      val first = spark.table("late")
+        .where("window_start = timestamp'2024-01-01 10:00:00'")
+        .select("n_events").collect()
+      assert(first.length === 1)
+      assert(first.head.getLong(0) === 1L, "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate event_ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runAppend("dd", StreamOps.dedupWithinWatermark(in.toDF(), "10 minutes"))
+    try {
+      in.addData(ev(1, 0), ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      in.addData(ev(1, 2), ev(3, 3)) // id 1 again, within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessions merge events within the gap and split on gaps >= gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runAppend("ss", StreamOps.sessions(in.toDF(),
+      gap = "5 minutes", wm = "10 minutes"))
+    try {
+      // user 1: 10:00, 10:03, 10:06 → one session (each gap < 5m);
+      // then 10:20 → a second session
+      in.addData(ev(1, 0), ev(2, 3), ev(3, 6), ev(4, 20))
+      q.processAllAvailable()
+      in.addData(ev(9, 59)) // advance watermark to close both
+      q.processAllAvailable()
+      val rows = spark.table("ss")
+        .select("session_start", "session_end", "n_events")
+        .collect().sortBy(_.getTimestamp(0).getTime)
+      assert(rows.length === 2)
+      assert(rows(0).getTimestamp(0) === ts(0))
+      assert(rows(0).getTimestamp(1) === ts(11)) // 10:06 + 5m
+      assert(rows(0).getLong(2) === 3L)
+      assert(rows(1).getTimestamp(0) === ts(20))
+      assert(rows(1).getLong(2) === 1L)
+    } finally q.stop()
+  }
+
+  test("userRunningStats keeps per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.userRunningStats(in.toDS()).writeStream
+      .format("memory").queryName("us").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 0, user = 7, v = 2.0), ev(2, 1, user = 7, v = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, user = 7, v = 5.0), ev(4, 2, user = 8, v = 1.0))
+      q.processAllAvailable()
+      val last = spark.table("us").where("user_id = 7")
+        .orderBy("n_events").collect().last
+      assert(last.getLong(1) === 3L)
+      assert(last.getDouble(2) === 10.0)
+      val u8 = spark.table("us").where("user_id = 8").collect()
+      assert(u8.length === 1 && u8.head.getLong(1) === 1L)
+    } finally q.stop()
+  }
+
+  test("batch twin and streaming window rollup agree on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(ev(1, 0), ev(2, 3, v = 2.5), ev(3, 7), ev(4, 12, typ = "view"))
+    // batch: watermark is a no-op, all windows emitted
+    val batch = StreamOps.windowedCounts(evs.toDF())
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[Ev]
+    val q = runAppend("bt", StreamOps.windowedCounts(in.toDF()))
+    try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      in.addData(ev(9, 59, typ = "sentinel")) // close all real windows
+      q.processAllAvailable()
+      val streamed = spark.table("bt")
+        .where("event_type <> 'sentinel'")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
