@@ -222,6 +222,32 @@ object CoreQueries {
       .agg(dsum("o_totalprice").as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  // O18+O19: MR-style secondary sort — the reference's
+  // GroupedKey/partitioner design (pageRank.java:80-131) in Spark
+  // form: hash-repartition on the primary key, sortWithinPartitions
+  // (primary, secondary), then a single mapPartitions pass assigns
+  // per-group sequence numbers from the physical order — no Window
+  // exchange, exactly the MR shuffle contract. Oracle: ROW_NUMBER.
+  def q25_secondary_sort(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .repartition(col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        var curKey = Long.MinValue
+        var seq = 0L
+        it.map { case (ok, ln, qty) =>
+          if (ok != curKey) { curKey = ok; seq = 0L }
+          seq += 1
+          (ok, ln, qty, seq)
+        }
+      }
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "seq_in_order")
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INTEGER) AS qty_int
@@ -334,6 +360,12 @@ object CoreQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+    "q25_secondary_sort" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity,
+        |  ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
+        |    AS seq_in_order
+        |FROM lineitem""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -359,5 +391,6 @@ object CoreQueries {
     "q20_datetime" -> (q20_datetime _),
     "q21_json" -> (q21_json _),
     "q22_star_join" -> (q22_star_join _),
+    "q25_secondary_sort" -> (q25_secondary_sort _),
   )
 }

@@ -173,6 +173,74 @@ object GraphQueries {
     sb.toString
   }
 
+  /** O14 in the reference's OWN contribution semantics
+    * (pageRank_v2.java:136-139,163): each node sends its '''whole'''
+    * rank to every out-neighbor — no out-degree division — and the
+    * dangling mass D is redistributed as D/N with teleport β
+    * (SURVEY.md §0.1). Same int64 fixed-point discipline as
+    * [[g04_pagerank]], so the oracle is bit-exact:
+    *
+    * r0(v) = Scale div n
+    * r_{i+1}(v) = (0.15·Scale) div n
+    *            + (85 · (Σ_{u→v} r_i(u) + D_i div n)) div 100
+    */
+  def g08_pagerank_compat(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = derivedEdges(s, dir)
+    val nodes = derivedNodes(s, dir)
+    val n = nodes.count()
+    val deg = outDeg(s, dir)
+    val teleport = (BetaNum * Scale / 100) / n
+
+    var r = nodes.select(col("node"), lit(Scale / n).as("r"))
+    var prevCache: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val withDeg = r.join(deg, Seq("node"), "left_outer")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dm = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      if (prevCache != null) prevCache.unpersist(false)
+      val dmShare = dm / n
+      val contribs = e
+        .join(withDeg.filter(col("outdeg").isNotNull), e("src") === col("node"))
+        .select(col("dst").as("node"), col("r").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      r = nodes.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + ${dmShare}L)) div 100"))
+            .as("r"))
+      prevCache = withDeg
+      i += 1
+    }
+    r.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  /** Unrolled-CTE oracle for [[g08_pagerank_compat]] — identical to
+    * [[pagerankOracle]] minus the out-degree division.
+    */
+  def pagerankCompatOracle(iters: Int = 3): String = {
+    val sb = new StringBuilder(EdgesCte)
+    sb.append(""",
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+        |d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r$p
+        |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r$p.node)),
+        |c$i AS (SELECT e.dst AS node, CAST(SUM(r.r) AS BIGINT) AS c
+        |  FROM edges e JOIN r$p r ON e.src = r.node GROUP BY e.dst),
+        |r$i AS (SELECT nodes.node,
+        |    (150000000000 // nn.n)
+        |    + (85 * (COALESCE(c$i.c, 0) + (d$i.dm // nn.n))) // 100 AS r
+        |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node, d$i, nn)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters")
+    sb.toString
+  }
+
   /** Connected components by min-label propagation, `rounds` rounds,
     * over the symmetrized graph — each round: label'(v) = min(label(v),
     * min over neighbors). Fixed trip count keeps it SQL-unrollable; the
@@ -248,6 +316,7 @@ object GraphQueries {
       |SELECT node FROM nodes
       |WHERE NOT EXISTS (SELECT 1 FROM edges WHERE edges.src = nodes.node)""".stripMargin),
     "g04_pagerank" -> pagerankOracle(3),
+    "g08_pagerank_compat" -> pagerankCompatOracle(3),
     "g05_cc_labelprop" -> ccOracle(3),
     "g06_triangles" -> (EdgesCte + """,
       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -262,6 +331,7 @@ object GraphQueries {
     "g02_degrees" -> (g02_degrees _),
     "g03_dangling" -> (g03_dangling _),
     "g04_pagerank" -> ((s, d) => g04_pagerank(s, d)),
+    "g08_pagerank_compat" -> ((s, d) => g08_pagerank_compat(s, d)),
     "g05_cc_labelprop" -> ((s, d) => g05_cc_labelprop(s, d)),
     "g06_triangles" -> (g06_triangles _),
     // Flagship GraphX path — iterative double-precision PageRank; not
