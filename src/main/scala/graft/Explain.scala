@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-hygiene dump: formatted physical plans for the queries named
+  * on the command line (or a representative default set). Used to
+  * audit the properties that matter at 100 TB — filter pushdown into
+  * the parquet scan (`PushedFilters`), column pruning (`ReadSchema`),
+  * broadcast vs shuffle joins, exchange counts, whole-stage codegen
+  * coverage.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q01_scan_project", "q02_filter", "q03_groupby_sum",
+        "q04_join_broadcast", "q05_join_sortmerge", "q22_star_join",
+        "d03_minhash_lsh", "s02_knn_lsh", "t05_fingerprint",
+        "q23_event_windows")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      SparkEntry.queries.get(n) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -108,12 +108,17 @@ object DedupQueries {
   // The band join is the scale path: signatures are 64 bytes/doc and
   // candidates ≪ n².
   def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
-    val h = shingles(s, dir)
-      .select(col("doc_id"), TextQueries.polyHash("sh").as("h"))
-    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$i")
+    // Signature relation cached (64 bytes/doc): both sides of the
+    // band self-join read it instead of re-running the
+    // shingle→hash→min aggregation per branch.
+    val sig = SharedRelations(s, dir, "minhash_sig") {
+      val h = shingles(s, dir)
+        .select(col("doc_id"), TextQueries.polyHash("sh").as("h"))
+      val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$i")
+      }
+      h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     }
-    val sig = h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     // One posexplode pass generates all 4 band rows per signature —
     // a union of per-band selects would recompute the whole
     // shingle→hash→min pipeline once per band.

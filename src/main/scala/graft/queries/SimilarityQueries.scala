@@ -108,6 +108,39 @@ object SimilarityQueries {
       .select(col("qid"), col("bucket"), col("did").as("nn_id"), col("cos"))
   }
 
+  // IVF-style ANN: a deterministic coarse quantizer (every 97th vector
+  // is a centroid), each vector assigned to its nearest centroid by
+  // cosine (the inverted-file build), queries probe ONLY their own
+  // cell. At scale the assignment is a broadcast of |C| centroids
+  // against n vectors (linear scan, map-side), and search is a
+  // cell-key equi-join — the same sparse-join scale shape as s02, with
+  // the cell granularity tunable via the centroid count.
+  def s03_knn_ivf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(s, dir)
+    val asg = SharedRelations(s, dir, "ivf_assign") {
+      val cents = broadcast(e.filter(col("vec_id") % 97 === 0)
+        .toDF("cid", "cv", "cn"))
+      val scored = e.join(cents)
+        .select(col("vec_id"), col("cid"),
+          (dotExpr("embedding", "cv") / (col("nrm") * col("cn"))).as("cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+    val q = e.join(asg, Seq("vec_id")).filter(col("vec_id") < 20)
+      .toDF("qid", "qv", "qn", "cell")
+    val d = e.join(asg, Seq("vec_id")).toDF("did", "dv", "dn", "cell")
+    val cand = q.join(d, Seq("cell")).filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("cell"), col("did"),
+        (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("did").asc)
+    cand.withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .select(col("qid"), col("cell"), col("did").as("nn_id"), col("cos"))
+  }
+
   private def dotSql(a: String, b: String): String =
     s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
       s"LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
@@ -150,10 +183,36 @@ object SimilarityQueries {
          |  SELECT qid, bucket, did, cos,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
          |  FROM p) WHERE rk = 1""".stripMargin,
+    "s03_knn_ivf" -> IvfOracle,
   )
+
+  private lazy val IvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    SQRT(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id % 97 = 0),
+       |sc AS (SELECT e.vec_id, c.cid,
+       |    ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS cos
+       |  FROM e CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+       |  FROM sc) WHERE rn = 1),
+       |p AS (SELECT q.vec_id AS qid, qa.cid AS cell, d.vec_id AS did,
+       |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
+       |  FROM e q JOIN asg qa ON q.vec_id = qa.vec_id
+       |  JOIN asg da ON da.cid = qa.cid AND da.vec_id <> q.vec_id
+       |  JOIN e d ON d.vec_id = da.vec_id
+       |  WHERE q.vec_id < 20)
+       |SELECT qid, cell, did AS nn_id, cos FROM (
+       |  SELECT qid, cell, did, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rn
+       |  FROM p) WHERE rn = 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01_knn_brute _),
     "s02_knn_lsh" -> (s02_knn_lsh _),
+    "s03_knn_ivf" -> (s03_knn_ivf _),
   )
 }
