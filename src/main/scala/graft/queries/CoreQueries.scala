@@ -248,6 +248,36 @@ object CoreQueries {
       .toDF("l_orderkey", "l_linenumber", "l_quantity", "seq_in_order")
   }
 
+  // Skew-mitigation pattern: salted two-phase aggregation. Phase 1
+  // fans each (possibly hot) group key out across 8 salt lanes and
+  // partially aggregates; phase 2 merges lanes. With decimal
+  // accumulators the result is identical to a direct groupBy — the
+  // point is the SHAPE: at 100 TB a single hot l_returnflag would
+  // bottleneck one reducer, salting bounds any lane to 1/8 of the hot
+  // key. (Spark's partial agg does this implicitly for assoc aggs;
+  // the explicit form is the template for when state doesn't fold,
+  // e.g. collect-heavy or custom aggregates.)
+  def q26_salted_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("salt", col("l_orderkey") % 8)
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity").cast(DecimalType(28, 2))).as("pq"),
+        count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pq")).cast(DoubleType).as("sum_qty"),
+        sum(col("pn")).as("n_rows"))
+
+  // Grouping sets: CUBE over two dims with grouping-id disambiguation
+  // (NULL group values vs real NULLs).
+  def q27_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INTEGER) AS qty_int
@@ -366,6 +396,20 @@ object CoreQueries {
         |  ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
         |    AS seq_in_order
         |FROM lineitem""".stripMargin,
+    "q26_salted_agg" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, l_orderkey % 8 AS salt,
+        |    SUM(CAST(l_quantity AS DECIMAL(28,2))) AS pq, COUNT(*) AS pn
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, CAST(SUM(pq) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(pn) AS BIGINT) AS n_rows
+        |FROM p GROUP BY l_returnflag""".stripMargin,
+    "q27_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,5 +436,7 @@ object CoreQueries {
     "q21_json" -> (q21_json _),
     "q22_star_join" -> (q22_star_join _),
     "q25_secondary_sort" -> (q25_secondary_sort _),
+    "q26_salted_agg" -> (q26_salted_agg _),
+    "q27_cube" -> (q27_cube _),
   )
 }
