@@ -84,18 +84,21 @@ object DedupQueries {
     val shared = sh.groupBy(col("lang"), col("sh"))
       .agg(count(lit(1)).as("f")).filter(col("f") >= 2)
       .select(col("lang"), col("sh"))
+    // The per-doc shingle count rides along as one extra int64 per
+    // row, so |A| and |B| fall out of the pair aggregation itself
+    // (max of a per-group constant) — no post-join shuffles back
+    // against the count relation.
     val pruned = sh.join(shared, Seq("lang", "sh"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("sh"))
-    val a = pruned.toDF("ida", "langa", "sha")
-    val b = pruned.toDF("idb", "langb", "shb")
-    val inter = a.join(b,
+      .join(n, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("sh"), col("n"))
+    val a = pruned.toDF("ida", "langa", "sha", "na")
+    val b = pruned.toDF("idb", "langb", "shb", "nb")
+    a.join(b,
         col("sha") === col("shb") && col("langa") === col("langb") &&
           col("ida") < col("idb"))
       .groupBy(col("ida").as("doc_a"), col("idb").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(n.toDF("doc_a", "na"), "doc_a")
-      .join(n.toDF("doc_b", "nb"), "doc_b")
+      .agg(count(lit(1)).as("c"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast(DoubleType) /
           (col("na") + col("nb") - col("c")).cast(DoubleType)).as("jaccard"))
