@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's custom expressions, so
+  * `spark.sql("SELECT graft_polyhash(text) ...")` works alongside the
+  * Column API ([[GraftExpressions]]).
+  *
+  * Two entry points:
+  *  - session build time: `.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`;
+  *  - an existing session:
+  *    `org.apache.spark.sql.graft.ColumnBridge.registerGraftFunctions(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+  /** (identifier, info, builder) triple per function — shared by the
+    * extension injector and the existing-session registrar.
+    */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_polyhash(str)")
+        PolyHash(args.head)
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b)")
+        DotProduct(args.head, args(1))
+      }),
+  )
+}

@@ -13,4 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register the graft SQL functions on an ALREADY-BUILT session
+    * (sessions built with `GraftExtensions` don't need this). Uses the
+    * session's function registry, which is `private[sql]`.
+    */
+  def registerGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    graft.functions.GraftExtensions.descriptors.foreach {
+      case (ident, info, builder) =>
+        registry.registerFunction(ident, info, builder)
+    }
+  }
 }

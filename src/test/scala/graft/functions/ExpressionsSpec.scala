@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def refPolyHash(s: String): Long =
+    s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 2147483647L)
+
+  test("PolyHash matches the reference fold and the HOF formulation") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "spark graft", "the quick brown fox 123",
+      "x" * 600)
+    val df = inputs.toDF("s")
+    val got = df.select(GraftExpressions.polyHash(col("s"))).as[Long].collect()
+    assert(got.toSeq === inputs.map(refPolyHash))
+    // equivalence with the higher-order-function form it replaced
+    val hof = df.selectExpr(
+      "aggregate(transform(filter(split(s, ''), ch -> ch <> ''), " +
+        "ch -> CAST(ascii(ch) AS BIGINT)), CAST(0 AS BIGINT), " +
+        "(acc, x) -> (acc * 31 + x) % 2147483647)").as[Long].collect()
+    assert(got.toSeq === hof.toSeq)
+  }
+
+  test("DotProduct handles float and double arrays, left-to-right fold") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5, -1.0, 2.0)))
+      .toDF("f", "d")
+    val got = df.select(
+      GraftExpressions.dot(col("f"), col("d")),
+      GraftExpressions.dot(col("f"), col("f")),
+      GraftExpressions.dot(col("d"), col("d"))).collect().head
+    assert(got.getDouble(0) === (0.5 - 2.0 + 6.0))
+    assert(got.getDouble(1) === 14.0)
+    assert(got.getDouble(2) === (0.25 + 1.0 + 4.0))
+  }
+
+  test("DotProduct rejects non-numeric-array inputs at analysis") {
+    import spark.implicits._
+    val df = Seq(("x", Array(1.0))).toDF("s", "d")
+    val err = intercept[Exception] {
+      df.select(GraftExpressions.dot(col("s"), col("d"))).collect()
+    }
+    assert(err.getMessage.contains("graft_dot"))
+  }
+
+  test("SQL registration exposes graft_polyhash and graft_dot") {
+    ColumnBridge.registerGraftFunctions(spark)
+    val r = spark.sql(
+      "SELECT graft_polyhash('spark graft') AS h, " +
+        "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect().head
+    assert(r.getLong(0) === refPolyHash("spark graft"))
+    assert(r.getDouble(1) === 11.0)
+  }
+}
