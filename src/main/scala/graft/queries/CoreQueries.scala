@@ -278,6 +278,23 @@ object CoreQueries {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("n"), col("sum_qty"))
 
+  // As-of join (temporal enrichment): each event picks up the most
+  // recent at-or-before 'error' event of the same user. Spark side is
+  // graft.operators.AsOfJoin (union-tag + RANGE-frame window, one
+  // shuffle); the oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — a
+  // cross-engine check of genuine as-of semantics, not a restatement
+  // of our own formulation.
+  def q28_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val err = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("err_value"))
+    graft.operators.AsOfJoin.asof(ev, err, key = "user_id", ts = "ts",
+      payload = Seq("err_value"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INTEGER) AS qty_int
@@ -410,6 +427,14 @@ object CoreQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q28_asof_join" ->
+      """WITH err AS (
+        |  SELECT user_id, ts, MAX(value) AS err_value
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |  r.ts AS asof_ts, r.err_value AS asof_err_value
+        |FROM events e ASOF LEFT JOIN err r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -438,5 +463,6 @@ object CoreQueries {
     "q25_secondary_sort" -> (q25_secondary_sort _),
     "q26_salted_agg" -> (q26_salted_agg _),
     "q27_cube" -> (q27_cube _),
+    "q28_asof_join" -> (q28_asof_join _),
   )
 }
