@@ -75,4 +75,47 @@ object PageRankGraphX {
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
+
+  /** Pregel-API variant (BASELINE.json `spark_approach`): textbook
+    * damped PageRank `r' = β/N + (1−β)·Σ r(u)/deg(u)` driven by
+    * `graphx.Pregel` for a fixed superstep count.
+    *
+    * Deliberately WITHOUT dangling-mass redistribution: Pregel's
+    * vertex program sees only its own messages — a per-superstep
+    * GLOBAL scalar (the dangling sum) has no home in the model, which
+    * is exactly why [[standard]] uses `aggregateMessages` + a driver
+    * loop for the reference's semantics (SURVEY.md §4.1). On
+    * dangling-free graphs the two agree exactly (pinned by
+    * PageRankSpec); on general graphs this variant leaks dangling
+    * mass the same way `graphx.lib.PageRank` does.
+    */
+  def pregel(edges: DataFrame, iters: Int, beta: Double = 0.15): DataFrame = {
+    import org.apache.spark.graphx.{EdgeTriplet, Pregel}
+    val spark = edges.sparkSession
+    val graph0 = fromEdges(edges)
+    val n = graph0.numVertices.toDouble
+    val withDeg: Graph[(Double, Int), Unit] = graph0
+      .outerJoinVertices(graph0.outDegrees)((_, _, d) => (1.0 / n, d.getOrElse(0)))
+      .cache()
+
+    // message = Σ incoming r/deg of the PREVIOUS superstep; the first
+    // Pregel pass delivers initialMsg, which must reproduce iteration 1
+    // for the uniform init: every in-neighbor holds 1/N.
+    val ranked = Pregel(withDeg, initialMsg = Double.NaN,
+        maxIterations = iters, activeDirection = org.apache.spark.graphx.EdgeDirection.Out)(
+      vprog = (_, attr: (Double, Int), msg: Double) =>
+        if (msg.isNaN) attr // superstep 0: keep the 1/N init
+        else (beta / n + (1 - beta) * msg, attr._2),
+      sendMsg = (t: EdgeTriplet[(Double, Int), Unit]) =>
+        Iterator((t.dstId, t.srcAttr._1 / t.srcAttr._2)),
+      mergeMsg = _ + _)
+
+    spark.createDataFrame(
+      ranked.vertices.map { case (id, (rank, _)) => Row(id, rank) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
 }

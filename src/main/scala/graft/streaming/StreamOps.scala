@@ -75,6 +75,14 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Stream–static enrichment join: each micro-batch of the stream is
+    * joined against a static dimension (broadcast — the dim is read
+    * once per batch, never shuffled with the stream). The incremental
+    * form of q04/q22's broadcast joins; no state store involved.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Arbitrary keyed state via `mapGroupsWithState`: running per-user
     * event count + value total, emitted (update mode) once per user per
     * micro-batch. The template for custom state machines the built-in

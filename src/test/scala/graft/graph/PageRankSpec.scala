@@ -123,4 +123,23 @@ class PageRankSpec extends AnyFunSuite {
       assert(math.abs(r - gx(node)) < 1e-10, s"node $node: df=$r gx=${gx(node)}")
     }
   }
+
+  test("Pregel variant agrees with DataFrame standard on a dangling-free cycle") {
+    // every vertex has in- and out-degree 1, so Pregel's
+    // only-messaged-vertices-update rule covers the whole graph and no
+    // dangling mass exists — the regime where pregel() and standard()
+    // are the same recurrence.
+    val m = 12L
+    val edges = (1L to m).map(i => (i, if (i == m) 1L else i + 1)).toDF("src", "dst")
+    val viaPregel = PageRankGraphX.pregel(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaDf = PageRank.standard(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaPregel.keySet === viaDf.keySet)
+    viaDf.foreach { case (node, rank) =>
+      assert(math.abs(viaPregel(node) - rank) < Eps, s"node $node")
+    }
+    // uniform stationary distribution on a cycle: ranks stay 1/m
+    viaPregel.values.foreach(r => assert(math.abs(r - 1.0 / m) < Eps))
+  }
 }

@@ -138,6 +138,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = runAppend("en", StreamOps.enrich(in.toDF(), dim, "user_id"))
+    try {
+      in.addData(ev(1, 0, user = 1), ev(2, 1, user = 3))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, user = 2))
+      q.processAllAvailable()
+      val rows = spark.table("en").select("event_id", "tier")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows === Map(1L -> Some("gold"), 2L -> None, 3L -> Some("basic")))
+    } finally q.stop()
+  }
+
   test("batch twin and streaming window rollup agree on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
