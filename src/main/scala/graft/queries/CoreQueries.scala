@@ -295,6 +295,44 @@ object CoreQueries {
       payload = Seq("err_value"))
   }
 
+  // Range join, bucketized: follow-up activity within 10 minutes after
+  // each error event, same user. The naive form is an equi-join on
+  // user_id with a range filter — fine until one user dominates; the
+  // SCALE form used here buckets time at the range width, explodes the
+  // build side to its two covering buckets, equi-joins on
+  // (user_id, bucket), then applies the exact range predicate. Any
+  // match lies in the error's bucket or the next one, so results are
+  // identical to the naive form while candidates stay bounded by
+  // bucket occupancy.
+  def q29_range_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(c) / 600).cast(LongType)
+    val probe = ev.select(col("user_id"), col("ts").as("ev_ts"),
+        col("value"), bucket(col("ts")).as("bkt"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"))
+      .withColumn("bkt", explode(array(bucket(col("err_ts")),
+        bucket(col("err_ts")) + 1)))
+    err.join(probe, Seq("user_id", "bkt"))
+      .filter(col("ev_ts") > col("err_ts") &&
+        col("ev_ts") <= col("err_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_follow"),
+        sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)
+          .as("follow_value"))
+  }
+
+  // Approximate distinct (HLL++): not DuckDB-reproducible (different
+  // sketch), so no oracle — the driver records a rows-only check and
+  // CoreQueriesSpec pins the error bound against the exact count.
+  def q30_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INTEGER) AS qty_int
@@ -435,6 +473,15 @@ object CoreQueries {
         |  r.ts AS asof_ts, r.err_value AS asof_err_value
         |FROM events e ASOF LEFT JOIN err r
         |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin,
+    "q29_range_join" ->
+      """SELECT r.event_id AS err_id, COUNT(*) AS n_follow,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(28,2))) AS DOUBLE) AS follow_value
+        |FROM events r JOIN events e
+        |  ON r.event_type = 'error' AND e.user_id = r.user_id
+        |  AND e.ts > r.ts AND e.ts <= r.ts + INTERVAL '10 minutes'
+        |GROUP BY r.event_id""".stripMargin,
+    // q30_approx_distinct: deliberately no oracle (HLL sketches differ
+    // across engines) → driver rows-only check; bound pinned in tests.
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -464,5 +511,7 @@ object CoreQueries {
     "q26_salted_agg" -> (q26_salted_agg _),
     "q27_cube" -> (q27_cube _),
     "q28_asof_join" -> (q28_asof_join _),
+    "q29_range_join" -> (q29_range_join _),
+    "q30_approx_distinct" -> (q30_approx_distinct _),
   )
 }
