@@ -39,7 +39,7 @@ object DedupQueries {
   /** Word-3-gram distinct shingles of `text`, as (doc_id, lang, sh) rows.
     * Spark side of the shared shingle CTE.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     SharedRelations(s, dir, "doc_shingles") {
       t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
@@ -70,33 +70,29 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
 
-  // n-gram Jaccard near-dup pairs via the sparse shingle join: only
-  // pairs sharing ≥1 shingle are ever materialized (the classic
-  // inverted-index formulation — no cross join), blocked by lang.
+  // n-gram Jaccard near-dup pairs via the inverted index, posting-list
+  // form: group the shingle relation per (lang, sh) into a sorted
+  // posting of (doc_id, |doc|) structs, explode the ordered pairs of
+  // each posting, and aggregate per pair. Three shuffles total, and
+  // singleton shingles (size < 2 postings) drop out for free — no
+  // self-join of the full shingle relation at all. At corpus scale the
+  // safeguard is a posting-size ceiling (stop-shingles), which bounds
+  // the per-group pair fanout; the testdata's max posting is 14.
   // jaccard = |∩| / (|A|+|B|−|∩|), one double division.
   def d02_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Singleton shingles (in exactly one doc) generate no pairs —
-    // semi-join both sides down to shared shingles before the
-    // quadratic step. Result-preserving; at corpus scale this is the
-    // difference between joining the long tail and skipping it.
-    val shared = sh.groupBy(col("lang"), col("sh"))
-      .agg(count(lit(1)).as("f")).filter(col("f") >= 2)
-      .select(col("lang"), col("sh"))
-    // The per-doc shingle count rides along as one extra int64 per
-    // row, so |A| and |B| fall out of the pair aggregation itself
-    // (max of a per-group constant) — no post-join shuffles back
-    // against the count relation.
-    val pruned = sh.join(shared, Seq("lang", "sh"), "left_semi")
-      .join(n, Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("sh"), col("n"))
-    val a = pruned.toDF("ida", "langa", "sha", "na")
-    val b = pruned.toDF("idb", "langb", "shb", "nb")
-    a.join(b,
-        col("sha") === col("shb") && col("langa") === col("langb") &&
-          col("ida") < col("idb"))
-      .groupBy(col("ida").as("doc_a"), col("idb").as("doc_b"))
+    val posting = sh.join(n, Seq("doc_id"))
+      .groupBy(col("lang"), col("sh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairs = posting.select(explode(expr(
+        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
+          "transform(sequence(i + 1, size(ds)), j -> " +
+          "struct(element_at(ds, i) AS a, element_at(ds, j) AS b))))")).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
+    pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"), max(col("na")).as("na"),
         max(col("nb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
