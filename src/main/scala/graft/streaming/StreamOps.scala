@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Event record of the `events` table (TESTDATA.md), the engine's
@@ -101,5 +101,41 @@ object StreamOps {
           state.update(cur)
           cur
       }
+  }
+
+  /** Same running stats on the `transformWithState` API (Spark 4's
+    * successor to mapGroupsWithState): explicit named `ValueState`
+    * handles, TTL support, timer callbacks — the surface new stateful
+    * operators should target. Semantics pinned equal to
+    * [[userRunningStats]] by the streaming spec.
+    */
+  def userRunningStatsTws(events: Dataset[Ev]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+}
+
+/** Per-user running (count, value-sum) as a StatefulProcessor with one
+  * named ValueState slot. State lives in the state store keyed by
+  * user_id — shards with the shuffle, no driver involvement.
+  */
+class RunningStatsProcessor extends StatefulProcessor[Long, Ev, UserStat] {
+  @transient private var state: ValueState[UserStat] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserStat]("runningStats",
+      Encoders.product[UserStat], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[UserStat] = {
+    val prev = Option(state.get()).getOrElse(UserStat(key, 0L, 0.0))
+    var n = prev.n_events
+    var total = prev.total_value
+    rows.foreach { e => n += 1; total += e.value }
+    val cur = UserStat(key, n, total)
+    state.update(cur)
+    Iterator.single(cur)
   }
 }

@@ -138,6 +138,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState variant matches mapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs the RocksDB provider (multiple column
+    // families); the HDFS-backed default cannot host it.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val q = StreamOps.userRunningStatsTws(in.toDS()).writeStream
+      .format("memory").queryName("tws").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 0, user = 7, v = 2.0), ev(2, 1, user = 7, v = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, user = 7, v = 5.0), ev(4, 2, user = 8, v = 1.0))
+      q.processAllAvailable()
+      val last = spark.table("tws").where("user_id = 7")
+        .orderBy("n_events").collect().last
+      assert(last.getLong(1) === 3L)
+      assert(last.getDouble(2) === 10.0)
+      assert(spark.table("tws").where("user_id = 8").count() === 1)
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
