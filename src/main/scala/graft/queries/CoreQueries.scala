@@ -333,6 +333,17 @@ object CoreQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  // Pivot (wide aggregation): order counts per status × priority.
+  // Explicit value list — at scale an implicit pivot needs a distinct
+  // pass over the pivot column first; pinning the values keeps it one
+  // aggregation and makes the output schema static.
+  def q31_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INTEGER) AS qty_int
@@ -482,6 +493,14 @@ object CoreQueries {
         |GROUP BY r.event_id""".stripMargin,
     // q30_approx_distinct: deliberately no oracle (HLL sketches differ
     // across engines) → driver rows-only check; bound pinned in tests.
+    "q31_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -513,5 +532,6 @@ object CoreQueries {
     "q28_asof_join" -> (q28_asof_join _),
     "q29_range_join" -> (q29_range_join _),
     "q30_approx_distinct" -> (q30_approx_distinct _),
+    "q31_pivot" -> (q31_pivot _),
   )
 }
