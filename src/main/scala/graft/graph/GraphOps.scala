@@ -54,6 +54,47 @@ object GraphOps {
   def isChainHead(k: Long) = (col("node") % k) === 1
 
   /** Explode an adjacency state back to an edge list (O4 inverse of O7). */
+  /** Connected components by min-label propagation over the
+    * symmetrized graph, iterated to convergence (bounded by
+    * `maxRounds`); returns (node, component) where component is the
+    * minimum node id of the component. The per-round work is one
+    * node-keyed join + aggregation — label-prop converges in
+    * O(diameter) rounds, and each round is a fixed two-shuffle plan,
+    * so lineage is truncated with `localCheckpoint` on cadence like
+    * the PageRank loops. GraphX's `ConnectedComponents` is the
+    * Pregel-side twin (equivalence pinned in GraphOpsSpec).
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
+                          checkpointEvery: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst"), col("src")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes(edges).select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // labels flow u→v across the symmetrized edges
+      val nbr = sym.toDF("u", "v").join(lab.toDF("u", "l"), Seq("u"))
+        .groupBy(col("v").as("node")).agg(min(col("l")).as("nbr"))
+      var next = lab.join(nbr, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if ((round + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
+      changed = next.join(lab.toDF("node", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      if (prev != null) prev.unpersist(false)
+      prev = lab
+      lab = next
+      round += 1
+    }
+    sym.unpersist(false)
+    lab.select(col("node"), col("label").as("component"))
+  }
+
   def explodeAdjacency(adj: DataFrame): DataFrame =
     adj.select(col("node").as("src"), explode(col("adj")).as("dst"))
 }

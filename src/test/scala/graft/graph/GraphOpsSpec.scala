@@ -51,4 +51,18 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(back.as[(Long, Long)].collect().toSet ===
       e.as[(Long, Long)].collect().toSet)
   }
+
+  test("converged connectedComponents agrees with graphx.lib.ConnectedComponents") {
+    import spark.implicits._
+    // two chains + an isolated 2-cycle + a bridge: components {1..4,9}, {5,6}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 2L), (5L, 6L), (6L, 5L))
+      .toDF("src", "dst")
+    val viaDf = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g = PageRankGraphX.fromEdges(edges)
+    val viaGx = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
+      .vertices.collect().map { case (id, c) => id -> c }.toMap
+    assert(viaDf === viaGx)
+    assert(viaDf(4L) === 1L && viaDf(9L) === 1L && viaDf(6L) === 5L)
+  }
 }
