@@ -344,6 +344,23 @@ object CoreQueries {
         "4-NOT SPECIFIED", "5-LOW"))
       .agg(count(lit(1)))
 
+  // Correlated scalar subqueries through the SQL entry path: orders
+  // priced above their customer's average. Catalyst decorrelates both
+  // subqueries into one aggregate + join — .explain shows no
+  // per-row re-execution. The comparison is decimal-exact
+  // (price·count > sum) instead of AVG, whose result scale differs
+  // across engines.
+  def q32_correlated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_v o
+      WHERE CAST(o_totalprice AS DECIMAL(28,2)) *
+        (SELECT COUNT(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        > (SELECT SUM(CAST(o_totalprice AS DECIMAL(28,2))) FROM orders_v o2
+           WHERE o2.o_custkey = o.o_custkey)""")
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INTEGER) AS qty_int
@@ -501,6 +518,13 @@ object CoreQueries {
         |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
         |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q32_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(28,2)) *
+        |  (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |  > (SELECT SUM(CAST(o_totalprice AS DECIMAL(28,2))) FROM orders o2
+        |     WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -533,5 +557,6 @@ object CoreQueries {
     "q29_range_join" -> (q29_range_join _),
     "q30_approx_distinct" -> (q30_approx_distinct _),
     "q31_pivot" -> (q31_pivot _),
+    "q32_correlated" -> (q32_correlated _),
   )
 }

@@ -65,4 +65,15 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaDf === viaGx)
     assert(viaDf(4L) === 1L && viaDf(9L) === 1L && viaDf(6L) === 5L)
   }
+
+  test("readEdgesCsv FAILFAST rejects malformed rows instead of nulling them") {
+    val dir = java.nio.file.Files.createTempDirectory("edges").toFile
+    val f = new java.io.File(dir, "edges.csv")
+    java.nio.file.Files.writeString(f.toPath, "1,2\n3,not_a_number\n4,5\n")
+    val err = intercept[Exception] {
+      GraphIO.readEdgesCsv(spark, f.getAbsolutePath).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("malformed") ||
+      Option(err.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
 }
