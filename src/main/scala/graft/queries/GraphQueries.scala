@@ -110,38 +110,49 @@ object GraphQueries {
     * identically, and long sums are associative — bit-exact across
     * engines regardless of shuffle/accumulation order.
     */
-  def g04_pagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  def g04_pagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    pagerankLoop(s, dir, iters, divideByOutdeg = true)
+
+  /** Shared fixed-point loop for g04 (standard, divide by out-degree)
+    * and g08 (compat, whole-rank contributions). The per-iteration
+    * scalars — node count and dangling mass — stay RELATIONAL: 1-row
+    * aggregates broadcast-cross-joined into the update expression, so
+    * the whole `iters`-pass recurrence is ONE lazy Catalyst plan with
+    * zero driver actions inside the loop (each pass's state is
+    * persisted so the dangling branch and the contribution branch
+    * share one materialization). Integer `div` arithmetic keeps it
+    * bit-exact vs the unrolled-CTE oracle.
+    */
+  private def pagerankLoop(s: SparkSession, dir: String, iters: Int,
+                           divideByOutdeg: Boolean): DataFrame = {
     val e = derivedEdges(s, dir)
     val nodes = derivedNodes(s, dir)
-    val n = nodes.count()
     val deg = outDeg(s, dir)
-    val teleport = (BetaNum * Scale / 100) / n
-
-    var r = nodes.select(col("node"), lit(Scale / n).as("r"))
-    // The previous pass's cache is released only AFTER the current
-    // pass's `dm` action has materialized `withDeg` — unpersisting
-    // before that point forces a full lineage recompute (back to the
-    // parquet scan) on every iteration.
-    var prevCache: DataFrame = null
+    val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
+    var r = nodes.crossJoin(nn)
+      .select(col("node"), expr(s"${Scale}L div nn").as("r"))
+    val contribExpr = if (divideByOutdeg) "r div outdeg" else "r"
     var i = 0
     while (i < iters) {
+      // Persisted (not action-materialized): the dm branch and the
+      // contribs branch below both scan it within the final job, so
+      // the cache is populated once and shared. Left cached — with no
+      // action inside the loop there is no safe point to release it
+      // before the caller materializes the result.
       val withDeg = r.join(deg, Seq("node"), "left_outer")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val dm = withDeg.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-      if (prevCache != null) prevCache.unpersist(false)
-      val dmShare = dm / n
+      val dm = broadcast(withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm")))
       val contribs = e
-        .join(withDeg.filter(col("outdeg").isNotNull),
-          e("src") === col("node"))
-        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .join(withDeg.filter(col("outdeg").isNotNull), e("src") === col("node"))
+        .select(col("dst").as("node"), expr(contribExpr).as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
       r = nodes.join(contribs, Seq("node"), "left_outer")
+        .crossJoin(dm).crossJoin(nn)
         .select(col("node"),
-          (lit(teleport) +
-            expr(s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + ${dmShare}L)) div 100"))
+          expr(s"(${BetaNum * Scale / 100}L div nn) + " +
+            s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + dm div nn)) div 100")
             .as("r"))
-      prevCache = withDeg
       i += 1
     }
     r.select(col("node"), col("r").as("rank_fp"))
@@ -184,37 +195,8 @@ object GraphQueries {
     * r_{i+1}(v) = (0.15·Scale) div n
     *            + (85 · (Σ_{u→v} r_i(u) + D_i div n)) div 100
     */
-  def g08_pagerank_compat(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val e = derivedEdges(s, dir)
-    val nodes = derivedNodes(s, dir)
-    val n = nodes.count()
-    val deg = outDeg(s, dir)
-    val teleport = (BetaNum * Scale / 100) / n
-
-    var r = nodes.select(col("node"), lit(Scale / n).as("r"))
-    var prevCache: DataFrame = null
-    var i = 0
-    while (i < iters) {
-      val withDeg = r.join(deg, Seq("node"), "left_outer")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val dm = withDeg.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-      if (prevCache != null) prevCache.unpersist(false)
-      val dmShare = dm / n
-      val contribs = e
-        .join(withDeg.filter(col("outdeg").isNotNull), e("src") === col("node"))
-        .select(col("dst").as("node"), col("r").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("c"))
-      r = nodes.join(contribs, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + ${dmShare}L)) div 100"))
-            .as("r"))
-      prevCache = withDeg
-      i += 1
-    }
-    r.select(col("node"), col("r").as("rank_fp"))
-  }
+  def g08_pagerank_compat(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    pagerankLoop(s, dir, iters, divideByOutdeg = false)
 
   /** Unrolled-CTE oracle for [[g08_pagerank_compat]] — identical to
     * [[pagerankOracle]] minus the out-degree division.
