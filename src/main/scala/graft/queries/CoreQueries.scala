@@ -361,6 +361,21 @@ object CoreQueries {
            WHERE o2.o_custkey = o.o_custkey)""")
   }
 
+  // Window lead/lag navigation: per-user event sequence with the
+  // previous value, next type, and inter-event gap. (event_id is the
+  // tiebreak — (user_id, ts) alone is not provably unique.)
+  def q33_lead_lag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INTEGER) AS qty_int
@@ -525,6 +540,13 @@ object CoreQueries {
         |  (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |  > (SELECT SUM(CAST(o_totalprice AS DECIMAL(28,2))) FROM orders o2
         |     WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "q33_lead_lag" ->
+      """SELECT event_id, user_id, ts, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(event_type, 1) OVER w AS next_type,
+        |  EPOCH_US(ts) - EPOCH_US(LAG(ts, 1) OVER w) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -558,5 +580,6 @@ object CoreQueries {
     "q30_approx_distinct" -> (q30_approx_distinct _),
     "q31_pivot" -> (q31_pivot _),
     "q32_correlated" -> (q32_correlated _),
+    "q33_lead_lag" -> (q33_lead_lag _),
   )
 }

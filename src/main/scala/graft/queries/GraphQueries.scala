@@ -223,6 +223,76 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Personalized PageRank: teleport AND dangling mass flow only to a
+    * source set S (here `node % 10 == 1` — deterministic, ~10% of
+    * nodes), contributions divided by out-degree:
+    *
+    * r0(v) = [v∈S] · (Scale div |S|)
+    * r'(v) = (85·(c(v) + [v∈S]·(D div |S|))) div 100
+    *       + [v∈S]·((0.15·Scale) div |S|)
+    *
+    * Same relational-scalar loop as [[pagerankLoop]] — |S| and D are
+    * 1-row broadcast aggregates, zero driver actions per pass.
+    */
+  def g09_pagerank_personalized(s: SparkSession, dir: String,
+                                iters: Int = 3): DataFrame = {
+    val e = derivedEdges(s, dir)
+    val nodes = derivedNodes(s, dir)
+    val deg = outDeg(s, dir)
+    val ss = broadcast(nodes.filter(col("node") % 10 === 1)
+      .agg(count(lit(1)).as("ss")))
+    val srcCase = (body: String) => s"CASE WHEN node % 10 = 1 THEN $body ELSE 0L END"
+    var r = nodes.crossJoin(ss)
+      .select(col("node"), expr(srcCase(s"${Scale}L div ss")).as("r"))
+    var i = 0
+    while (i < iters) {
+      val withDeg = r.join(deg, Seq("node"), "left_outer")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dm = broadcast(withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm")))
+      val contribs = e
+        .join(withDeg.filter(col("outdeg").isNotNull), e("src") === col("node"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      r = nodes.join(contribs, Seq("node"), "left_outer")
+        .crossJoin(dm).crossJoin(ss)
+        .select(col("node"),
+          expr(s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + " +
+            s"(${srcCase("dm div ss")}))) div 100 + " +
+            s"(${srcCase(s"${BetaNum * Scale / 100}L div ss")})").as("r"))
+      i += 1
+    }
+    r.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  /** Unrolled-CTE oracle for [[g09_pagerank_personalized]]. */
+  def pagerankPersonalizedOracle(iters: Int = 3): String = {
+    val sb = new StringBuilder(EdgesCte)
+    def srcCase(body: String) =
+      s"CASE WHEN nodes.node % 10 = 1 THEN $body ELSE 0 END"
+    sb.append(""",
+      |ss AS (SELECT COUNT(*) AS ss FROM nodes WHERE node % 10 = 1),
+      |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS (SELECT nodes.node,
+      |  CAST(CASE WHEN nodes.node % 10 = 1 THEN 1000000000000 // ss ELSE 0 END AS BIGINT) AS r
+      |  FROM nodes, ss)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+        |d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r$p
+        |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r$p.node)),
+        |c$i AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS c
+        |  FROM edges e JOIN r$p r ON e.src = r.node
+        |  JOIN deg d ON e.src = d.node GROUP BY e.dst),
+        |r$i AS (SELECT nodes.node,
+        |  CAST((85 * (COALESCE(c$i.c, 0) + (${srcCase(s"d$i.dm // ss.ss")})))
+        |    // 100 + (${srcCase("150000000000 // ss.ss")}) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node, d$i, ss)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters")
+    sb.toString
+  }
+
   /** Connected components by min-label propagation, `rounds` rounds,
     * over the symmetrized graph — each round: label'(v) = min(label(v),
     * min over neighbors). Fixed trip count keeps it SQL-unrollable; the
@@ -299,6 +369,7 @@ object GraphQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM edges WHERE edges.src = nodes.node)""".stripMargin),
     "g04_pagerank" -> pagerankOracle(3),
     "g08_pagerank_compat" -> pagerankCompatOracle(3),
+    "g09_pagerank_personalized" -> pagerankPersonalizedOracle(3),
     "g05_cc_labelprop" -> ccOracle(3),
     "g06_triangles" -> (EdgesCte + """,
       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -314,6 +385,7 @@ object GraphQueries {
     "g03_dangling" -> (g03_dangling _),
     "g04_pagerank" -> ((s, d) => g04_pagerank(s, d)),
     "g08_pagerank_compat" -> ((s, d) => g08_pagerank_compat(s, d)),
+    "g09_pagerank_personalized" -> ((s, d) => g09_pagerank_personalized(s, d)),
     "g05_cc_labelprop" -> ((s, d) => g05_cc_labelprop(s, d)),
     "g06_triangles" -> (g06_triangles _),
     // Flagship GraphX path — iterative double-precision PageRank; not
