@@ -19,7 +19,15 @@ object Bench {
       try Tables(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => () }
     }
+    // Evict shared/pinned caches at family boundaries (d→g→m→q→s→t):
+    // families don't share relations across the boundary, so this
+    // bounds executor memory to one family's working set without
+    // losing within-family reuse.
+    var family = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (family.nonEmpty && name.take(1) != family)
+        graft.queries.SharedRelations.evict(spark)
+      family = name.take(1)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

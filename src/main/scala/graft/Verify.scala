@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Family-boundary cache eviction, same as Bench: bounds memory to
+    // one family's shared relations.
+    var family = ""
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (family.nonEmpty && name.take(1) != family)
+        graft.queries.SharedRelations.evict(spark)
+      family = name.take(1)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

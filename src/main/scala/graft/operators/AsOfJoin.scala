@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * side per (key, ts) — with at most one right row per instant the
   * non-null payload sequence is strictly ts-ordered and `last` is
   * deterministic.
+  *
+  * Row atomicity: the matched ts and ALL payload columns are packed
+  * into ONE struct and filled with a single `last(ignoreNulls)` — so
+  * every emitted right-side field comes from the SAME right row.
+  * (Filling each column independently would, on a right row carrying
+  * a NULL payload value, splice that column from an OLDER row while
+  * `asof_ts` came from the newer one — diverging from true ASOF.)
   */
 object AsOfJoin {
 
@@ -39,24 +46,25 @@ object AsOfJoin {
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val outPayload = ("asof_ts" +: payload.map("asof_" + _))
-    val l = left
-      .withColumn("__tag", lit(0))
-      .withColumn("asof_ts", lit(null).cast(left.schema(ts).dataType))
-    val lWithNulls = payload.foldLeft(l)((df, c) =>
-      df.withColumn("asof_" + c, lit(null).cast(right.schema(c).dataType)))
+    // One struct per right row — never null ON a right row (even if
+    // every payload value is), so last(ignoreNulls) picks whole rows.
     val rBase = right.select(
-      (Seq(col(key), col(ts), lit(1).as("__tag"), col(ts).as("asof_ts")) ++
-        payload.map(c => col(c).as("asof_" + c))): _*)
+      col(key), col(ts), lit(1).as("__tag"),
+      struct((col(ts).as("asof_ts") +:
+        payload.map(c => col(c).as("asof_" + c))): _*).as("__asof"))
     val r = leftCols.filterNot(Set(key, ts)).foldLeft(rBase)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val l = left
+      .withColumn("__tag", lit(0))
+      .withColumn("__asof", lit(null).cast(rBase.schema("__asof").dataType))
 
     val w = Window.partitionBy(col(key)).orderBy(col(ts))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = outPayload.foldLeft(lWithNulls.unionByName(r)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionByName(r)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
     filled.filter(col("__tag") === 0)
-      .select((leftCols ++ outPayload).map(col): _*)
+      .select((leftCols.map(col) ++
+        outPayload.map(c => col("__asof")(c).as(c))): _*)
   }
 
   /** Convenience: `last(c, ignoreNulls)` exposed for ad-hoc frames. */

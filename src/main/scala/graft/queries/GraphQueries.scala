@@ -110,21 +110,33 @@ object GraphQueries {
     * identically, and long sums are associative — bit-exact across
     * engines regardless of shuffle/accumulation order.
     */
-  def g04_pagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
-    pagerankLoop(s, dir, iters, divideByOutdeg = true)
+  def g04_pagerank(s: SparkSession, dir: String, iters: Int = 3,
+                   checkpointEvery: Int = 4): DataFrame =
+    pagerankLoop(s, dir, iters, divideByOutdeg = true, checkpointEvery)
 
   /** Shared fixed-point loop for g04 (standard, divide by out-degree)
     * and g08 (compat, whole-rank contributions). The per-iteration
     * scalars — node count and dangling mass — stay RELATIONAL: 1-row
-    * aggregates broadcast-cross-joined into the update expression, so
-    * the whole `iters`-pass recurrence is ONE lazy Catalyst plan with
-    * zero driver actions inside the loop (each pass's state is
-    * persisted so the dangling branch and the contribution branch
-    * share one materialization). Integer `div` arithmetic keeps it
-    * bit-exact vs the unrolled-CTE oracle.
+    * aggregates broadcast-cross-joined into the update expression
+    * (each pass's state is persisted so the dangling branch and the
+    * contribution branch share one materialization). Integer `div`
+    * arithmetic keeps it bit-exact vs the unrolled-CTE oracle.
+    *
+    * Lineage/cache discipline (the 100 TB concern: driver planning
+    * time, not the data path): every `checkpointEvery` passes the rank
+    * relation is eagerly `localCheckpoint`ed — one cheap node-sized
+    * job that truncates the plan to an RDD scan, keeping plan depth
+    * O(checkpointEvery) instead of doubling per pass — and the
+    * per-pass caches it subsumes are then released (deferred
+    * unpersist: releasing before a downstream materialization exists
+    * would force full-lineage recomputes). On a real cluster swap
+    * `localCheckpoint` for reliable `checkpoint` (executor loss kills
+    * local checkpoints). Checkpointing copies the integer rank values
+    * verbatim, so the oracle hash is unaffected at any cadence.
     */
   private def pagerankLoop(s: SparkSession, dir: String, iters: Int,
-                           divideByOutdeg: Boolean): DataFrame = {
+                           divideByOutdeg: Boolean,
+                           checkpointEvery: Int = 4): DataFrame = {
     val e = derivedEdges(s, dir)
     val nodes = derivedNodes(s, dir)
     val deg = outDeg(s, dir)
@@ -132,15 +144,22 @@ object GraphQueries {
     var r = nodes.crossJoin(nn)
       .select(col("node"), expr(s"${Scale}L div nn").as("r"))
     val contribExpr = if (divideByOutdeg) "r div outdeg" else "r"
+    // Per-pass caches pinned until a checkpoint materializes their
+    // downstream; the tail (< checkpointEvery passes) stays pinned for
+    // the caller's job and is released by SharedRelations.evict.
+    var pending = List.empty[DataFrame]
     var i = 0
     while (i < iters) {
-      // Persisted (not action-materialized): the dm branch and the
-      // contribs branch below both scan it within the final job, so
-      // the cache is populated once and shared. Left cached — with no
-      // action inside the loop there is no safe point to release it
-      // before the caller materializes the result.
-      val withDeg = r.join(deg, Seq("node"), "left_outer")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val joined = r.join(deg, Seq("node"), "left_outer")
+      // A sibling query (g04 vs g08 share pass 1 exactly) may already
+      // have cached this plan — reuse it instead of re-persisting.
+      val withDeg =
+        if (org.apache.spark.sql.graft.ColumnBridge.isCached(joined)) joined
+        else {
+          val p = joined.persist(StorageLevel.MEMORY_AND_DISK)
+          pending ::= p
+          p
+        }
       val dm = broadcast(withDeg.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm")))
       val contribs = e
@@ -154,6 +173,11 @@ object GraphQueries {
             s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + dm div nn)) div 100")
             .as("r"))
       i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        r = r.localCheckpoint(true)
+        pending.foreach(_.unpersist(false))
+        pending = Nil
+      }
     }
     r.select(col("node"), col("r").as("rank_fp"))
   }
@@ -235,7 +259,8 @@ object GraphQueries {
     * 1-row broadcast aggregates, zero driver actions per pass.
     */
   def g09_pagerank_personalized(s: SparkSession, dir: String,
-                                iters: Int = 3): DataFrame = {
+                                iters: Int = 3,
+                                checkpointEvery: Int = 4): DataFrame = {
     val e = derivedEdges(s, dir)
     val nodes = derivedNodes(s, dir)
     val deg = outDeg(s, dir)
@@ -244,10 +269,18 @@ object GraphQueries {
     val srcCase = (body: String) => s"CASE WHEN node % 10 = 1 THEN $body ELSE 0L END"
     var r = nodes.crossJoin(ss)
       .select(col("node"), expr(srcCase(s"${Scale}L div ss")).as("r"))
+    // Same checkpoint + deferred-unpersist cadence as [[pagerankLoop]].
+    var pending = List.empty[DataFrame]
     var i = 0
     while (i < iters) {
-      val withDeg = r.join(deg, Seq("node"), "left_outer")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val joined = r.join(deg, Seq("node"), "left_outer")
+      val withDeg =
+        if (org.apache.spark.sql.graft.ColumnBridge.isCached(joined)) joined
+        else {
+          val p = joined.persist(StorageLevel.MEMORY_AND_DISK)
+          pending ::= p
+          p
+        }
       val dm = broadcast(withDeg.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm")))
       val contribs = e
@@ -261,6 +294,11 @@ object GraphQueries {
             s"(${srcCase("dm div ss")}))) div 100 + " +
             s"(${srcCase(s"${BetaNum * Scale / 100}L div ss")})").as("r"))
       i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        r = r.localCheckpoint(true)
+        pending.foreach(_.unpersist(false))
+        pending = Nil
+      }
     }
     r.select(col("node"), col("r").as("rank_fp"))
   }

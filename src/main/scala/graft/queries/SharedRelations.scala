@@ -16,8 +16,9 @@ import org.apache.spark.storage.StorageLevel
   * in-session `persist(MEMORY_AND_DISK)` is the local-mode twin.
   *
   * Keys hold the session reference, so a stopped session's entries are
-  * never served to a new one (and local-mode processes are
-  * short-lived, so no eviction is needed).
+  * never served to a new one. Long-lived drivers (Bench between query
+  * families, a service-style entry point between workloads) call
+  * [[evict]] to release the session's pins.
   */
 object SharedRelations {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
@@ -26,4 +27,17 @@ object SharedRelations {
            (build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((s, dir, name),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Release every relation pinned for `s`, then clear the session
+    * cache wholesale — the latter also drops stray non-shared persists
+    * (e.g. the trailing per-pass caches of the iterative PageRank
+    * loops), so a long run's executor memory stays bounded by one
+    * family's working set.
+    */
+  def evict(s: SparkSession): Unit = {
+    cache.keys.filter(_._1 eq s).foreach { k =>
+      cache.remove(k).foreach(_.unpersist(false))
+    }
+    s.catalog.clearCache()
+  }
 }

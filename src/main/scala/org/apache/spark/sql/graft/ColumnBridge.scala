@@ -14,6 +14,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** True if `df`'s logical plan is already in the session cache —
+    * lets iterative loops reuse a sibling query's materialization
+    * instead of re-persisting the same plan ("Asked to cache already
+    * cached data" warnings). `CacheManager.lookupCachedData` is
+    * `private[sql]`, hence this bridge.
+    */
+  def isCached(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val cd = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    cd.sparkSession.sharedState.cacheManager.lookupCachedData(cd).isDefined
+  }
+
   /** Register the graft SQL functions on an ALREADY-BUILT session
     * (sessions built with `GraftExtensions` don't need this). Uses the
     * session's function registry, which is `private[sql]`.

@@ -27,6 +27,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(4L) === ((None, None)))                  // 10:06 is after 10:05
   }
 
+  test("null payload on the newest right row is NOT spliced from an older row") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, ts(20))).toDF("id", "k", "ts")
+    val right = Seq(
+      (100L, ts(5), Some("old")),
+      (100L, ts(10), None: Option[String])) // newest match, null payload
+      .toDF("k", "ts", "v")
+    val r = AsOfJoin.asof(left, right, "k", "ts", Seq("v")).collect().head
+    // All right-side fields must come from the ts(10) row: asof_ts is
+    // 10:10 and asof_v is NULL — not ("old" from 10:05, ts from 10:10).
+    assert(r.getTimestamp(3) === ts(10))
+    assert(r.isNullAt(4))
+  }
+
   test("left columns and row count are preserved (left-outer semantics)") {
     import spark.implicits._
     val left = Seq((1L, 9L, ts(1), "x")).toDF("id", "k", "ts", "extra")

@@ -23,6 +23,29 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000000000L) < 10000000000L, s"total=$total")
   }
 
+  test("pagerank checkpoint cadence does not change ranks (bit-exact)") {
+    val noCkpt = GraphQueries.g04_pagerank(spark, dir, iters = 6,
+      checkpointEvery = 0).as[(Long, Long)].collect().toMap
+    val ckpt = GraphQueries.g04_pagerank(spark, dir, iters = 6,
+      checkpointEvery = 2).as[(Long, Long)].collect().toMap
+    assert(ckpt === noCkpt)
+    val pNo = GraphQueries.g09_pagerank_personalized(spark, dir, iters = 6,
+      checkpointEvery = 0).as[(Long, Long)].collect().toMap
+    val pCk = GraphQueries.g09_pagerank_personalized(spark, dir, iters = 6,
+      checkpointEvery = 2).as[(Long, Long)].collect().toMap
+    assert(pCk === pNo)
+  }
+
+  test("pagerank plan size is bounded by the checkpoint cadence, not iters") {
+    def planNodes(iters: Int): Int =
+      GraphQueries.g04_pagerank(spark, dir, iters, checkpointEvery = 4)
+        .queryExecution.optimizedPlan.collect { case n => n }.length
+    // After the last checkpoint the residual plan depends only on
+    // iters mod cadence: 6 and 10 passes (both residue 2) must yield
+    // the SAME plan size — the pre-fix behavior doubled per pass.
+    assert(planNodes(10) === planNodes(6))
+  }
+
   test("cc labels are ≤ node id and stable under one more round") {
     val l3 = GraphQueries.g05_cc_labelprop(spark, dir, 3)
       .as[(Long, Long)].collect().toMap

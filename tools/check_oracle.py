@@ -18,12 +18,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
-
-
 def main(out_dir, sf_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
@@ -61,8 +55,7 @@ def main(out_dir, sf_dir):
                         continue
                     if x != y:
                         exact = False
-                        if y != 0:
-                            max_delta = max(max_delta, abs(x - y))
+                        max_delta = max(max_delta, abs(x - y))
                 elif str(x) != str(y):
                     exact = False
                     max_delta = math.inf
