@@ -70,22 +70,52 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
 
+  /** Posting-size ceiling for [[d02_ngram_jaccard]]'s pair explode.
+    * The pair fanout per (lang, shingle) group is quadratic in posting
+    * size, so one boilerplate shingle shared by 10⁶ docs would put a
+    * 10¹²-struct array in a single task. Postings above the cap are
+    * treated as stop-shingles and dropped — the standard recall trade
+    * (a pair sharing ONLY ubiquitous shingles is missed; pairs also
+    * sharing any discriminative shingle still surface, with `c`
+    * undercounted by the dropped commons). Testdata max posting is 14,
+    * so the DuckDB oracle (which has no ceiling) stays hash-exact.
+    */
+  val DefaultMaxPosting: Int = 1000
+
   // n-gram Jaccard near-dup pairs via the inverted index, posting-list
   // form: group the shingle relation per (lang, sh) into a sorted
   // posting of (doc_id, |doc|) structs, explode the ordered pairs of
   // each posting, and aggregate per pair. Three shuffles total, and
   // singleton shingles (size < 2 postings) drop out for free — no
   // self-join of the full shingle relation at all. At corpus scale the
-  // safeguard is a posting-size ceiling (stop-shingles), which bounds
-  // the per-group pair fanout; the testdata's max posting is 14.
+  // safeguard is the posting-size ceiling ([[DefaultMaxPosting]]),
+  // which bounds the per-group pair fanout to maxPosting²/2.
   // jaccard = |∩| / (|A|+|B|−|∩|), one double division.
-  def d02_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  def d02_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(shingles(s, dir), DefaultMaxPosting)
+
+  /** Pair generation for d02, parameterized on the shingle relation
+    * (doc_id, lang, sh) and the posting-size ceiling — exposed so the
+    * skewed-fixture spec can pin the ceiling's recall trade directly.
+    */
+  private[graft] def ngramJaccardPairs(sh: DataFrame,
+                                       maxPosting: Int): DataFrame = {
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val posting = sh.join(n, Seq("doc_id"))
+    // Ceiling enforced BEFORE collect_list, via a count-only pre-pass:
+    // filtering after collection would still build the over-cap
+    // posting array in one aggregation buffer (a 10⁹-doc stop-shingle
+    // = a 16 GB buffer). Counting first costs one extra exchange of
+    // the shingle relation but keeps every buffer O(8 bytes); the
+    // collect_list then only ever sees surviving groups, so its
+    // arrays are bounded by maxPosting.
+    val keep = sh.groupBy(col("lang"), col("sh"))
+      .agg(count(lit(1)).as("psize"))
+      .filter(col("psize").between(2, maxPosting))
+      .select(col("lang"), col("sh"))
+    val posting = sh.join(keep, Seq("lang", "sh"), "left_semi")
+      .join(n, Seq("doc_id"))
       .groupBy(col("lang"), col("sh"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
     val pairs = posting.select(explode(expr(
         "flatten(transform(sequence(1, size(ds) - 1), i -> " +
           "transform(sequence(i + 1, size(ds)), j -> " +

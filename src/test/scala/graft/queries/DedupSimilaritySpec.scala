@@ -50,6 +50,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("posting-size ceiling drops stop-shingle fanout but keeps discriminative pairs") {
+    import spark.implicits._
+    // Skewed fixture: 100 docs all share one boilerplate shingle
+    // ("stop"); docs 1 and 2 additionally share a discriminative
+    // shingle ("rare"). Each doc also has a unique shingle so |doc|=3.
+    val sh = (1L to 100L).flatMap { id =>
+      Seq((id, "en", "stop"), (id, "en", s"uniq$id")) ++
+        (if (id <= 2) Seq((id, "en", "rare")) else Nil)
+    }.toDF("doc_id", "lang", "sh")
+
+    // Unbounded (cap ≥ 100): the stop shingle alone yields all
+    // C(100,2) = 4950 pairs.
+    val unbounded = DedupQueries.ngramJaccardPairs(sh, maxPosting = 100)
+    assert(unbounded.count() === 4950L)
+
+    // Cap below the skewed posting: the 100-doc group is dropped
+    // before any array is built; only the rare-shingle pair survives,
+    // with c undercounted by the dropped common (the recall trade).
+    val capped = DedupQueries.ngramJaccardPairs(sh, maxPosting = 50)
+      .collect()
+    assert(capped.length === 1)
+    assert((capped(0).getLong(0), capped(0).getLong(1)) === (1L, 2L))
+    // jaccard from the surviving intersection only: c=1, |A|=|B|=3
+    assert(math.abs(capped(0).getDouble(2) - 1.0 / 5) < 1e-15)
+
+    // Production default is far above the testdata's max posting (14),
+    // so the DuckDB oracle row is unaffected by the ceiling.
+    assert(DedupQueries.DefaultMaxPosting > 14)
+  }
+
   test("LSH ANN returns true in-bucket neighbors no better than brute force") {
     val brute = SimilarityQueries.s01_knn_brute(spark, dir)
       .filter(col("rk") === 1)
