@@ -54,4 +54,28 @@ object GraphIO {
     compatRows(state)
       .select(concat_ws(",", col("node"), col("flag"), col("contrib"), col("adjlist")))
       .write.mode("overwrite").text(path)
+
+  /** Inverse of [[writeCompatCsv]]: parse `node,U,contrib,adj1-adj2-…-`
+    * state rows (the reference's iteration-input branch,
+    * pageRank_v2.java:118-126) back to (node LONG, contrib DOUBLE,
+    * adj ARRAY<LONG>). Java `Double.toString` output round-trips
+    * through `parseDouble` exactly, so write→read is bit-exact.
+    * All-columnar (split/element_at/filter) — no UDF, stays in codegen.
+    */
+  def readCompatCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(col("value"), ",", -1).as("f"))
+      .select(
+        element_at(col("f"), 1).cast(LongType).as("node"),
+        element_at(col("f"), 3).cast(DoubleType).as("contrib"),
+        filter(split(coalesce(element_at(col("f"), 4), lit("")), "-", -1),
+          x => x =!= "").cast("array<long>").as("adj"))
+
+  /** The reference mapper's input dispatch (pageRank_v2.java:118): a
+    * line with exactly 2 comma-fields is a raw edge, anything else is
+    * iteration state. One-row peek — O(1) regardless of input size.
+    */
+  def looksLikeCompatState(spark: SparkSession, path: String): Boolean =
+    spark.read.text(path).limit(1).collect()
+      .headOption.exists(_.getString(0).split(",", -1).length != 2)
 }

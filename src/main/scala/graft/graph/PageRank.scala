@@ -46,13 +46,15 @@ object PageRank {
   /** Compat-mode PageRank. `passes` ≥ 1; pass 1 is the init pass
     * (ranks 1/N seeded from the raw edge list), passes 2..n are
     * iteration passes. Returns state (node, contrib, adj) with the
-    * dangling sink's row diverted to `danglingMass`.
+    * dangling sink's row diverted to `danglingMass`. `onPass` fires
+    * after every completed pass (1-based) — the CLI's per-iteration
+    * output-dir hook (pageRank_v2.java:96-98).
     */
   def compat(edges: DataFrame, k: Long, passes: Int, beta: Double = 0.15,
-             checkpointEvery: Int = 5): CompatState = {
+             checkpointEvery: Int = 5,
+             onPass: (Int, CompatState) => Unit = (_, _) => ()): CompatState = {
     require(passes >= 1, "compat needs at least the init pass")
     val n = (k.toDouble * k.toDouble)
-    val spark = edges.sparkSession
 
     // Init pass (pageRank_v2.java:153-169): every in-edge carries 1/N;
     // every node that appears as src or dst forms a group (the P-/O-
@@ -63,17 +65,36 @@ object PageRank {
     val initContribs = edges
       .groupBy(col("dst").as("node"))
       .agg(sum(lit(1.0 / n)).as("contrib"))
-    var cur = links.join(initContribs, Seq("node"), "full_outer")
+    val init = links.join(initContribs, Seq("node"), "full_outer")
       .select(col("node"),
         coalesce(col("contrib"), lit(0.0)).as("contrib"),
         coalesce(col("adj"), array().cast("array<long>")).as("adj"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var d = extractDangling(cur)
-    cur = cur.filter(col("node") =!= 0)
+    val d = extractDangling(init)
+    val state1 = CompatState(init.filter(col("node") =!= 0), d)
+    onPass(1, state1)
+    compatSteps(state1, k, passes - 1, beta, checkpointEvery, onPass,
+      passOffset = 1)
+  }
 
-    var pass = 1
-    while (pass < passes) {
+  /** Advance an existing compat state by `steps` iteration passes —
+    * the reference's resume-from-prior-output branch
+    * (pageRank_v2.java:118-126): state rows come back in via
+    * [[GraphIO.readCompatCsv]] and the dangling mass via the counter
+    * (here a plain double in [[CompatState.danglingMass]]).
+    * `onPass` receives `passOffset + step` so a resumed run's pass
+    * numbering can continue the original run's.
+    */
+  def compatSteps(state0: CompatState, k: Long, steps: Int,
+                  beta: Double = 0.15, checkpointEvery: Int = 5,
+                  onPass: (Int, CompatState) => Unit = (_, _) => (),
+                  passOffset: Int = 0): CompatState = {
+    val n = (k.toDouble * k.toDouble)
+    var cur = state0.state
+    var d = state0.danglingMass
+    var step = 0
+    while (step < steps) {
       // Rank update applied lazily (pageRank_v2.java:126-127), then
       // whole-rank contribution to each out-neighbor (:136-139).
       val ranked = cur.withColumn("rank",
@@ -89,13 +110,15 @@ object PageRank {
           coalesce(col("contrib"), lit(0.0)).as("contrib"),
           coalesce(col("adj"), array().cast("array<long>")).as("adj"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (pass % checkpointEvery == 0) next = next.localCheckpoint(true)
+      if ((passOffset + step + 1) % checkpointEvery == 0)
+        next = next.localCheckpoint(true)
 
       d = extractDangling(next)
       val prev = cur
       cur = next.filter(col("node") =!= 0)
       prev.unpersist(false)
-      pass += 1
+      step += 1
+      onPass(passOffset + step, CompatState(cur, d))
     }
     CompatState(cur, d)
   }

@@ -98,6 +98,38 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("compat state CSV round-trips exactly and resume matches uninterrupted") {
+    val edges = GraphIO.kChainEdges(spark, 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compat").toString
+
+    // write pass-1 state, read it back: bit-exact (Double.toString
+    // round-trips through parseDouble)
+    val s1 = PageRank.compat(edges, 3, 1)
+    GraphIO.writeCompatCsv(s1.state, s"$tmp/state1")
+    val back = GraphIO.readCompatCsv(spark, s"$tmp/state1")
+      .as[(Long, Double, Seq[Long])].collect()
+      .map { case (n, c, a) => n -> (c, a.toSet) }.toMap
+    val orig = s1.state.as[(Long, Double, Seq[Long])].collect()
+      .map { case (n, c, a) => n -> (c, a.toSet) }.toMap
+    assert(back === orig)
+
+    // input dispatch matches the reference mapper (pageRank_v2.java:118)
+    assert(GraphIO.looksLikeCompatState(spark, s"$tmp/state1"))
+
+    // resume from the round-tripped state for 2 more passes == one
+    // uninterrupted 3-pass run, bit-exact
+    val full = PageRank.compat(edges, 3, 3)
+    val resumed = PageRank.compatSteps(
+      PageRank.CompatState(GraphIO.readCompatCsv(spark, s"$tmp/state1"),
+        s1.danglingMass), 3, 2)
+    val fullM = full.state.as[(Long, Double, Seq[Long])].collect()
+      .map { case (n, c, a) => n -> (c, a.toSet) }.toMap
+    val resM = resumed.state.as[(Long, Double, Seq[Long])].collect()
+      .map { case (n, c, a) => n -> (c, a.toSet) }.toMap
+    assert(resM === fullM)
+    assert(resumed.danglingMass === full.danglingMass)
+  }
+
   test("standard mode conserves total mass on an arbitrary graph") {
     // graph with multi-out-degree nodes, a dangling node, a cycle
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L),
