@@ -91,6 +91,71 @@ object PageRankGraphX {
           org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
+  /** Compat-mode PageRank on GraphX — the reference's OWN contribution
+    * rule (pageRank_v2.java:136-139,163): every node sends its
+    * '''whole''' rank (no out-degree division) to each out-neighbor,
+    * ranks update lazily as `(1−β)(contrib + D/N) + β/N`, and the
+    * dangling sink node 0's accumulated mass is diverted to the
+    * returned scalar each pass (the reference's DanglingMass counter,
+    * pageRank_v2.java:216-222) — never propagated as rank.
+    *
+    * Same semantics as [[PageRank.compat]] (pinned equal in
+    * PageRankSpec); the DataFrame twin remains the oracle-checkable
+    * path, this is the flagship GraphX execution of it. One
+    * `aggregateMessages` plus one 1-row vertex action per pass.
+    */
+  def compat(edges: DataFrame, k: Long, passes: Int,
+             beta: Double = 0.15): PageRank.CompatState = {
+    require(passes >= 1, "compat needs at least the init pass")
+    val spark = edges.sparkSession
+    val n = k.toDouble * k.toDouble
+    val graph0 = fromEdges(edges)
+
+    // Init pass (pageRank_v2.java:153-169): contrib(v) = inDeg(v)·1/N
+    // (every in-edge carries 1/N; heads get the Null-sentinel 0.0).
+    var g: Graph[Double, Unit] = graph0
+      .outerJoinVertices(graph0.inDegrees)((_, _, ind) =>
+        ind.getOrElse(0) * (1.0 / n))
+      .cache()
+    var d = sinkMass(g)
+
+    var prev: Graph[Double, Unit] = null
+    var pass = 1
+    while (pass < passes) {
+      val dd = d
+      // Lazy rank update; the sink's diverted mass never re-enters as
+      // its own rank (its row left the state, pageRank_v2.java:216-218).
+      val ranked = g.mapVertices((id, c) =>
+        if (id == 0L) 0.0 else (1 - beta) * (c + dd / n) + beta / n)
+      val msgs = ranked.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr), // whole rank, no division
+        _ + _)
+      if (prev != null) {
+        prev.unpersistVertices(false)
+        prev.edges.unpersist(false)
+      }
+      prev = g
+      g = ranked.outerJoinVertices(msgs)((_, _, m) => m.getOrElse(0.0))
+        .cache()
+      d = sinkMass(g)
+      pass += 1
+    }
+    val state = spark.createDataFrame(
+      g.vertices.filter(_._1 != 0L).map { case (id, c) => Row(id, c) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("contrib",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    PageRank.CompatState(state, d)
+  }
+
+  /** Node 0's accumulated mass — the counter read; also materializes
+    * the pass's cached vertices (one scalar action, no data collect).
+    */
+  private def sinkMass(g: Graph[Double, Unit]): Double =
+    g.vertices.filter(_._1 == 0L).map(_._2).fold(0.0)(_ + _)
+
   /** Pregel-API variant (BASELINE.json `spark_approach`): textbook
     * damped PageRank `r' = β/N + (1−β)·Σ r(u)/deg(u)` driven by
     * `graphx.Pregel` for a fixed superstep count.

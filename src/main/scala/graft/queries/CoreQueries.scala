@@ -203,11 +203,19 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"))
 
   // JSON extraction from a string column (events.props = {"k": int}).
+  // from_json with an explicit schema, parsed into a struct BEFORE the
+  // filter: the pushed-down predicate re-derives only the pruned
+  // single-field parse (OptimizeJsonExprs), and the projection's parse
+  // runs on surviving rows only — vs the previous get_json_object
+  // form, which re-parsed the full string per row in both the filter
+  // and the project (the one >1s q-query in BENCH_r03).
   def q21_json(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
-      .filter(col("k") % 10 === 0)
+        from_json(col("props"), StructType(Seq(
+          StructField("k", LongType)))).as("j"))
+      .filter(col("j").getField("k") % 10 === 0)
+      .select(col("event_id"), col("j").getField("k").as("k"))
 
   // Multi-way star join: region → nation → customer → orders.
   def q22_star_join(s: SparkSession, dir: String): DataFrame =
@@ -324,14 +332,21 @@ object CoreQueries {
           .as("follow_value"))
   }
 
-  // Approximate distinct (HLL++): not DuckDB-reproducible (different
-  // sketch), so no oracle — the driver records a rows-only check and
-  // CoreQueriesSpec pins the error bound against the exact count.
+  // Approximate distinct (HLL++): the raw sketch value is not
+  // DuckDB-reproducible (different sketch), but Spark's HLL is
+  // DETERMINISTIC for a given input (hash-based, order-independent
+  // merge) — so the output exposes the exact count plus a
+  // within-2%-of-exact boolean, both engine-stable, and the oracle
+  // asserts the bound holds (TRUE per group). CoreQueriesSpec pins the
+  // numeric error bound itself.
   def q30_approx_distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)
+          <= col("exact_parts").cast(DoubleType) * 0.02).as("within_2pct"))
 
   // Pivot (wide aggregation): order counts per status × priority.
   // Explicit value list — at scale an implicit pivot needs a distinct
@@ -523,8 +538,14 @@ object CoreQueries {
         |  ON r.event_type = 'error' AND e.user_id = r.user_id
         |  AND e.ts > r.ts AND e.ts <= r.ts + INTERVAL '10 minutes'
         |GROUP BY r.event_id""".stripMargin,
-    // q30_approx_distinct: deliberately no oracle (HLL sketches differ
-    // across engines) → driver rows-only check; bound pinned in tests.
+    // q30: exact count cross-engine + Spark's (deterministic) HLL
+    // pinned within 2% of it — the oracle's TRUE column fails the hash
+    // compare if the sketch ever drifts outside the bound.
+    "q30_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_2pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q31_pivot" ->
       """SELECT o_orderstatus,
         |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",

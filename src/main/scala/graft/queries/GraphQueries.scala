@@ -406,6 +406,7 @@ object GraphQueries {
       |SELECT node FROM nodes
       |WHERE NOT EXISTS (SELECT 1 FROM edges WHERE edges.src = nodes.node)""".stripMargin),
     "g04_pagerank" -> pagerankOracle(3),
+    "g04_pagerank_i10" -> pagerankOracle(10),
     "g08_pagerank_compat" -> pagerankCompatOracle(3),
     "g09_pagerank_personalized" -> pagerankPersonalizedOracle(3),
     "g05_cc_labelprop" -> ccOracle(3),
@@ -422,6 +423,12 @@ object GraphQueries {
     "g02_degrees" -> (g02_degrees _),
     "g03_dangling" -> (g03_dangling _),
     "g04_pagerank" -> ((s, d) => g04_pagerank(s, d)),
+    // Depth probe for the checkpoint cadence: same loop at iters=10
+    // (localCheckpoint every 4 passes). Benches the lineage-truncation
+    // claim — wall-clock must grow linearly in iterations, not
+    // superlinearly with plan depth — and stays oracle-exact via the
+    // 10-deep unrolled CTE.
+    "g04_pagerank_i10" -> ((s, d) => g04_pagerank(s, d, iters = 10)),
     "g08_pagerank_compat" -> ((s, d) => g08_pagerank_compat(s, d)),
     "g09_pagerank_personalized" -> ((s, d) => g09_pagerank_personalized(s, d)),
     "g05_cc_labelprop" -> ((s, d) => g05_cc_labelprop(s, d)),

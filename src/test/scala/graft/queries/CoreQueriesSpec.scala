@@ -26,12 +26,14 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(bucketized.nonEmpty)
   }
 
-  test("approx_count_distinct stays within its 2% rsd bound (×4 slack)") {
-    CoreQueries.q30_approx_distinct(spark, sf).collect().foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.08,
-        s"flag=${r.getString(0)} approx=$approx exact=$exact")
+  test("approx_count_distinct stays within 2% of exact (oracle precondition)") {
+    // q30's oracle asserts within_2pct = TRUE per group; this pins the
+    // same bound directly so a sketch regression fails here first.
+    val rows = CoreQueries.q30_approx_distinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2),
+        s"flag=${r.getString(0)} exact=${r.getLong(1)} outside 2%")
     }
   }
 }
