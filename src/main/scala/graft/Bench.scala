@@ -4,6 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional regex filter for local iteration (unset → all queries).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,7 +24,9 @@ object Bench {
     // Evict shared/pinned caches at family boundaries (d→g→m→q→s→t):
     // families don't share relations across the boundary, so this
     // bounds executor memory to one family's working set without
-    // losing within-family reuse.
+    // losing within-family reuse. Deep probes (*_i10) additionally
+    // evict right after their own samples: their working set is the
+    // largest in the run and must not shade their siblings' medians.
     //
     // Median of 3 back-to-back runs per query: a single GC pause or
     // JIT deopt then shifts one sample, not the query's reported time
@@ -30,7 +34,9 @@ object Bench {
     // family's warmed shared caches — the medians measure steady-state
     // query execution, which is what round-over-round comparison needs.
     var family = ""
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    val results = all.map { case (name, fn) =>
       if (family.nonEmpty && name.take(1) != family)
         graft.queries.SharedRelations.evict(spark)
       family = name.take(1)
@@ -39,12 +45,18 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      if (name.endsWith("_i10")) graft.queries.SharedRelations.evict(spark)
       name -> samples.sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-family subtotals: regression triage is one look at this map
+    // instead of a 59-entry diff.
+    val fams = results.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"" + f + "\":" + rs.map(_._2).sum }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,14 +64,22 @@ object GraphQueries {
 
   /** The shared edge-derivation, oracle side (a WITH prefix every graph
     * oracle starts from; callers append their own CTEs after a comma).
+    *
+    * Every CTE here — and in the iterative oracles below — is
+    * `AS MATERIALIZED`: DuckDB inlines plain CTEs per reference, so a
+    * 10-iteration unrolled PageRank query would re-open the orders
+    * parquet ~25× across threads and exhaust the process fd limit
+    * (the CORRECTNESS_r04 g04_pagerank_i10 failure). Materialization
+    * computes each base relation once, which is also what the Spark
+    * side does (SharedRelations persist).
     */
   private val EdgesCte: String =
-    """WITH mx AS (SELECT MAX(o_custkey) AS m FROM orders),
-      |edges AS (
+    """WITH mx AS MATERIALIZED (SELECT MAX(o_custkey) AS m FROM orders),
+      |edges AS MATERIALIZED (
       |  SELECT DISTINCT o_custkey AS src, 1 + (o_orderkey % m) AS dst
       |  FROM orders, mx
       |  WHERE o_orderkey % 3 = 0 AND o_custkey <> 1 + (o_orderkey % m)),
-      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""".stripMargin
+      |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""".stripMargin
 
   // O7+O11: adjacency list, deterministic order, string-packed like the
   // reference's "-"-joined form (pageRank_v2.java:207-213).
@@ -111,7 +119,7 @@ object GraphQueries {
     * engines regardless of shuffle/accumulation order.
     */
   def g04_pagerank(s: SparkSession, dir: String, iters: Int = 3,
-                   checkpointEvery: Int = 4): DataFrame =
+                   checkpointEvery: Int = 2): DataFrame =
     pagerankLoop(s, dir, iters, divideByOutdeg = true, checkpointEvery)
 
   /** Shared fixed-point loop for g04 (standard, divide by out-degree)
@@ -136,7 +144,7 @@ object GraphQueries {
     */
   private def pagerankLoop(s: SparkSession, dir: String, iters: Int,
                            divideByOutdeg: Boolean,
-                           checkpointEvery: Int = 4): DataFrame = {
+                           checkpointEvery: Int = 2): DataFrame = {
     val e = derivedEdges(s, dir)
     val nodes = derivedNodes(s, dir)
     val deg = outDeg(s, dir)
@@ -145,8 +153,8 @@ object GraphQueries {
       .select(col("node"), expr(s"${Scale}L div nn").as("r"))
     val contribExpr = if (divideByOutdeg) "r div outdeg" else "r"
     // Per-pass caches pinned until a checkpoint materializes their
-    // downstream; the tail (< checkpointEvery passes) stays pinned for
-    // the caller's job and is released by SharedRelations.evict.
+    // downstream; the tail (< checkpointEvery passes) is released by
+    // the final checkpoint at loop exit below.
     var pending = List.empty[DataFrame]
     var i = 0
     while (i < iters) {
@@ -179,6 +187,16 @@ object GraphQueries {
         pending = Nil
       }
     }
+    // Tail cleanup: the last < checkpointEvery passes' pins would
+    // otherwise outlive this call (Bench's three samples then stack
+    // them and the following queries run under the leaked memory —
+    // the r4 g08 regression). Materialize the final state once, then
+    // release every pin this loop created.
+    if (pending.nonEmpty) {
+      r = r.localCheckpoint(true)
+      pending.foreach(_.unpersist(false))
+      pending = Nil
+    }
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
@@ -188,18 +206,18 @@ object GraphQueries {
   def pagerankOracle(iters: Int = 3): String = {
     val sb = new StringBuilder(EdgesCte)
     sb.append(""",
-      |nn AS (SELECT COUNT(*) AS n FROM nodes),
-      |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
-      |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin)
+      |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+      |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS MATERIALIZED (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin)
     for (i <- 1 to iters) {
       val p = i - 1
       sb.append(s""",
-        |d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r$p
+        |d$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r$p
         |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r$p.node)),
-        |c$i AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS c
+        |c$i AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS c
         |  FROM edges e JOIN r$p r ON e.src = r.node
         |  JOIN deg d ON e.src = d.node GROUP BY e.dst),
-        |r$i AS (SELECT nodes.node,
+        |r$i AS MATERIALIZED (SELECT nodes.node,
         |    (150000000000 // nn.n)
         |    + (85 * (COALESCE(c$i.c, 0) + (d$i.dm // nn.n))) // 100 AS r
         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node, d$i, nn)""".stripMargin)
@@ -228,17 +246,17 @@ object GraphQueries {
   def pagerankCompatOracle(iters: Int = 3): String = {
     val sb = new StringBuilder(EdgesCte)
     sb.append(""",
-      |nn AS (SELECT COUNT(*) AS n FROM nodes),
-      |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
-      |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin)
+      |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+      |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS MATERIALIZED (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin)
     for (i <- 1 to iters) {
       val p = i - 1
       sb.append(s""",
-        |d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r$p
+        |d$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r$p
         |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r$p.node)),
-        |c$i AS (SELECT e.dst AS node, CAST(SUM(r.r) AS BIGINT) AS c
+        |c$i AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.r) AS BIGINT) AS c
         |  FROM edges e JOIN r$p r ON e.src = r.node GROUP BY e.dst),
-        |r$i AS (SELECT nodes.node,
+        |r$i AS MATERIALIZED (SELECT nodes.node,
         |    (150000000000 // nn.n)
         |    + (85 * (COALESCE(c$i.c, 0) + (d$i.dm // nn.n))) // 100 AS r
         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node, d$i, nn)""".stripMargin)
@@ -260,7 +278,7 @@ object GraphQueries {
     */
   def g09_pagerank_personalized(s: SparkSession, dir: String,
                                 iters: Int = 3,
-                                checkpointEvery: Int = 4): DataFrame = {
+                                checkpointEvery: Int = 2): DataFrame = {
     val e = derivedEdges(s, dir)
     val nodes = derivedNodes(s, dir)
     val deg = outDeg(s, dir)
@@ -300,6 +318,12 @@ object GraphQueries {
         pending = Nil
       }
     }
+    // Same tail cleanup as [[pagerankLoop]].
+    if (pending.nonEmpty) {
+      r = r.localCheckpoint(true)
+      pending.foreach(_.unpersist(false))
+      pending = Nil
+    }
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
@@ -309,20 +333,20 @@ object GraphQueries {
     def srcCase(body: String) =
       s"CASE WHEN nodes.node % 10 = 1 THEN $body ELSE 0 END"
     sb.append(""",
-      |ss AS (SELECT COUNT(*) AS ss FROM nodes WHERE node % 10 = 1),
-      |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
-      |r0 AS (SELECT nodes.node,
+      |ss AS MATERIALIZED (SELECT COUNT(*) AS ss FROM nodes WHERE node % 10 = 1),
+      |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS MATERIALIZED (SELECT nodes.node,
       |  CAST(CASE WHEN nodes.node % 10 = 1 THEN 1000000000000 // ss ELSE 0 END AS BIGINT) AS r
       |  FROM nodes, ss)""".stripMargin)
     for (i <- 1 to iters) {
       val p = i - 1
       sb.append(s""",
-        |d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r$p
+        |d$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r$p
         |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r$p.node)),
-        |c$i AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS c
+        |c$i AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS c
         |  FROM edges e JOIN r$p r ON e.src = r.node
         |  JOIN deg d ON e.src = d.node GROUP BY e.dst),
-        |r$i AS (SELECT nodes.node,
+        |r$i AS MATERIALIZED (SELECT nodes.node,
         |  CAST((85 * (COALESCE(c$i.c, 0) + (${srcCase(s"d$i.dm // ss.ss")})))
         |    // 100 + (${srcCase("150000000000 // ss.ss")}) AS BIGINT) AS r
         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node, d$i, ss)""".stripMargin)
@@ -359,15 +383,15 @@ object GraphQueries {
   def ccOracle(rounds: Int = 3): String = {
     val sb = new StringBuilder(EdgesCte)
     sb.append(""",
-      |sym AS (SELECT src, dst FROM edges
+      |sym AS MATERIALIZED (SELECT src, dst FROM edges
       |        UNION SELECT dst AS src, src AS dst FROM edges),
-      |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin)
+      |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin)
     for (i <- 1 to rounds) {
       val p = i - 1
       sb.append(s""",
-        |m$i AS (SELECT sym.dst AS node, MIN(l.label) AS nbr
+        |m$i AS MATERIALIZED (SELECT sym.dst AS node, MIN(l.label) AS nbr
         |  FROM sym JOIN l$p l ON sym.src = l.node GROUP BY sym.dst),
-        |l$i AS (SELECT l.node, LEAST(l.label, COALESCE(m$i.nbr, l.label)) AS label
+        |l$i AS MATERIALIZED (SELECT l.node, LEAST(l.label, COALESCE(m$i.nbr, l.label)) AS label
         |  FROM l$p l LEFT JOIN m$i ON l.node = m$i.node)""".stripMargin)
     }
     sb.append(s"\nSELECT node, label FROM l$rounds")
