@@ -22,11 +22,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object SharedRelations {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val evictHooks = TrieMap.empty[SparkSession, List[() => Unit]]
 
   def apply(s: SparkSession, dir: String, name: String)
            (build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((s, dir, name),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Register a cleanup to run when `s` is evicted — for pinned state
+    * `clearCache` can't reach (checkpoint RDDs live outside the
+    * CacheManager). Hooks run once and are dropped.
+    */
+  def onEvict(s: SparkSession)(f: () => Unit): Unit =
+    evictHooks.updateWith(s)(prev => Some(f :: prev.getOrElse(Nil)))
 
   /** Release every relation pinned for `s`, then clear the session
     * cache wholesale — the latter also drops stray non-shared persists
@@ -38,6 +46,7 @@ object SharedRelations {
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach(_.unpersist(false))
     }
+    evictHooks.remove(s).foreach(_.foreach(f => f()))
     s.catalog.clearCache()
   }
 }

@@ -25,6 +25,23 @@ object ColumnBridge {
     cd.sparkSession.sharedState.cacheManager.lookupCachedData(cd).isDefined
   }
 
+  /** Release the pinned RDD behind a `localCheckpoint`ed Dataset.
+    * `Dataset.checkpoint` stores the materialized rows in an internal
+    * RDD referenced only by the returned plan's `LogicalRDD` node;
+    * nothing public unpersists it, so an iterative loop that
+    * checkpoints on cadence would otherwise leave every superseded
+    * checkpoint pinned until GC/ContextCleaner. No-op on
+    * non-checkpoint plans.
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    val cd = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    cd.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** Register the graft SQL functions on an ALREADY-BUILT session
     * (sessions built with `GraftExtensions` don't need this). Uses the
     * session's function registry, which is `private[sql]`.

@@ -40,10 +40,15 @@ class GraphQueriesSpec extends AnyFunSuite {
     def planNodes(iters: Int): Int =
       GraphQueries.g04_pagerank(spark, dir, iters, checkpointEvery = 4)
         .queryExecution.optimizedPlan.collect { case n => n }.length
-    // After the last checkpoint the residual plan depends only on
-    // iters mod cadence: 6 and 10 passes (both residue 2) must yield
-    // the SAME plan size — the pre-fix behavior doubled per pass.
-    assert(planNodes(10) === planNodes(6))
+    // Mid-loop checkpoints fire at multiples of the cadence with ≥ one
+    // cadence of passes still to go, so the residual plan above the
+    // last checkpoint spans cadence..2·cadence−1 passes regardless of
+    // total iterations: 10 and 14 passes at cadence 4 both leave a
+    // 6-pass residual over a checkpoint scan and must yield the SAME
+    // plan size — the pre-fix behavior doubled per pass. (Memo resume
+    // doesn't change the shape: checkpoints land on absolute pass
+    // indices either way.)
+    assert(planNodes(10) === planNodes(14))
   }
 
   test("cc labels are ≤ node id and stable under one more round") {
