@@ -184,4 +184,73 @@ object PageRank {
     }
     ranks
   }
+
+  /** Result of [[standardConverged]]: final ranks, passes actually run,
+    * and the last pass's L1 delta Σ_v |r′(v) − r(v)|.
+    */
+  final case class Converged(ranks: DataFrame, iters: Int, delta: Double)
+
+  /** Standard PageRank iterated to convergence: stops once the L1 rank
+    * delta Σ_v |r′(v) − r(v)| drops below `eps`, or after `maxIters`
+    * passes. The reference iterates a fixed trip count
+    * (pageRank_v2.java:78-103, Makefile:23 iters=10) because testing
+    * convergence under MR costs a whole extra job per iteration; Spark
+    * folds it into one extra 1-row aggregate per pass — the same
+    * change-count-termination shape as
+    * [[GraphOps.connectedComponents]]. The delta aggregate doubles as
+    * the action that materializes the new pass's persisted state, so
+    * the per-pass job count matches [[standard]]'s (dangling scalar +
+    * one materializing action).
+    *
+    * At `eps = 0` the stop test (`delta < eps`) never fires and the
+    * recurrence is exactly [[standard]]'s, so the result matches
+    * fixed-trip output at `maxIters` (pinned in PageRankSpec).
+    */
+  def standardConverged(edges: DataFrame, eps: Double, maxIters: Int,
+                        beta: Double = 0.15,
+                        checkpointEvery: Int = 5): Converged = {
+    val links = GraphOps.nodes(edges)
+      .join(GraphOps.adjacency(edges), Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("adj"), array().cast("array<long>")).as("adj"))
+      .withColumn("out_degree", size(col("adj")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = links.count().toDouble
+
+    var ranks = links.select(col("node"), lit(1.0 / n).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevRanks: DataFrame = null
+    var delta = Double.PositiveInfinity
+    var i = 0
+    while (i < maxIters && delta >= eps) {
+      val joined = links.join(ranks, Seq("node"))
+      val d = joined.filter(col("out_degree") === 0)
+        .select(sum(col("rank"))).collect().headOption
+        .flatMap(r => Option(r.get(0))).map(_.asInstanceOf[Double])
+        .getOrElse(0.0)
+      if (prevRanks != null) prevRanks.unpersist(false)
+      val contribs = joined.filter(col("out_degree") > 0)
+        .select(explode(col("adj")).as("node"),
+          (col("rank") / col("out_degree")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      var next = links.select(col("node"))
+        .join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(beta / n) + lit(1 - beta) *
+            (coalesce(col("c"), lit(0.0)) + lit(d / n))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
+      // The convergence scalar: one 1-row aggregate joining the new
+      // state against the old — also the job that materializes `next`.
+      delta = next.toDF("node", "nr")
+        .join(ranks.toDF("node", "or"), Seq("node"))
+        .select(sum(abs(col("nr") - col("or")))).collect().headOption
+        .flatMap(r => Option(r.get(0))).map(_.asInstanceOf[Double])
+        .getOrElse(0.0)
+      prevRanks = ranks
+      ranks = next
+      i += 1
+    }
+    Converged(ranks, i, delta)
+  }
 }

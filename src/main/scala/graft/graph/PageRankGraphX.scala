@@ -99,23 +99,36 @@ object PageRankGraphX {
     * returned scalar each pass (the reference's DanglingMass counter,
     * pageRank_v2.java:216-222) — never propagated as rank.
     *
-    * Same semantics as [[PageRank.compat]] (pinned equal in
-    * PageRankSpec); the DataFrame twin remains the oracle-checkable
-    * path, this is the flagship GraphX execution of it. One
-    * `aggregateMessages` plus one 1-row vertex action per pass.
+    * Duplicate-edge semantics follow the reference exactly: the INIT
+    * pass counts every raw input edge (each emits 1/N,
+    * pageRank_v2.java:163), while iteration passes send along the
+    * HashSet-DEDUPED adjacency (pageRank_v2.java:122,195) — so the
+    * graph here is built on `distinct()` edges and the init contribs
+    * join in raw in-degrees. Same semantics as [[PageRank.compat]]
+    * (pinned equal, duplicate edges included, in PageRankSpec); the
+    * DataFrame twin remains the oracle-checkable path, this is the
+    * flagship GraphX execution of it. One `aggregateMessages` plus one
+    * 1-row vertex action per pass. The returned state carries the
+    * `adj` column like the DataFrame twin, so
+    * [[GraphIO.writeCompatCsv]] accepts it directly.
     */
   def compat(edges: DataFrame, k: Long, passes: Int,
              beta: Double = 0.15): PageRank.CompatState = {
     require(passes >= 1, "compat needs at least the init pass")
     val spark = edges.sparkSession
     val n = k.toDouble * k.toDouble
-    val graph0 = fromEdges(edges)
+    val raw = edges.select("src", "dst")
+    val ded = raw.distinct()
+    val graph0 = fromEdges(ded)
 
-    // Init pass (pageRank_v2.java:153-169): contrib(v) = inDeg(v)·1/N
-    // (every in-edge carries 1/N; heads get the Null-sentinel 0.0).
+    // Init pass (pageRank_v2.java:153-169): contrib(v) = rawInDeg(v)·1/N
+    // (every raw in-edge carries 1/N; heads get the Null-sentinel 0.0).
+    val rawInDeg: RDD[(VertexId, Long)] = raw
+      .groupBy("dst").count()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
     var g: Graph[Double, Unit] = graph0
-      .outerJoinVertices(graph0.inDegrees)((_, _, ind) =>
-        ind.getOrElse(0) * (1.0 / n))
+      .outerJoinVertices(rawInDeg)((_, _, ind) =>
+        ind.getOrElse(0L) * (1.0 / n))
       .cache()
     var d = sinkMass(g)
 
@@ -140,13 +153,21 @@ object PageRankGraphX {
       d = sinkMass(g)
       pass += 1
     }
-    val state = spark.createDataFrame(
+    val contribs = spark.createDataFrame(
       g.vertices.filter(_._1 != 0L).map { case (id, c) => Row(id, c) },
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("contrib",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
+    // Deduped adjacency circulates with the state like the DataFrame
+    // twin's (pageRank_v2.java:39,141); contribution-only targets get
+    // an empty list.
+    import org.apache.spark.sql.functions.{array, coalesce, col}
+    val state = contribs
+      .join(GraphOps.adjacency(ded), Seq("node"), "left_outer")
+      .select(col("node"), col("contrib"),
+        coalesce(col("adj"), array().cast("array<long>")).as("adj"))
     PageRank.CompatState(state, d)
   }
 

@@ -130,6 +130,33 @@ class PageRankSpec extends AnyFunSuite {
     assert(resumed.danglingMass === full.danglingMass)
   }
 
+  test("GraphX compat matches DataFrame compat, duplicate edges included") {
+    // k-chain fixture with DUPLICATED edges: the reference counts every
+    // raw in-edge in the init pass (pageRank_v2.java:163) but iterates
+    // over the HashSet-deduped adjacency (pageRank_v2.java:122,195) —
+    // both engines must agree on both behaviors.
+    val k = 3L
+    val base = GraphIO.kChainEdges(spark, k)
+      .as[(Long, Long)].collect().toSeq
+    val withDups = (base ++ base.take(4) ++ base.take(2)).toDF("src", "dst")
+    for (passes <- Seq(1, 3)) {
+      val df = PageRank.compat(withDups, k, passes)
+      val gx = PageRankGraphX.compat(withDups, k, passes)
+      def toMap(st: org.apache.spark.sql.DataFrame) =
+        st.select("node", "contrib", "adj")
+          .as[(Long, Double, Seq[Long])].collect()
+          .map { case (n, c, a) => n -> (c, a.toSet) }.toMap
+      val dfM = toMap(df.state); val gxM = toMap(gx.state)
+      assert(gxM.keySet === dfM.keySet, s"passes=$passes")
+      dfM.foreach { case (node, (c, adj)) =>
+        assert(math.abs(gxM(node)._1 - c) < Eps,
+          s"passes=$passes node=$node gx=${gxM(node)._1} df=$c")
+        assert(gxM(node)._2 === adj, s"passes=$passes node=$node adj")
+      }
+      assert(math.abs(gx.danglingMass - df.danglingMass) < Eps)
+    }
+  }
+
   test("standard mode conserves total mass on an arbitrary graph") {
     // graph with multi-out-degree nodes, a dangling node, a cycle
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L),
@@ -153,6 +180,34 @@ class PageRankSpec extends AnyFunSuite {
     assert(df.keySet === gx.keySet)
     df.foreach { case (node, r) =>
       assert(math.abs(r - gx(node)) < 1e-10, s"node $node: df=$r gx=${gx(node)}")
+    }
+  }
+
+  test("converged pagerank stops early on a pre-converged graph") {
+    // uniform init is stationary on a cycle (every vertex in/out-degree
+    // 1, no dangling mass): pass 1 reproduces 1/m everywhere, so the
+    // L1 delta is ~0 and the loop must stop far before maxIters.
+    val m = 12L
+    val edges = (1L to m).map(i => (i, if (i == m) 1L else i + 1))
+      .toDF("src", "dst")
+    val res = PageRank.standardConverged(edges, eps = 1e-12, maxIters = 20)
+    assert(res.iters === 1, s"expected early stop, ran ${res.iters}")
+    assert(res.delta < 1e-12)
+    val ranks = res.ranks.as[(Long, Double)].collect().toMap
+    assert(ranks.size === m)
+    ranks.values.foreach(r => assert(math.abs(r - 1.0 / m) < Eps))
+  }
+
+  test("converged pagerank at eps=0 equals fixed-trip standard") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 5L), (6L, 1L)).toDF("src", "dst")
+    val res = PageRank.standardConverged(edges, eps = 0.0, maxIters = 7)
+    assert(res.iters === 7) // delta < 0 never fires
+    val conv = res.ranks.as[(Long, Double)].collect().toMap
+    val fixed = PageRank.standard(edges, 7).as[(Long, Double)].collect().toMap
+    assert(conv.keySet === fixed.keySet)
+    conv.foreach { case (node, r) =>
+      assert(math.abs(r - fixed(node)) < Eps, s"node $node")
     }
   }
 
