@@ -24,6 +24,10 @@ import org.apache.spark.sql.SparkSession
   *    (per-iteration output dirs, pageRank_v2.java:96-98) and logs the
   *    pass's dangling mass plus its reference counter encoding
   *    ⌈D·10⁸⌉ (pageRank_v2.java:218-222).
+  *  - Resuming from `<out>N` continues the GLOBAL pass numbering: the
+  *    resumed run writes `<out>N+1`, `<out>N+2`, … (offset derived
+  *    from the state-dir's trailing digits), so a prior run's
+  *    per-iteration dirs are never renumbered or clobbered.
   *  - `<iters>` is the number of passes THIS invocation runs (edge
   *    input: pass 1 is the 1/N init pass); the final line on stdout is
   *    one JSON object with the closing dangling mass, which feeds the
@@ -34,19 +38,68 @@ object PageRankCli {
   private val Usage =
     "Usage: graft.PageRankCli <edges.csv|state-dir> <out> <k> <iters> [danglingMass]"
 
-  def main(args: Array[String]): Unit = {
-    if (args.length < 4 || args.length > 5) {
-      // reference arg check (pageRank_v2.java:47-51)
-      System.err.println(Usage)
-      sys.exit(2)
+  /** Trailing digits of a state-dir path (`…/out7` → 7): the pass its
+    * state came from, used as this run's pass-numbering offset. A path
+    * with no digit suffix — or one that is ALL digits, which is a name,
+    * not a suffix — offsets from 0.
+    */
+  private[graft] def passOffsetOf(in: String): Int = {
+    val name = in.stripSuffix("/")
+    val digits = name.reverse.takeWhile(_.isDigit).reverse
+    if (digits.isEmpty || digits.length == name.length) 0
+    else
+      try digits.toInt
+      catch { case _: NumberFormatException => 0 }
+  }
+
+  /** The CLI body, factored from [[main]] so specs can drive it on a
+    * shared session: runs `iters` passes from `in` (edges or state),
+    * writing each pass's state to `<out><globalPass>`.
+    */
+  def run(spark: SparkSession, in: String, out: String, k: Long,
+          iters: Int, mass0: Double = 0.0): PageRank.CompatState = {
+    val onPass = (pass: Int, st: PageRank.CompatState) => {
+      GraphIO.writeCompatCsv(st.state, out + pass)
+      // the reference's per-iteration mass log (pageRank_v2.java:84)
+      System.err.println(
+        s"[pagerank] pass=$pass out=$out$pass " +
+          s"danglingMass=${st.danglingMass} counter=${st.counterValue}")
     }
+    if (GraphIO.looksLikeCompatState(spark, in))
+      PageRank.compatSteps(
+        PageRank.CompatState(GraphIO.readCompatCsv(spark, in), mass0),
+        k, iters, onPass = onPass, passOffset = passOffsetOf(in))
+    else
+      PageRank.compat(GraphIO.readEdgesCsv(spark, in), k, iters,
+        onPass = onPass)
+  }
+
+  private def usageError(msg: String): Nothing = {
+    // reference arg check (pageRank_v2.java:47-51), minus the stack
+    // trace on malformed numbers
+    System.err.println(s"error: $msg")
+    System.err.println(Usage)
+    sys.exit(2)
+  }
+
+  private def parseOr[A](raw: String, what: String)(f: String => A): A =
+    try f(raw)
+    catch {
+      case _: NumberFormatException =>
+        usageError(s"$what must be a number, got '$raw'")
+    }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 4 || args.length > 5) usageError("expected 4-5 arguments")
     val in = args(0)
     val out = args(1)
-    val k = args(2).toLong
-    val iters = args(3).toInt
-    val mass0 = if (args.length == 5) args(4).toDouble else 0.0
-    require(k > 0, "k must be positive")
-    require(iters >= 1, "iters must be >= 1")
+    val k = parseOr(args(2), "<k>")(_.toLong)
+    val iters = parseOr(args(3), "<iters>")(_.toInt)
+    val mass0 =
+      if (args.length == 5) parseOr(args(4), "[danglingMass]")(_.toDouble)
+      else 0.0
+    if (k <= 0) usageError("<k> must be positive")
+    if (iters < 1) usageError("<iters> must be >= 1")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -58,24 +111,10 @@ object PageRankCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val onPass = (pass: Int, st: PageRank.CompatState) => {
-      GraphIO.writeCompatCsv(st.state, out + pass)
-      // the reference's per-iteration mass log (pageRank_v2.java:84)
-      System.err.println(
-        s"[pagerank] pass=$pass out=$out$pass " +
-          s"danglingMass=${st.danglingMass} counter=${st.counterValue}")
-    }
+    val off = if (GraphIO.looksLikeCompatState(spark, in)) passOffsetOf(in) else 0
+    val fin = run(spark, in, out, k, iters, mass0)
 
-    val fin =
-      if (GraphIO.looksLikeCompatState(spark, in))
-        PageRank.compatSteps(
-          PageRank.CompatState(GraphIO.readCompatCsv(spark, in), mass0),
-          k, iters, onPass = onPass)
-      else
-        PageRank.compat(GraphIO.readEdgesCsv(spark, in), k, iters,
-          onPass = onPass)
-
-    println(s"""{"passes":$iters,"danglingMass":${fin.danglingMass},"counter":${fin.counterValue}}""")
+    println(s"""{"passes":$iters,"lastPass":${off + iters},"danglingMass":${fin.danglingMass},"counter":${fin.counterValue}}""")
     spark.stop()
   }
 }
