@@ -336,9 +336,12 @@ object CoreQueries {
   // DuckDB-reproducible (different sketch), but Spark's HLL is
   // DETERMINISTIC for a given input (hash-based, order-independent
   // merge) — so the output exposes the exact count plus a
-  // within-2%-of-exact boolean, both engine-stable, and the oracle
-  // asserts the bound holds (TRUE per group). CoreQueriesSpec pins the
-  // numeric error bound itself.
+  // within-8%-of-exact boolean, both engine-stable, and the oracle
+  // asserts the bound holds (TRUE per group). The gate is 4× the
+  // requested rsd=0.02 because rsd is a standard deviation, not a
+  // bound — a hard 2% gate could go red on a different scale factor
+  // with no real regression. CoreQueriesSpec pins the tight 2% against
+  // the fixed test fixture.
   def q30_approx_distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -346,7 +349,7 @@ object CoreQueries {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)
-          <= col("exact_parts").cast(DoubleType) * 0.02).as("within_2pct"))
+          <= col("exact_parts").cast(DoubleType) * 0.08).as("within_8pct"))
 
   // Pivot (wide aggregation): order counts per status × priority.
   // Explicit value list — at scale an implicit pivot needs a distinct
@@ -539,12 +542,13 @@ object CoreQueries {
         |  AND e.ts > r.ts AND e.ts <= r.ts + INTERVAL '10 minutes'
         |GROUP BY r.event_id""".stripMargin,
     // q30: exact count cross-engine + Spark's (deterministic) HLL
-    // pinned within 2% of it — the oracle's TRUE column fails the hash
-    // compare if the sketch ever drifts outside the bound.
+    // pinned within 8% of it (4× the rsd; see q30_approx_distinct) —
+    // the oracle's TRUE column fails the hash compare if the sketch
+    // ever drifts outside the bound.
     "q30_approx_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
-        |  TRUE AS within_2pct
+        |  TRUE AS within_8pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q31_pivot" ->
       """SELECT o_orderstatus,

@@ -85,7 +85,8 @@ object DedupQueries {
   // n-gram Jaccard near-dup pairs via the inverted index, posting-list
   // form: group the shingle relation per (lang, sh) into a sorted
   // posting of (doc_id, |doc|) structs, explode the ordered pairs of
-  // each posting, and aggregate per pair. Three shuffles total, and
+  // each posting, and aggregate per pair. Four shuffles total (doc
+  // sizes, posting-size pre-pass, posting build, pair agg), and
   // singleton shingles (size < 2 postings) drop out for free — no
   // self-join of the full shingle relation at all. At corpus scale the
   // safeguard is the posting-size ceiling ([[DefaultMaxPosting]]),

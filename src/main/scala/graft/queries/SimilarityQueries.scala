@@ -85,27 +85,47 @@ object SimilarityQueries {
         col("did").as("nn_id"), col("cos"))
   }
 
-  // LSH-bucketed ANN: same queries, but candidates restricted to the
-  // query's bucket. Emits each query's best in-bucket neighbor plus the
-  // bucket id — at scale this is a bucket-key equi-join over a
-  // pre-computed (bucketed, persistable) index table, no cross product.
-  def s02_knn_lsh(s: SparkSession, dir: String): DataFrame = {
+  // LSH-bucketed ANN: same queries, candidates restricted to probed
+  // buckets. Multi-probe (the default) searches the query's own bucket
+  // plus its NBits Hamming-1 neighbors — the classic recall fix for
+  // single-probe LSH's empty/unlucky-bucket cliff (a vector near a
+  // hyperplane lands on either side with ~equal probability). The
+  // probe keys explode BROADCAST-side (|Q|·(NBits+1) rows), so
+  // candidate generation stays a bucket-key equi-join against the
+  // same pre-computable index table — at 100 TB the data side is
+  // scanned once and shuffled only on matching bucket keys, identical
+  // shape to single-probe, ~(NBits+1)/2^nbits of the data as
+  // candidates. `probed` reports which bucket the winner came from.
+  def s02_knn_lsh(s: SparkSession, dir: String): DataFrame =
+    knnLsh(s, dir, multiProbe = true)
+
+  private[queries] def knnLsh(s: SparkSession, dir: String,
+                              multiProbe: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Vector dim probed once (one row-group read even at scale); the
     // hyperplane literals are sized to it.
     val dim = t(s, dir, "embeddings")
       .select(size(col("embedding"))).head.getInt(0)
     val e = normed(s, dir).withColumn("bucket", bucketCol("embedding", dim))
-    val q = broadcast(
-      e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "bucket"))
+    val q0 = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "qbucket")
+    val probes =
+      if (multiProbe)
+        array(col("qbucket") +: (0 until NBits).map(p =>
+          col("qbucket").bitwiseXOR(lit(1L << p))): _*)
+      else array(col("qbucket"))
+    val q = broadcast(q0.select(col("qid"), col("qv"), col("qn"),
+      col("qbucket"), explode(probes).as("bucket")))
+    // Buckets partition the data side, so a candidate appears under
+    // exactly one probe — no post-join dedup needed.
     val cand = q.join(e.toDF("did", "dv", "dn", "bucket"), Seq("bucket"))
       .filter(col("qid") =!= col("did"))
-      .select(col("qid"), col("bucket"), col("did"),
-        (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos"))
+      .select(col("qid"), col("qbucket"), col("bucket").as("probed"),
+        col("did"), (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("did").asc)
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("qid"), col("bucket"), col("did").as("nn_id"), col("cos"))
+      .select(col("qid"), col("qbucket").as("bucket"), col("probed"),
+        col("did").as("nn_id"), col("cos"))
   }
 
   // IVF-style ANN: a deterministic coarse quantizer (every 97th vector
@@ -170,19 +190,24 @@ object SimilarityQueries {
          |  SELECT qid, did, cos,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
          |  FROM p) WHERE rk <= 5""".stripMargin,
-    "s02_knn_lsh" ->
+    "s02_knn_lsh" -> {
+      val probeList = ("bucket" +: (0 until NBits).map(p =>
+        s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
       s"""WITH e AS (SELECT vec_id, embedding,
          |    SQRT(${dotSql("embedding", "embedding")}) AS nrm,
          |    ${bucketSql("embedding")} AS bucket
          |  FROM embeddings),
-         |p AS (SELECT q.vec_id AS qid, q.bucket, d.vec_id AS did,
-         |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
-         |  FROM e q JOIN e d ON q.bucket = d.bucket
-         |    AND q.vec_id < 20 AND q.vec_id <> d.vec_id)
-         |SELECT qid, bucket, did AS nn_id, cos FROM (
-         |  SELECT qid, bucket, did, cos,
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+         |    bucket AS qbucket, UNNEST($probeList) AS probe
+         |  FROM e WHERE vec_id < 20),
+         |p AS (SELECT q.qid, q.qbucket, d.bucket AS probed, d.vec_id AS did,
+         |    ${dotSql("q.qe", "d.embedding")} / (q.qn * d.nrm) AS cos
+         |  FROM q JOIN e d ON d.bucket = q.probe AND q.qid <> d.vec_id)
+         |SELECT qid, qbucket AS bucket, probed, did AS nn_id, cos FROM (
+         |  SELECT qid, qbucket, probed, did, cos,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
-         |  FROM p) WHERE rk = 1""".stripMargin,
+         |  FROM p) WHERE rk = 1""".stripMargin
+    },
     "s03_knn_ivf" -> IvfOracle,
   )
 

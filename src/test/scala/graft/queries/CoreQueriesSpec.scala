@@ -26,14 +26,24 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(bucketized.nonEmpty)
   }
 
-  test("approx_count_distinct stays within 2% of exact (oracle precondition)") {
-    // q30's oracle asserts within_2pct = TRUE per group; this pins the
-    // same bound directly so a sketch regression fails here first.
-    val rows = CoreQueries.q30_approx_distinct(spark, sf).collect()
+  test("approx_count_distinct stays within 2% of exact on the fixed fixture") {
+    // q30's oracle gate is a loose 8% (rsd=0.02 is a std-dev, not a
+    // bound, so the cross-sf hard gate needs headroom); the tight 2%
+    // is pinned HERE against this fixed fixture so a sketch regression
+    // fails first.
+    val rows = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getBoolean(2),
-        s"flag=${r.getString(0)} exact=${r.getLong(1)} outside 2%")
+      val a = r.getLong(1); val e = r.getLong(2)
+      assert(math.abs(a - e) <= e * 0.02,
+        s"flag=${r.get(0)} approx=$a exact=$e outside 2%")
     }
+    // and the shipped query's loose gate is green
+    CoreQueries.q30_approx_distinct(spark, sf).collect()
+      .foreach(r => assert(r.getBoolean(2)))
   }
 }

@@ -80,6 +80,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(DedupQueries.DefaultMaxPosting > 14)
   }
 
+  test("multi-probe LSH strictly improves recall@1 over single-probe") {
+    val brute = SimilarityQueries.s01_knn_brute(spark, dir)
+      .filter(col("rk") === 1)
+      .select("qid", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallAt1(multiProbe: Boolean): (Int, Map[Long, Double]) = {
+      val rows = SimilarityQueries.knnLsh(spark, dir, multiProbe)
+        .select("qid", "nn_id", "cos").collect()
+      val hits = rows.count(r => brute(r.getLong(0)) == r.getLong(1))
+      (hits, rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+    }
+    val (single, singleCos) = recallAt1(multiProbe = false)
+    val (multi, multiCos) = recallAt1(multiProbe = true)
+    assert(multi > single,
+      s"multi-probe recall@1 $multi/${brute.size} not above single-probe $single")
+    // probe set is a superset, so per-query best cos never regresses
+    singleCos.foreach { case (q, c) =>
+      assert(multiCos(q) >= c - 1e-15, s"q=$q multi ${multiCos(q)} < single $c")
+    }
+  }
+
   test("LSH ANN returns true in-bucket neighbors no better than brute force") {
     val brute = SimilarityQueries.s01_knn_brute(spark, dir)
       .filter(col("rk") === 1)
