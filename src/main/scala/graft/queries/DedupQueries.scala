@@ -183,6 +183,47 @@ object DedupQueries {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Near-dup CLUSTERING — the step a dedup pipeline runs after
+    * candidate generation: d03's banded pairs become an undirected
+    * graph, connected components assign every document a cluster id
+    * (the component's minimum doc_id, via min-label propagation over
+    * `rounds` fixed rounds, the SQL-unrollable form — the converged
+    * variant is [[graft.graph.GraphOps.connectedComponents]]), and the
+    * cluster representative is the keeper. Documents with no candidate
+    * pair are their own singleton cluster.
+    *
+    * Scale shape: the pair graph is tiny relative to the corpus
+    * (candidates ≪ n² by LSH design), label propagation is one
+    * node-keyed join + min-agg per round (g05's shape), and the final
+    * assignment is one left join of the corpus against the labels —
+    * the whole path stays equi-join/aggregate, no driver loops over
+    * data.
+    */
+  def d06_neardup_clusters(s: SparkSession, dir: String,
+                           rounds: Int = 3): DataFrame = {
+    val pairs = d03_minhash_lsh(s, dir)
+    val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .distinct()
+    var lab = sym.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    var i = 0
+    while (i < rounds) {
+      val nbrMin = sym.join(lab, sym("u") === lab("doc_id"))
+        .groupBy(col("v").as("doc_id")).agg(min(col("cluster")).as("nbr"))
+      lab = lab.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster")))
+            .as("cluster"))
+      i += 1
+    }
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster"))
+  }
+
   /** Index-based dot product Σ a[i]·b[i] folded left-to-right — the
     * exact same op sequence as the oracle's list_reduce, so the double
     * result is bit-identical. Codegen'd custom expression
@@ -213,6 +254,50 @@ object DedupQueries {
     s"MIN((h * $a + $b) % $P) AS m$i"
   }
 
+  /** Shingle→minhash-signature→band CTE prefix shared by the d03 and
+    * d06 oracles.
+    */
+  private lazy val BandsCte: String = ShinglesCte + s""",
+    |h AS (SELECT doc_id, ${TextQueries.polyHashSql("sh")} AS h FROM s),
+    |sig AS (SELECT doc_id, ${(0 until 8).map(permMinSql).mkString(", ")}
+    |  FROM h GROUP BY doc_id),
+    |bands AS (
+    |${(0 until 4).map(b =>
+      s"  SELECT doc_id, $b AS band, CAST(m${2 * b} AS VARCHAR) || '_' || " +
+        s"CAST(m${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
+      .mkString("\n  UNION ALL\n")})""".stripMargin
+
+  /** Unrolled label-propagation oracle for [[d06_neardup_clusters]] —
+    * `AS MATERIALIZED` per round like the graph-family oracles (plain
+    * CTEs inline per reference in DuckDB; see
+    * [[GraphQueries]]'s EdgesCte note).
+    */
+  private def neardupClustersOracle(rounds: Int): String = {
+    val sb = new StringBuilder(BandsCte)
+    sb.append(""",
+      |pairs AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |l0 AS MATERIALIZED (SELECT DISTINCT u AS doc_id, u AS cluster FROM sym)""".stripMargin)
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb.append(s""",
+        |m$i AS MATERIALIZED (SELECT sym.v AS doc_id, MIN(l.cluster) AS nbr
+        |  FROM sym JOIN l$p l ON sym.u = l.doc_id GROUP BY sym.v),
+        |l$i AS MATERIALIZED (SELECT l.doc_id,
+        |  LEAST(l.cluster, COALESCE(m$i.nbr, l.cluster)) AS cluster
+        |  FROM l$p l LEFT JOIN m$i ON l.doc_id = m$i.doc_id)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT d.doc_id, COALESCE(l$rounds.cluster, d.doc_id) AS cluster,
+      |  d.doc_id = COALESCE(l$rounds.cluster, d.doc_id) AS is_keeper
+      |FROM documents d LEFT JOIN l$rounds ON d.doc_id = l$rounds.doc_id""".stripMargin)
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
     "d01_exact" ->
       """WITH corpus AS (
@@ -233,19 +318,12 @@ object DedupQueries {
       |JOIN n na ON na.doc_id = doc_a
       |JOIN n nb ON nb.doc_id = doc_b
       |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.05""".stripMargin),
-    "d03_minhash_lsh" -> (ShinglesCte + s""",
-      |h AS (SELECT doc_id, ${TextQueries.polyHashSql("sh")} AS h FROM s),
-      |sig AS (SELECT doc_id, ${(0 until 8).map(permMinSql).mkString(", ")}
-      |  FROM h GROUP BY doc_id),
-      |bands AS (
-      |${(0 until 4).map(b =>
-        s"  SELECT doc_id, $b AS band, CAST(m${2 * b} AS VARCHAR) || '_' || " +
-          s"CAST(m${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
-        .mkString("\n  UNION ALL\n")})
+    "d03_minhash_lsh" -> (BandsCte + """
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       |GROUP BY 1, 2""".stripMargin),
+    "d06_neardup_clusters" -> neardupClustersOracle(3),
     "d04_simhash" -> {
       val votes = (0 until 16).map(i =>
         s"CAST(SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
@@ -287,5 +365,6 @@ object DedupQueries {
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d04_simhash" -> (d04_simhash _),
     "d05_embed_nn" -> (d05_embed_nn _),
+    "d06_neardup_clusters" -> ((s, d) => d06_neardup_clusters(s, d)),
   )
 }

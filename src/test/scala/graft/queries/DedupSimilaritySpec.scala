@@ -80,6 +80,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(DedupQueries.DefaultMaxPosting > 14)
   }
 
+  test("near-dup clusters agree with the pair graph and keep one doc each") {
+    val pairs = DedupQueries.d03_minhash_lsh(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = DedupQueries.d06_neardup_clusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val docs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.length === docs)
+    assert(pairs.nonEmpty)
+    // paired docs co-cluster (label prop converges on the testdata's
+    // small components within the fixed 3 rounds)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the component minimum and the unique keeper
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid, s"cluster $cid not its min id")
+      assert(members.count(_._3) === 1, s"cluster $cid keeper count")
+      assert(members.find(_._3).get._1 === cid)
+    }
+    // unpaired docs are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    rows.filter(r => !paired.contains(r._1)).foreach { case (id, c, k) =>
+      assert(c === id && k, s"unpaired doc $id not a singleton keeper")
+    }
+  }
+
   test("multi-probe LSH strictly improves recall@1 over single-probe") {
     val brute = SimilarityQueries.s01_knn_brute(spark, dir)
       .filter(col("rk") === 1)
