@@ -36,18 +36,24 @@ object DedupQueries {
     Seq((1L, 0L), (7L, 3L), (13L, 17L), (31L, 29L),
       (101L, 5L), (131L, 11L), (151L, 23L), (181L, 41L))
 
-  /** Word-3-gram distinct shingles of `text`, as (doc_id, lang, sh) rows.
-    * Spark side of the shared shingle CTE.
+  /** Word-3-gram distinct shingles of `text`, as (doc_id, lang, n, sh)
+    * rows — `n` is the document's distinct-shingle count, computed on
+    * the pre-explode array so the Jaccard denominator needs NO
+    * doc-keyed aggregation + re-join downstream (at corpus scale that
+    * was a full extra exchange of the shingle relation). Spark side of
+    * the shared shingle CTE.
     */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     SharedRelations(s, dir, "doc_shingles") {
       t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), col("lang"),
-          explode(expr("array_distinct(transform(sequence(1, size(w) - 2), " +
+        .withColumn("shs",
+          expr("array_distinct(transform(sequence(1, size(w) - 2), " +
             "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))"))
-            .as("sh"))
+        .select(col("doc_id"), col("lang"),
+          size(col("shs")).cast(LongType).as("n"),
+          explode(col("shs")).as("sh"))
     }
 
   /** Oracle twin of [[shingles]] — a WITH prefix callers extend. */
@@ -85,23 +91,24 @@ object DedupQueries {
   // n-gram Jaccard near-dup pairs via the inverted index, posting-list
   // form: group the shingle relation per (lang, sh) into a sorted
   // posting of (doc_id, |doc|) structs, explode the ordered pairs of
-  // each posting, and aggregate per pair. Four shuffles total (doc
-  // sizes, posting-size pre-pass, posting build, pair agg), and
-  // singleton shingles (size < 2 postings) drop out for free — no
-  // self-join of the full shingle relation at all. At corpus scale the
-  // safeguard is the posting-size ceiling ([[DefaultMaxPosting]]),
-  // which bounds the per-group pair fanout to maxPosting²/2.
+  // each posting, and aggregate per pair. Three shuffles total
+  // (posting-size pre-pass, posting build, pair agg — doc sizes ride
+  // along on the shingle rows, see [[shingles]]), and singleton
+  // shingles (size < 2 postings) drop out for free — no self-join of
+  // the full shingle relation at all. At corpus scale the safeguard is
+  // the posting-size ceiling ([[DefaultMaxPosting]]), which bounds the
+  // per-group pair fanout to maxPosting²/2.
   // jaccard = |∩| / (|A|+|B|−|∩|), one double division.
   def d02_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(shingles(s, dir), DefaultMaxPosting)
 
   /** Pair generation for d02, parameterized on the shingle relation
-    * (doc_id, lang, sh) and the posting-size ceiling — exposed so the
-    * skewed-fixture spec can pin the ceiling's recall trade directly.
+    * (doc_id, lang, n, sh) — `n` the doc's total shingle count — and
+    * the posting-size ceiling, exposed so the skewed-fixture spec can
+    * pin the ceiling's recall trade directly.
     */
   private[graft] def ngramJaccardPairs(sh: DataFrame,
                                        maxPosting: Int): DataFrame = {
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Ceiling enforced BEFORE collect_list, via a count-only pre-pass:
     // filtering after collection would still build the over-cap
     // posting array in one aggregation buffer (a 10⁹-doc stop-shingle
@@ -114,7 +121,6 @@ object DedupQueries {
       .filter(col("psize").between(2, maxPosting))
       .select(col("lang"), col("sh"))
     val posting = sh.join(keep, Seq("lang", "sh"), "left_semi")
-      .join(n, Seq("doc_id"))
       .groupBy(col("lang"), col("sh"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
     val pairs = posting.select(explode(expr(

@@ -54,11 +54,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     import spark.implicits._
     // Skewed fixture: 100 docs all share one boilerplate shingle
     // ("stop"); docs 1 and 2 additionally share a discriminative
-    // shingle ("rare"). Each doc also has a unique shingle so |doc|=3.
+    // shingle ("rare"). Each doc also has a unique shingle; `n` is the
+    // doc's shingle count carried on the rows (the shingles() schema).
     val sh = (1L to 100L).flatMap { id =>
-      Seq((id, "en", "stop"), (id, "en", s"uniq$id")) ++
-        (if (id <= 2) Seq((id, "en", "rare")) else Nil)
-    }.toDF("doc_id", "lang", "sh")
+      val n = if (id <= 2) 3L else 2L
+      Seq((id, "en", n, "stop"), (id, "en", n, s"uniq$id")) ++
+        (if (id <= 2) Seq((id, "en", n, "rare")) else Nil)
+    }.toDF("doc_id", "lang", "n", "sh")
 
     // Unbounded (cap ≥ 100): the stop shingle alone yields all
     // C(100,2) = 4950 pairs.
