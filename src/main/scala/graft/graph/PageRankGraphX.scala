@@ -177,6 +177,59 @@ object PageRankGraphX {
   private def sinkMass(g: Graph[Double, Unit]): Double =
     g.vertices.filter(_._1 == 0L).map(_._2).fold(0.0)(_ + _)
 
+  /** Int64 fixed-point standard PageRank on GraphX — the GraphX
+    * execution of [[graft.queries.GraphQueries.g04_pagerank]]'s exact
+    * integer recurrence (scale 10¹², β = 15/100, truncating division):
+    *
+    * r0(v) = Scale div n
+    * r'(v) = (0.15·Scale div n) + (85·(Σ_{u→v} r(u) div outdeg(u)
+    *          + D div n)) div 100,  D = Σ_{dangling u} r(u)
+    *
+    * Long sums are associative, so unlike the double-precision
+    * flagship ([[standard]], rows-only checked) this path is
+    * bit-identical to the DataFrame loop AND the unrolled DuckDB
+    * oracle regardless of message merge order — the GraphX engine
+    * itself becomes oracle-gated. Expects a deduplicated edge list
+    * (the derived graph is distinct by construction).
+    */
+  def standardFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val Scale = 1000000000000L
+    val Beta = 15L * Scale / 100L
+    val graph0 = fromEdges(edges)
+    val n = graph0.numVertices
+    var g: Graph[(Long, Int), Unit] = graph0
+      .outerJoinVertices(graph0.outDegrees)((_, _, d) =>
+        (Scale / n, d.getOrElse(0)))
+      .cache()
+    var prev: Graph[(Long, Int), Unit] = null
+    var i = 0
+    while (i < iters) {
+      val d = g.vertices.filter { case (_, (_, deg)) => deg == 0 }
+        .map(_._2._1).fold(0L)(_ + _)
+      if (prev != null) {
+        prev.unpersistVertices(false)
+        prev.edges.unpersist(false)
+      }
+      val dd = d
+      val contribs = g.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
+        _ + _)
+      prev = g
+      g = g.outerJoinVertices(contribs) { (_, attr, c) =>
+        (Beta / n + (85L * (c.getOrElse(0L) + dd / n)) / 100L, attr._2)
+      }.cache()
+      i += 1
+    }
+    spark.createDataFrame(
+      g.vertices.map { case (id, (r, _)) => Row(id, r) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank_fp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Pregel-API variant (BASELINE.json `spark_approach`): textbook
     * damped PageRank `r' = β/N + (1−β)·Σ r(u)/deg(u)` driven by
     * `graphx.Pregel` for a fixed superstep count.

@@ -505,6 +505,9 @@ object GraphQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM edges WHERE edges.src = nodes.node)""".stripMargin),
     "g04_pagerank" -> pagerankOracle(3),
     "g04_pagerank_i10" -> pagerankOracle(10),
+    // Same recurrence executed by GraphX — int64 makes it oracle-exact
+    // (g07, the double flagship, stays rows-only by necessity).
+    "g10_pagerank_graphx_fp" -> pagerankOracle(3),
     "g08_pagerank_compat" -> pagerankCompatOracle(3),
     "g09_pagerank_personalized" -> pagerankPersonalizedOracle(3),
     "g05_cc_labelprop" -> ccOracle(3),
@@ -539,5 +542,10 @@ object GraphQueries {
     // pins its semantics against the DataFrame twin.
     "g07_pagerank_graphx" -> ((s, d) =>
       graft.graph.PageRankGraphX.standard(derivedEdges(s, d), 5)),
+    // GraphX running g04's int64 fixed-point recurrence — bit-exact
+    // against the same unrolled-CTE oracle (long sums are associative,
+    // so message merge order can't perturb the result).
+    "g10_pagerank_graphx_fp" -> ((s, d) =>
+      graft.graph.PageRankGraphX.standardFixedPoint(derivedEdges(s, d), 3)),
   )
 }

@@ -51,6 +51,15 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(planNodes(10) === planNodes(14))
   }
 
+  test("fixed-point pagerank is bit-identical across DataFrame and GraphX") {
+    val df = GraphQueries.g04_pagerank(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val gx = graft.graph.PageRankGraphX
+      .standardFixedPoint(GraphQueries.derivedEdges(spark, dir), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gx === df)
+  }
+
   test("cc labels are ≤ node id and stable under one more round") {
     val l3 = GraphQueries.g05_cc_labelprop(spark, dir, 3)
       .as[(Long, Long)].collect().toMap
