@@ -83,6 +83,33 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Stream–stream INTERVAL join — the incremental form of q29's
+    * error-follow range join: every error event paired with the same
+    * user's events in `(err_ts, err_ts + bound]`. Both sides carry
+    * watermarks and the join condition bounds event time in both
+    * directions, so the state store holds only rows still able to
+    * match (≈ wm + bound per side, keyed by user — nothing grows with
+    * stream length). On a batch frame the watermark nodes are no-ops
+    * and this is exactly the q29 pair relation before its aggregation,
+    * which is how the spec pins stream/batch agreement.
+    */
+  def errorFollowJoin(events: DataFrame, wm: String = "10 minutes",
+                      bound: String = "10 minutes"): DataFrame = {
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", wm)
+    val evs = events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", wm)
+    errs.join(evs,
+      col("err_user") === col("user_id") &&
+        col("ts") > col("err_ts") &&
+        col("ts") <= col("err_ts") + expr(s"INTERVAL $bound"))
+      .select(col("err_id"), col("event_id").as("follow_id"),
+        col("user_id"), col("ts"), col("value"))
+  }
+
   /** Arbitrary keyed state via `mapGroupsWithState`: running per-user
     * event count + value total, emitted (update mode) once per user per
     * micro-batch. The template for custom state machines the built-in

@@ -169,6 +169,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream-stream interval join pairs errors with in-bound follows only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ev(1, 0, typ = "error"), // error for user 1 at 10:00
+      ev(2, 5),                // user 1, 10:05 → within (10:00, 10:10]
+      ev(3, 12),               // user 1, 10:12 → outside the 10m bound
+      ev(4, 3, user = 2L))     // other user → no match
+    val in = MemoryStream[Ev]
+    val q = runAppend("ssj", StreamOps.errorFollowJoin(in.toDF()))
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("err_id", "follow_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 2L)))
+      // batch twin: the same transform on a static frame (watermarks
+      // no-op) yields the same pairs
+      val batch = StreamOps.errorFollowJoin(data.toDS().toDF())
+        .select("err_id", "follow_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
