@@ -51,9 +51,16 @@ object PageRankGraphX {
   /** Standard PageRank with dangling redistribution; returns
     * (node, rank) as a DataFrame for parity with [[PageRank.standard]].
     */
-  def standard(edges: DataFrame, iters: Int, beta: Double = 0.15): DataFrame = {
-    val spark = edges.sparkSession
-    val graph0 = fromEdges(edges)
+  def standard(edges: DataFrame, iters: Int, beta: Double = 0.15): DataFrame =
+    standardOn(fromEdges(edges), iters, beta)
+
+  /** [[standard]] on an already-built (possibly caller-cached) graph —
+    * repeated runs over the same edge set skip the count + partition +
+    * cache of graph construction.
+    */
+  def standardOn(graph0: Graph[Double, Unit], iters: Int,
+                 beta: Double = 0.15): DataFrame = {
+    val spark = SparkSession.active
     val n = graph0.numVertices.toDouble
     // out-degree as vertex attribute; 0 for dangling
     val degrees = graph0.outDegrees
@@ -192,11 +199,16 @@ object PageRankGraphX {
     * itself becomes oracle-gated. Expects a deduplicated edge list
     * (the derived graph is distinct by construction).
     */
-  def standardFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
-    val spark = edges.sparkSession
+  def standardFixedPoint(edges: DataFrame, iters: Int): DataFrame =
+    standardFixedPointOn(fromEdges(edges), iters)
+
+  /** [[standardFixedPoint]] on an already-built graph (see
+    * [[standardOn]]).
+    */
+  def standardFixedPointOn(graph0: Graph[Double, Unit], iters: Int): DataFrame = {
+    val spark = SparkSession.active
     val Scale = 1000000000000L
     val Beta = 15L * Scale / 100L
-    val graph0 = fromEdges(edges)
     val n = graph0.numVertices
     var g: Graph[(Long, Int), Unit] = graph0
       .outerJoinVertices(graph0.outDegrees)((_, _, d) =>

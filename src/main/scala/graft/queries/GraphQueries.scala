@@ -210,6 +210,26 @@ object GraphQueries {
       }
     }
 
+  /** GraphX graph over [[derivedEdges]], built once per (session,
+    * sfDir): repeated GraphX queries (g07's bench samples, g10) skip
+    * the per-call count + EdgePartition2D partition + cache. Released
+    * on eviction like the checkpoint memos.
+    */
+  private val gxMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.graphx.Graph[Double, Unit]]
+
+  private def graphxGraph(s: SparkSession, dir: String) =
+    gxMemo.getOrElseUpdate((s, dir), {
+      SharedRelations.onEvict(s) { () =>
+        gxMemo.keys.filter(_._1 eq s).foreach { k =>
+          gxMemo.remove(k).foreach { g =>
+            g.unpersistVertices(false); g.edges.unpersist(false)
+          }
+        }
+      }
+      graft.graph.PageRankGraphX.fromEdges(derivedEdges(s, dir))
+    })
+
   private def pagerankLoop(s: SparkSession, dir: String, iters: Int,
                            divideByOutdeg: Boolean,
                            checkpointEvery: Int = 2): DataFrame = {
@@ -541,11 +561,11 @@ object GraphQueries {
     // oracle: the driver records a rows-only check, and ScalaTest
     // pins its semantics against the DataFrame twin.
     "g07_pagerank_graphx" -> ((s, d) =>
-      graft.graph.PageRankGraphX.standard(derivedEdges(s, d), 5)),
+      graft.graph.PageRankGraphX.standardOn(graphxGraph(s, d), 5)),
     // GraphX running g04's int64 fixed-point recurrence — bit-exact
     // against the same unrolled-CTE oracle (long sums are associative,
     // so message merge order can't perturb the result).
     "g10_pagerank_graphx_fp" -> ((s, d) =>
-      graft.graph.PageRankGraphX.standardFixedPoint(derivedEdges(s, d), 3)),
+      graft.graph.PageRankGraphX.standardFixedPointOn(graphxGraph(s, d), 3)),
   )
 }
