@@ -207,10 +207,15 @@ object DedupQueries {
     */
   def d06_neardup_clusters(s: SparkSession, dir: String,
                            rounds: Int = 3): DataFrame = {
-    val pairs = d03_minhash_lsh(s, dir)
-    val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .distinct()
+    // Persisted: every propagation round joins against this relation —
+    // unpinned, each round would re-run the whole band-join candidate
+    // generation (the plan repeats the d03 subtree once per round).
+    val sym = SharedRelations(s, dir, "neardup_sym") {
+      val pairs = d03_minhash_lsh(s, dir)
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .distinct()
+    }
     var lab = sym.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
     var i = 0
