@@ -130,17 +130,25 @@ object SimilarityQueries {
 
   // IVF-style ANN: a deterministic coarse quantizer (every 97th vector
   // is a centroid), each vector assigned to its nearest centroid by
-  // cosine (the inverted-file build), queries probe ONLY their own
-  // cell. At scale the assignment is a broadcast of |C| centroids
-  // against n vectors (linear scan, map-side), and search is a
-  // cell-key equi-join — the same sparse-join scale shape as s02, with
-  // the cell granularity tunable via the centroid count.
-  def s03_knn_ivf(s: SparkSession, dir: String): DataFrame = {
+  // cosine (the inverted-file build); queries probe their `nprobe`
+  // nearest cells (the standard IVF recall knob — a query near a cell
+  // boundary has its true neighbor in the second-closest cell about as
+  // often as the closest). At scale the assignment is a broadcast of
+  // |C| centroids against n vectors (linear scan, map-side), the
+  // query-cell ranking touches only |Q|·|C| pairs, and search stays a
+  // cell-key equi-join — the same sparse-join scale shape as s02.
+  // `cell` reports the query's own (top-1) cell, `probed` the cell the
+  // winner was found in.
+  def s03_knn_ivf(s: SparkSession, dir: String): DataFrame =
+    knnIvf(s, dir, nprobe = 2)
+
+  private[queries] def knnIvf(s: SparkSession, dir: String,
+                              nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = normed(s, dir)
+    val cents = broadcast(e.filter(col("vec_id") % 97 === 0)
+      .toDF("cid", "cv", "cn"))
     val asg = SharedRelations(s, dir, "ivf_assign") {
-      val cents = broadcast(e.filter(col("vec_id") % 97 === 0)
-        .toDF("cid", "cv", "cn"))
       val scored = e.join(cents)
         .select(col("vec_id"), col("cid"),
           (dotExpr("embedding", "cv") / (col("nrm") * col("cn"))).as("cos"))
@@ -149,16 +157,30 @@ object SimilarityQueries {
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"))
     }
-    val q = e.join(asg, Seq("vec_id")).filter(col("vec_id") < 20)
-      .toDF("qid", "qv", "qn", "cell")
+    // Query-side cell ranking: |Q| queries × |C| centroids, broadcast.
+    val qcells = broadcast(
+      e.filter(col("vec_id") < 20).join(cents)
+        .select(col("vec_id").as("qid"), col("cid"),
+          (dotExpr("embedding", "cv") / (col("nrm") * col("cn"))).as("qcos"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("qcos").desc, col("cid").asc)))
+        .filter(col("crn") <= nprobe)
+        .select(col("qid"), col("cid").as("cell"), col("crn")))
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn")
+      .join(qcells, Seq("qid"))
     val d = e.join(asg, Seq("vec_id")).toDF("did", "dv", "dn", "cell")
     val cand = q.join(d, Seq("cell")).filter(col("qid") =!= col("did"))
-      .select(col("qid"), col("cell"), col("did"),
+      .select(col("qid"), col("cell").as("probed"), col("did"),
         (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos"))
+    val top1 = qcells.filter(col("crn") === 1)
+      .select(col("qid"), col("cell"))
     val w2 = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("did").asc)
     cand.withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
-      .select(col("qid"), col("cell"), col("did").as("nn_id"), col("cos"))
+      .join(top1, Seq("qid"))
+      .select(col("qid"), col("cell"), col("probed"),
+        col("did").as("nn_id"), col("cos"))
   }
 
   private def dotSql(a: String, b: String): String =
@@ -224,16 +246,21 @@ object SimilarityQueries {
        |  SELECT vec_id, cid,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
        |  FROM sc) WHERE rn = 1),
-       |p AS (SELECT q.vec_id AS qid, qa.cid AS cell, d.vec_id AS did,
+       |qc AS (SELECT vec_id AS qid, cid AS cell, rn AS crn FROM (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+       |  FROM sc WHERE vec_id < 20) WHERE rn <= 2),
+       |p AS (SELECT q.vec_id AS qid, qc.cell AS probed, d.vec_id AS did,
        |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
-       |  FROM e q JOIN asg qa ON q.vec_id = qa.vec_id
-       |  JOIN asg da ON da.cid = qa.cid AND da.vec_id <> q.vec_id
-       |  JOIN e d ON d.vec_id = da.vec_id
-       |  WHERE q.vec_id < 20)
-       |SELECT qid, cell, did AS nn_id, cos FROM (
-       |  SELECT qid, cell, did, cos,
+       |  FROM e q JOIN qc ON qc.qid = q.vec_id
+       |  JOIN asg da ON da.cid = qc.cell AND da.vec_id <> q.vec_id
+       |  JOIN e d ON d.vec_id = da.vec_id)
+       |SELECT p.qid, t.cell, p.probed, p.did AS nn_id, p.cos FROM (
+       |  SELECT qid, probed, did, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rn
-       |  FROM p) WHERE rn = 1""".stripMargin
+       |  FROM p) p
+       |JOIN (SELECT qid, cell FROM qc WHERE crn = 1) t ON t.qid = p.qid
+       |WHERE p.rn = 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01_knn_brute _),

@@ -131,6 +131,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF nprobe=2 improves on single-cell probing") {
+    val brute = SimilarityQueries.s01_knn_brute(spark, dir)
+      .filter(col("rk") === 1)
+      .select("qid", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def run(nprobe: Int): (Int, Map[Long, Double]) = {
+      val rows = SimilarityQueries.knnIvf(spark, dir, nprobe)
+        .select("qid", "nn_id", "cos").collect()
+      (rows.count(r => brute(r.getLong(0)) == r.getLong(1)),
+        rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+    }
+    val (single, singleCos) = run(1)
+    val (multi, multiCos) = run(2)
+    // candidate superset ⇒ per-query best cos never regresses, and the
+    // second cell must strictly improve at least one query's best
+    assert(multi >= single, s"recall@1 regressed: $multi < $single")
+    singleCos.foreach { case (q, c) =>
+      assert(multiCos(q) >= c - 1e-15, s"q=$q multi ${multiCos(q)} < $c")
+    }
+    assert(multiCos.values.sum > singleCos.values.sum + 1e-12,
+      "second probe cell changed nothing")
+  }
+
   test("LSH ANN returns true in-bucket neighbors no better than brute force") {
     val brute = SimilarityQueries.s01_knn_brute(spark, dir)
       .filter(col("rk") === 1)
