@@ -84,6 +84,38 @@ object MultimodalQueries {
         md5(expr(s"substring(payload, frame_idx * ${MediaCodecs.FrameBytes} + 1, " +
           s"${MediaCodecs.FrameBytes})")).as("frame_digest"))
 
+  /** Decode→embed→search, end to end from the binary column: the stub
+    * decoder's 16-bin histogram becomes a dense feature vector and
+    * feeds the similarity family's cosine-top-1 shape, restricted to
+    * the query's media_type (an equi-join — at scale the type would be
+    * a partition key). The "embed the images, then find each one's
+    * nearest neighbor" pipeline step; the query set is bounded
+    * (doc_id < 20) like d05, with s02/s03 as the unbounded scale path
+    * over a persisted embedding table.
+    */
+  def m04_media_nn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.GraftExpressions.dot _
+    val feats = media(s, dir).as[MediaRow].mapPartitions { it =>
+      it.map(r => (r.doc_id, r.media_type,
+        MediaCodecs.decodeFeaturesStub(r.payload)))
+    }.toDF("doc_id", "media_type", "features")
+      .withColumn("nrm", sqrt(dot(col("features"), col("features"))))
+    val q = broadcast(feats.filter(col("doc_id") < 20)
+      .toDF("qid", "media_type", "qv", "qn"))
+    val cand = q.join(feats.toDF("did", "media_type", "dv", "dn"),
+        Seq("media_type"))
+      .filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("media_type"), col("did"),
+        (dot(col("qv"), col("dv")) / (col("qn") * col("dn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("did").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("media_type"), col("did").as("nn_id"),
+        col("cos"))
+  }
+
   /** Oracle twin of the media derivation (string side; bytes == chars
     * on this ASCII corpus).
     */
@@ -96,28 +128,55 @@ object MultimodalQueries {
       |  CAST(LENGTH(text) AS BIGINT) AS n_bytes
       |FROM documents)""".stripMargin
 
+  /** MediaCte + the stub decoder's histogram bins — shared by the m02
+    * and m04 oracles.
+    */
+  private val BinsCte: String = MediaCte + s""",
+    |codes AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(STRING_SPLIT(payload, ''),
+    |    ch -> ASCII(ch))) AS c
+    |  FROM media),
+    |cnts AS (SELECT doc_id, c * 16 // 256 AS bin, COUNT(*) AS cnt
+    |  FROM codes GROUP BY 1, 2),
+    |grid AS (SELECT m.doc_id, m.n_bytes, b.bin
+    |  FROM media m, (SELECT UNNEST(RANGE(0, 16)) AS bin) b),
+    |bins AS (SELECT grid.doc_id, grid.n_bytes, grid.bin,
+    |    CAST(COALESCE(cnts.cnt, 0) AS BIGINT) AS cnt
+    |  FROM grid LEFT JOIN cnts
+    |    ON grid.doc_id = cnts.doc_id AND grid.bin = cnts.bin)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
+      s"LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> (MediaCte + """
       |SELECT doc_id, media_type, n_bytes,
       |  MD5(payload) AS digest,
       |  CAST(ASCII(SUBSTRING(payload, 1, 1)) AS BIGINT) AS head_byte
       |FROM media""".stripMargin),
-    "m02_features" -> (MediaCte + s""",
-      |codes AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(STRING_SPLIT(payload, ''),
-      |    ch -> ASCII(ch))) AS c
-      |  FROM media),
-      |cnts AS (SELECT doc_id, c * 16 // 256 AS bin, COUNT(*) AS cnt
-      |  FROM codes GROUP BY 1, 2),
-      |grid AS (SELECT m.doc_id, m.n_bytes, b.bin
-      |  FROM media m, (SELECT UNNEST(RANGE(0, 16)) AS bin) b),
-      |bins AS (SELECT grid.doc_id, grid.n_bytes, grid.bin,
-      |    CAST(COALESCE(cnts.cnt, 0) AS BIGINT) AS cnt
-      |  FROM grid LEFT JOIN cnts
-      |    ON grid.doc_id = cnts.doc_id AND grid.bin = cnts.bin)
+    "m02_features" -> (BinsCte + s"""
       |SELECT doc_id, n_bytes,
       |  STRING_AGG(CAST(CAST(FLOOR(CAST(CAST(CAST(cnt AS FLOAT) / CAST(n_bytes AS FLOAT) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR),
       |    '-' ORDER BY bin) AS feat_sig
       |FROM bins GROUP BY doc_id, n_bytes""".stripMargin),
+    "m04_media_nn" -> (BinsCte + s""",
+      |feats AS (SELECT doc_id,
+      |    LIST(CAST(CAST(cnt AS FLOAT) / CAST(n_bytes AS FLOAT) AS FLOAT)
+      |      ORDER BY bin) AS f
+      |  FROM bins GROUP BY doc_id),
+      |e AS (SELECT m.doc_id, m.media_type, f.f,
+      |    SQRT(${dotSql("f.f", "f.f")}) AS nrm
+      |  FROM media m JOIN feats f ON m.doc_id = f.doc_id),
+      |p AS (SELECT q.doc_id AS qid, q.media_type, d.doc_id AS did,
+      |    ${dotSql("q.f", "d.f")} / (q.nrm * d.nrm) AS cos
+      |  FROM e q JOIN e d ON q.media_type = d.media_type
+      |    AND q.doc_id < 20 AND q.doc_id <> d.doc_id)
+      |SELECT qid, media_type, did AS nn_id, cos FROM (
+      |  SELECT qid, media_type, did, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rn
+      |  FROM p) WHERE rn = 1""".stripMargin),
     "m03_frame_sample" -> (MediaCte + s""",
       |frames AS (SELECT doc_id, payload,
       |    UNNEST(RANGE(0, ((n_bytes - 1) // 32) + 1)) AS frame_idx
@@ -131,5 +190,6 @@ object MultimodalQueries {
     "m01_binary_meta" -> (m01_binary_meta _),
     "m02_features" -> (m02_features _),
     "m03_frame_sample" -> (m03_frame_sample _),
+    "m04_media_nn" -> (m04_media_nn _),
   )
 }

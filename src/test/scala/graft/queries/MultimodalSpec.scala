@@ -47,4 +47,19 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("media_type") === "video").count()
     assert(frames.select("doc_id").distinct().count() === videoDocs)
   }
+
+  test("media NN stays within the query's media_type and under cos=1") {
+    val rows = MultimodalQueries.m04_media_nn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val types = MultimodalQueries.media(spark, dir)
+      .select("doc_id", "media_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (qid, mt, nn, cos) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(types(qid) === mt, s"q=$qid type mismatch")
+      assert(types(nn) === mt, s"q=$qid nn=$nn crossed media types")
+      assert(cos <= 1.0 + 1e-12 && cos >= -1.0 - 1e-12, s"q=$qid cos=$cos")
+    }
+  }
 }
