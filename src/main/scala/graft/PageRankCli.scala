@@ -54,7 +54,10 @@ object PageRankCli {
 
   /** The CLI body, factored from [[main]] so specs can drive it on a
     * shared session: runs `iters` passes from `in` (edges or state),
-    * writing each pass's state to `<out><globalPass>`.
+    * writing each pass's state to `<out><globalPass>`, and finishes
+    * with the one-line JSON summary on stdout (the value a follow-up
+    * resume feeds from). Input-kind detection and the pass offset are
+    * computed exactly once here.
     */
   def run(spark: SparkSession, in: String, out: String, k: Long,
           iters: Int, mass0: Double = 0.0): PageRank.CompatState = {
@@ -65,13 +68,18 @@ object PageRankCli {
         s"[pagerank] pass=$pass out=$out$pass " +
           s"danglingMass=${st.danglingMass} counter=${st.counterValue}")
     }
-    if (GraphIO.looksLikeCompatState(spark, in))
-      PageRank.compatSteps(
-        PageRank.CompatState(GraphIO.readCompatCsv(spark, in), mass0),
-        k, iters, onPass = onPass, passOffset = passOffsetOf(in))
-    else
-      PageRank.compat(GraphIO.readEdgesCsv(spark, in), k, iters,
-        onPass = onPass)
+    val isState = GraphIO.looksLikeCompatState(spark, in)
+    val off = if (isState) passOffsetOf(in) else 0
+    val fin =
+      if (isState)
+        PageRank.compatSteps(
+          PageRank.CompatState(GraphIO.readCompatCsv(spark, in), mass0),
+          k, iters, onPass = onPass, passOffset = off)
+      else
+        PageRank.compat(GraphIO.readEdgesCsv(spark, in), k, iters,
+          onPass = onPass)
+    println(s"""{"passes":$iters,"lastPass":${off + iters},"danglingMass":${fin.danglingMass},"counter":${fin.counterValue}}""")
+    fin
   }
 
   private def usageError(msg: String): Nothing = {
@@ -111,10 +119,7 @@ object PageRankCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val off = if (GraphIO.looksLikeCompatState(spark, in)) passOffsetOf(in) else 0
-    val fin = run(spark, in, out, k, iters, mass0)
-
-    println(s"""{"passes":$iters,"lastPass":${off + iters},"danglingMass":${fin.danglingMass},"counter":${fin.counterValue}}""")
+    run(spark, in, out, k, iters, mass0)
     spark.stop()
   }
 }

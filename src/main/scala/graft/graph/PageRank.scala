@@ -177,7 +177,13 @@ object PageRank {
           (lit(beta / n) + lit(1 - beta) *
             (coalesce(col("c"), lit(0.0)) + lit(d / n))).as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
+      if ((i + 1) % checkpointEvery == 0) {
+        // the checkpoint subsumes the pre-checkpoint persist — release
+        // it, or every cadence hit leaks one pinned plan
+        val pre = next
+        next = next.localCheckpoint(true)
+        pre.unpersist(false)
+      }
       prevRanks = ranks
       ranks = next
       i += 1
@@ -239,7 +245,11 @@ object PageRank {
           (lit(beta / n) + lit(1 - beta) *
             (coalesce(col("c"), lit(0.0)) + lit(d / n))).as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
+      if ((i + 1) % checkpointEvery == 0) {
+        val pre = next
+        next = next.localCheckpoint(true)
+        pre.unpersist(false)
+      }
       // The convergence scalar: one 1-row aggregate joining the new
       // state against the old — also the job that materializes `next`.
       delta = next.toDF("node", "nr")
@@ -251,6 +261,12 @@ object PageRank {
       ranks = next
       i += 1
     }
+    // Unlike [[standard]] (whose result is still lazy at return), the
+    // final state here was materialized by its delta aggregate, so the
+    // loop's scaffolding can be released immediately; only `ranks`
+    // stays pinned for the caller.
+    if (prevRanks != null) prevRanks.unpersist(false)
+    links.unpersist(false)
     Converged(ranks, i, delta)
   }
 }

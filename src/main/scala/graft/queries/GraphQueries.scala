@@ -173,6 +173,10 @@ object GraphQueries {
 
   private def parkPins(s: SparkSession, pins: List[DataFrame]): Unit =
     if (pins.nonEmpty) carriedPins.updateWith(s) { prev =>
+      if (prev.isEmpty)
+        // first park on this session: drop the (now-stale) entries when
+        // the session is evicted so dead pins never count toward the cap
+        SharedRelations.onEvict(s)(() => { carriedPins.remove(s); () })
       val old = prev.getOrElse(Nil)
       // On overflow release only the OLDER pins: the newest call's pins
       // must survive until its caller materializes the returned plan.
@@ -185,13 +189,19 @@ object GraphQueries {
     * index and its materialized integer state. A repeated deep call
     * (the bench's i10 samples) resumes from it instead of recomputing
     * the prefix — exact, because the fixed-point state at pass `p` is
-    * fully deterministic given (sfDir, mode). Replacing a memo
-    * releases the superseded checkpoint's RDD; eviction is hooked into
-    * [[SharedRelations.evict]] (checkpoint RDDs live outside the
-    * CacheManager, so `clearCache` can't reach them).
+    * fully deterministic given (sfDir, mode). Superseded checkpoints
+    * are RETIRED, not released immediately: an earlier caller's
+    * still-lazy result may reference the old checkpoint's RDD, and a
+    * localCheckpoint cannot recompute once its blocks are dropped
+    * (truncated lineage). Retired and current checkpoint RDDs are all
+    * released at eviction via [[SharedRelations.onEvict]] (checkpoint
+    * RDDs live outside the CacheManager, so `clearCache` can't reach
+    * them).
     */
   private val cpMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), (Int, DataFrame)]
+  private val retiredCps = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, List[DataFrame]]
 
   private def storeMemo(mk: (SparkSession, String, String), pass: Int,
                         df: DataFrame): Unit = {
@@ -199,16 +209,19 @@ object GraphQueries {
     if (!cpMemo.keys.exists(_._1 eq s))
       SharedRelations.onEvict(s)(() => releaseMemos(s))
     cpMemo.put(mk, (pass, df)).foreach { case (_, old) =>
-      org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(old)
+      retiredCps.updateWith(s)(prev => Some(old :: prev.getOrElse(Nil)))
     }
   }
 
-  private def releaseMemos(s: SparkSession): Unit =
+  private def releaseMemos(s: SparkSession): Unit = {
     cpMemo.keys.filter(_._1 eq s).foreach { k =>
       cpMemo.remove(k).foreach { case (_, df) =>
         org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(df)
       }
     }
+    retiredCps.remove(s).foreach(_.foreach(
+      org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint))
+  }
 
   /** GraphX graph over [[derivedEdges]], built once per (session,
     * sfDir): repeated GraphX queries (g07's bench samples, g10) skip
@@ -245,10 +258,14 @@ object GraphQueries {
     var pending = List.empty[DataFrame]
     val mk = (s, dir, if (divideByOutdeg) "std" else "compat")
     var i = 0
-    // Resume from a memoized checkpoint when one exists at pass ≤ iters.
-    cpMemo.get(mk).filter(_._1 <= iters).foreach { case (p, df) =>
-      i = p; r = df
-    }
+    // Resume from a memoized checkpoint when one exists at pass ≤ iters
+    // — but not when the caller explicitly disabled checkpointing
+    // (checkpointEvery = 0 must mean a genuinely checkpoint-free plan,
+    // e.g. the cadence-independence spec's baseline).
+    if (checkpointEvery > 0)
+      cpMemo.get(mk).filter(_._1 <= iters).foreach { case (p, df) =>
+        i = p; r = df
+      }
     while (i < iters) {
       val joined = r.join(deg, Seq("node"), "left_outer")
       // Reuse an existing cache of this exact plan if a CONCURRENT
@@ -384,9 +401,10 @@ object GraphQueries {
     var pending = List.empty[DataFrame]
     val mk = (s, dir, "pers")
     var i = 0
-    cpMemo.get(mk).filter(_._1 <= iters).foreach { case (p, df) =>
-      i = p; r = df
-    }
+    if (checkpointEvery > 0)
+      cpMemo.get(mk).filter(_._1 <= iters).foreach { case (p, df) =>
+        i = p; r = df
+      }
     while (i < iters) {
       val joined = r.join(deg, Seq("node"), "left_outer")
       val withDeg =

@@ -97,11 +97,16 @@ object MultimodalQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val dot = graft.functions.GraftExpressions.dot _
-    val feats = media(s, dir).as[MediaRow].mapPartitions { it =>
-      it.map(r => (r.doc_id, r.media_type,
-        MediaCodecs.decodeFeaturesStub(r.payload)))
-    }.toDF("doc_id", "media_type", "features")
-      .withColumn("nrm", sqrt(dot(col("features"), col("features"))))
+    // Persisted: the decode+embed pass is the expensive stage and both
+    // the query side and the data side read it — unpinned it would run
+    // twice per execution.
+    val feats = SharedRelations(s, dir, "media_feats") {
+      media(s, dir).as[MediaRow].mapPartitions { it =>
+        it.map(r => (r.doc_id, r.media_type,
+          MediaCodecs.decodeFeaturesStub(r.payload)))
+      }.toDF("doc_id", "media_type", "features")
+        .withColumn("nrm", sqrt(dot(col("features"), col("features"))))
+    }
     val q = broadcast(feats.filter(col("doc_id") < 20)
       .toDF("qid", "media_type", "qv", "qn"))
     val cand = q.join(feats.toDF("did", "media_type", "dv", "dn"),
