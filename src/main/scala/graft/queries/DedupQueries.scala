@@ -170,23 +170,80 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  // SimHash: 16-bit signature from per-word hash bit votes; near-dups
-  // land within small hamming distance (compare via bit_count(xor) —
-  // done in ScalaTest; the query emits the signatures).
-  def d04_simhash(s: SparkSession, dir: String): DataFrame = {
-    val words = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("wd"))
-      .select(col("doc_id"), TextQueries.polyHash("wd").as("h"))
-    val votes = (0 until 16).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        .as(s"b$i")
+  /** Signature width in bits. 32 keeps a Hamming-3 radius
+    * discriminative at the testdata corpus sizes (16 bits saturates
+    * past ~10³ docs — random pairs land within radius 3 at ~1%, and
+    * d07's result set explodes quadratically); a production corpus at
+    * 10⁹ docs widens to 64 the same way. The vote pipeline, banding,
+    * and oracle are all width-parametric. (Bit 31 is structurally 0 —
+    * polyHash < 2³¹ — so the effective width is 31 bits; harmless,
+    * noted for honesty.)
+    */
+  private val SimhashBits = 32
+
+  /** SimHash signature relation (doc_id, simhash) —
+    * [[SimhashBits]]-bit signature from per-word hash bit votes.
+    * Cached: d04 emits it and d07 joins it on both sides; 8 bytes/doc,
+    * the cheapest relation in the family.
+    */
+  private[graft] def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    SharedRelations(s, dir, "simhash_sig") {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("wd"))
+        .select(col("doc_id"), TextQueries.polyHash("wd").as("h"))
+      val votes = (0 until SimhashBits).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"b$i")
+      }
+      val fp = (0 until SimhashBits).map { i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+      words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), fp.as("simhash"))
     }
-    val fp = (0 until 16).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+
+  // SimHash signatures: near-dups land within small hamming distance
+  // (the pair join is d07; this emits the signature relation itself).
+  def d04_simhash(s: SparkSession, dir: String): DataFrame =
+    simhashSigs(s, dir)
+
+  /** Bands per signature for [[d07_simhash_hamming]]'s pigeonhole
+    * join: 4 bands of [[SimhashBits]]/4 bits. Any pair within Hamming
+    * distance [[D07MaxHamming]] (= bands − 1) differs in at most 3
+    * bits, so by pigeonhole at least one band is bit-identical —
+    * banding loses NO pairs, which the oracle proves by being the
+    * direct all-pairs definition while the Spark plan only ever joins
+    * within buckets.
+    */
+  private val D07Bands = 4
+  private val D07BandBits = SimhashBits / D07Bands
+  private val D07MaxHamming = D07Bands - 1
+
+  // SimHash near-dup pairs at scale: equi-join signatures on (band,
+  // band-value) — candidates are bounded by bucket co-occupancy, never
+  // O(n²) — then verify with one bit_count(xor) per candidate. The
+  // signature (8 bytes) rides the band rows so verification needs no
+  // re-join against the corpus; duplicates from multi-band agreement
+  // collapse in the final distinct.
+  def d07_simhash_hamming(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSigs(s, dir)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until D07Bands).map(b =>
+        shiftright(col("simhash"), D07BandBits * b)
+          .bitwiseAND((1 << D07BandBits) - 1)): _*))
+        .as(Seq("band", "bval")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+      col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType)
+          .as("hamming"))
+      .filter(col("hamming") <= D07MaxHamming)
+      .distinct()
   }
 
   /** Near-dup CLUSTERING — the step a dedup pipeline runs after
@@ -258,6 +315,26 @@ object DedupQueries {
       .orderBy(col("cos").desc, col("did").asc)
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("qid"), col("did").as("nn_id"), col("cos"))
+  }
+
+  /** Oracle twin of [[simhashSigs]] — WITH prefix ending in `sig`;
+    * `AS MATERIALIZED` because d07's self-join reads it twice.
+    */
+  private lazy val SimhashCte: String = {
+    val votes = (0 until SimhashBits).map(i =>
+      s"CAST(SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
+      .mkString(",\n  ")
+    val fp = (0 until SimhashBits).map(i =>
+      s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH u AS (SELECT doc_id,
+       |    UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS wd
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${TextQueries.polyHashSql("wd")} AS h FROM u),
+       |bits AS (SELECT doc_id,
+       |  $votes
+       |  FROM h GROUP BY doc_id),
+       |sig AS MATERIALIZED (SELECT doc_id, $fp AS simhash FROM bits)""".stripMargin
   }
 
   private def permMinSql(i: Int): String = {
@@ -335,22 +412,12 @@ object DedupQueries {
       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       |GROUP BY 1, 2""".stripMargin),
     "d06_neardup_clusters" -> neardupClustersOracle(3),
-    "d04_simhash" -> {
-      val votes = (0 until 16).map(i =>
-        s"CAST(SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
-        .mkString(",\n  ")
-      val fp = (0 until 16).map(i =>
-        s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH u AS (SELECT doc_id,
-         |    UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS wd
-         |  FROM documents),
-         |h AS (SELECT doc_id, ${TextQueries.polyHashSql("wd")} AS h FROM u),
-         |bits AS (SELECT doc_id,
-         |  $votes
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id, $fp AS simhash FROM bits""".stripMargin
-    },
+    "d04_simhash" -> (SimhashCte + "\nSELECT doc_id, simhash FROM sig"),
+    "d07_simhash_hamming" -> (SimhashCte + s"""
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $D07MaxHamming""".stripMargin),
     "d05_embed_nn" -> {
       def dot(a: String, b: String) =
         s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
@@ -377,5 +444,6 @@ object DedupQueries {
     "d04_simhash" -> (d04_simhash _),
     "d05_embed_nn" -> (d05_embed_nn _),
     "d06_neardup_clusters" -> ((s, d) => d06_neardup_clusters(s, d)),
+    "d07_simhash_hamming" -> (d07_simhash_hamming _),
   )
 }

@@ -46,8 +46,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     pairs.foreach { r =>
       val d = java.lang.Long.bitCount(sh(r.getLong(0)) ^ sh(r.getLong(1)))
-      assert(d <= 4, s"hamming(${r.getLong(0)}, ${r.getLong(1)}) = $d")
+      // ≤ 25% of the 32-bit signature width for jaccard ≥ 0.5 pairs
+      assert(d <= 8, s"hamming(${r.getLong(0)}, ${r.getLong(1)}) = $d")
     }
+  }
+
+  test("d07 banded pairs equal the brute-force Hamming-3 definition (pigeonhole losslessness)") {
+    val banded = DedupQueries.d07_simhash_hamming(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = DedupQueries.d04_simhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ida, idb, d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture should contain Hamming-3 near-dups")
+    assert(banded === brute)
   }
 
   test("posting-size ceiling drops stop-shingle fanout but keeps discriminative pairs") {
