@@ -170,28 +170,28 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Signature width in bits. 32 keeps a Hamming-3 radius
-    * discriminative at the testdata corpus sizes (16 bits saturates
-    * past ~10³ docs — random pairs land within radius 3 at ~1%, and
-    * d07's result set explodes quadratically); a production corpus at
-    * 10⁹ docs widens to 64 the same way. The vote pipeline, banding,
-    * and oracle are all width-parametric. (Bit 31 is structurally 0 —
-    * polyHash < 2³¹ — so the effective width is 31 bits; harmless,
-    * noted for honesty.)
+  /** Signature width in bits; widens to 64 for a 10⁹-doc corpus. The
+    * vote pipeline, banding, and oracle are all width-parametric.
+    * (Bit 31 is structurally 0 — polyHash < 2³¹ — so the effective
+    * width is 31 bits; harmless, noted for honesty.)
     */
   private val SimhashBits = 32
 
   /** SimHash signature relation (doc_id, simhash) —
-    * [[SimhashBits]]-bit signature from per-word hash bit votes.
-    * Cached: d04 emits it and d07 joins it on both sides; 8 bytes/doc,
-    * the cheapest relation in the family.
+    * [[SimhashBits]]-bit signature from bit votes over the doc's
+    * distinct word-3-gram '''shingles''' ([[shingles]], shared with
+    * d02/d03). Features must be shingles, not unigrams: on a templated
+    * corpus the shared vocabulary dominates unigram votes and the
+    * signatures collapse (measured at sf0.1: 93% of docs landed in ONE
+    * band bucket and Hamming ≤ 3 held for 4.77M of 12.5M pairs —
+    * saturated; with shingle features the same corpus yields 246 pairs
+    * and a max bucket of 65). Cached: d04 emits it and d07 joins it on
+    * both sides; 8 bytes/doc, the cheapest relation in the family.
     */
   private[graft] def simhashSigs(s: SparkSession, dir: String): DataFrame =
     SharedRelations(s, dir, "simhash_sig") {
-      val words = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("wd"))
-        .select(col("doc_id"), TextQueries.polyHash("wd").as("h"))
+      val h = shingles(s, dir)
+        .select(col("doc_id"), TextQueries.polyHash("sh").as("h"))
       val votes = (0 until SimhashBits).map { i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
           .as(s"b$i")
@@ -199,7 +199,7 @@ object DedupQueries {
       val fp = (0 until SimhashBits).map { i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
       }.reduce(_ + _)
-      words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), fp.as("simhash"))
     }
 
@@ -317,8 +317,9 @@ object DedupQueries {
       .select(col("qid"), col("did").as("nn_id"), col("cos"))
   }
 
-  /** Oracle twin of [[simhashSigs]] — WITH prefix ending in `sig`;
-    * `AS MATERIALIZED` because d07's self-join reads it twice.
+  /** Oracle twin of [[simhashSigs]] — WITH prefix ending in `sig`,
+    * built on the shared [[ShinglesCte]]; `AS MATERIALIZED` because
+    * d07's self-join reads it twice.
     */
   private lazy val SimhashCte: String = {
     val votes = (0 until SimhashBits).map(i =>
@@ -327,10 +328,8 @@ object DedupQueries {
     val fp = (0 until SimhashBits).map(i =>
       s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH u AS (SELECT doc_id,
-       |    UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS wd
-       |  FROM documents),
-       |h AS (SELECT doc_id, ${TextQueries.polyHashSql("wd")} AS h FROM u),
+    ShinglesCte + s""",
+       |h AS (SELECT doc_id, ${TextQueries.polyHashSql("sh")} AS h FROM s),
        |bits AS (SELECT doc_id,
        |  $votes
        |  FROM h GROUP BY doc_id),
