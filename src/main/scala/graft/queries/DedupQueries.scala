@@ -246,6 +246,57 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Per-dim noise scale for [[d08_embed_neardup]]'s planted copies:
+    * `((vec_id + i) % 7 − 3) · 0.002` on unit-norm vectors puts the
+    * planted pair at cos ≈ 0.9995 (well above [[D08Tau]]) while every
+    * natural pair in the corpus sits below 0.8 — the threshold
+    * separates them with two orders of magnitude of margin.
+    */
+  private val D08NoiseScale = "0.002"
+  private val D08Tau = 0.99
+  private val D08Tables = 2
+
+  // Embedding-cosine near-dup pairs at scale — the vector twin of d03:
+  // the corpus (embeddings unioned with noised re-ingested copies, ids
+  // offset — d01's corpus trick in vector space) hashes into
+  // D08Tables independent random-hyperplane tables (s02's planes at
+  // offsets 0 and 8), candidates come from a (table, bucket)
+  // equi-join — never O(n²) — and one exact cosine per candidate
+  // keeps pairs ≥ τ. Banding recall is ~97% per the two-table
+  // sign-flip odds (a missed pair straddles a hyperplane in BOTH
+  // tables); the oracle replicates the banding, so the result is
+  // exactly "what two-table LSH finds", hash-checked. Vectors (and
+  // norms) ride the band rows: verification needs no re-join.
+  def d08_embed_neardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val pert = emb.select((col("vec_id") + lit(10000L)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + " +
+        s"CAST((vec_id + i) % 7 - 3 AS DOUBLE) * ${D08NoiseScale}D)").as("v"))
+    // Persisted: 16 hyperplane projections per row, and both sides of
+    // the band self-join read it — ~0.5 KB/vector, cheap to pin.
+    val bands = SharedRelations(s, dir, "embed_neardup_bands") {
+      base.union(pert)
+        .withColumn("nrm", sqrt(dotExpr("v", "v")))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          posexplode(array((0 until D08Tables).map(tb =>
+            SimilarityQueries.bucketColAt("v", dim,
+              tb * SimilarityQueries.NBits)): _*))
+            .as(Seq("tbl", "bkt")))
+    }
+    val a = bands.toDF("vec_a", "va", "na", "tbl", "bkt")
+    val b = bands.toDF("vec_b", "vb", "nb", "tbl", "bkt")
+    a.join(b, Seq("tbl", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (graft.functions.GraftExpressions.dot(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= D08Tau)
+      .distinct()
+  }
+
   /** Near-dup CLUSTERING — the step a dedup pipeline runs after
     * candidate generation: d03's banded pairs become an undirected
     * graph, connected components assign every document a cluster id
@@ -336,6 +387,48 @@ object DedupQueries {
        |sig AS MATERIALIZED (SELECT doc_id, $fp AS simhash FROM bits)""".stripMargin
   }
 
+  /** Left-to-right double fold — DuckDB twin of
+    * [[graft.functions.DotProduct]].
+    */
+  private def dotSql(a: String, b: String): String =
+    s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
+      s"LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
+  /** Oracle twin of [[d08_embed_neardup]] — the banding (tables at
+    * plane offsets 0 and NBits) is replicated exactly, so the compare
+    * proves the Spark plan finds precisely the two-table-LSH pair set.
+    */
+  private lazy val D08Oracle: String = {
+    val bucketSqls = (0 until D08Tables).map(tb =>
+      SimilarityQueries.bucketSqlAt("v", tb * SimilarityQueries.NBits))
+    val bandSelects = bucketSqls.zipWithIndex.map { case (_, i) =>
+      s"SELECT vec_id, v, nrm, $i AS tbl, b$i AS bkt FROM corpus"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (SELECT vec_id,
+       |    LIST_TRANSFORM(RANGE(1, LEN(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pert AS (SELECT vec_id + 10000 AS vec_id,
+       |    LIST_TRANSFORM(RANGE(1, LEN(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) +
+       |        CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE) * $D08NoiseScale) AS v
+       |  FROM embeddings),
+       |corpus AS MATERIALIZED (SELECT vec_id, v,
+       |    SQRT(${dotSql("v", "v")}) AS nrm,
+       |    ${bucketSqls.zipWithIndex.map { case (b, i) => s"$b AS b$i" }
+        .mkString(",\n    ")}
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pert)),
+       |bands AS (
+       |  $bandSelects),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM bands a JOIN bands b
+       |    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+       |SELECT DISTINCT vec_a, vec_b, cos FROM p WHERE cos >= $D08Tau""".stripMargin
+  }
+
   private def permMinSql(i: Int): String = {
     val (a, b) = Perms(i)
     s"MIN((h * $a + $b) % $P) AS m$i"
@@ -417,6 +510,7 @@ object DedupQueries {
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $D07MaxHamming""".stripMargin),
+    "d08_embed_neardup" -> D08Oracle,
     "d05_embed_nn" -> {
       def dot(a: String, b: String) =
         s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
@@ -444,5 +538,6 @@ object DedupQueries {
     "d05_embed_nn" -> (d05_embed_nn _),
     "d06_neardup_clusters" -> ((s, d) => d06_neardup_clusters(s, d)),
     "d07_simhash_hamming" -> (d07_simhash_hamming _),
+    "d08_embed_neardup" -> (d08_embed_neardup _),
   )
 }

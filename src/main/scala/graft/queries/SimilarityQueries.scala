@@ -33,7 +33,7 @@ object SimilarityQueries {
   private def planeWeightSql(p: String, d: String): String =
     s"(((1103515245 * CAST($p AS BIGINT) + 12345 * CAST($d AS BIGINT) + 42) % 97) - 48)"
 
-  private val NBits = 8
+  private[queries] val NBits = 8
 
   /** Index-fold dot product, identical op order to the DuckDB oracle;
     * codegen'd custom expression ([[graft.functions.DotProduct]]).
@@ -55,11 +55,18 @@ object SimilarityQueries {
   private def projExpr(v: String, p: Int, dim: Int): Column =
     graft.functions.GraftExpressions.dot(lit(planeWeights(p, dim)), col(v))
 
-  /** LSH bucket id: Σ (proj_p(v) > 0) << p over NBits hyperplanes. */
-  private def bucketCol(v: String, dim: Int): Column =
+  /** LSH bucket id: Σ (proj_p(v) > 0) << p over NBits hyperplanes
+    * starting at plane `offset` — offsets carve independent hash
+    * tables out of the same (plane, dim) weight stream (d08 uses
+    * tables at offsets 0 and NBits).
+    */
+  private[queries] def bucketColAt(v: String, dim: Int, offset: Int): Column =
     (0 until NBits).map { p =>
-      when(projExpr(v, p, dim) > 0d, lit(1L << p)).otherwise(0L)
+      when(projExpr(v, offset + p, dim) > 0d, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
+
+  private def bucketCol(v: String, dim: Int): Column =
+    bucketColAt(v, dim, 0)
 
   private[queries] def normed(s: SparkSession, dir: String): DataFrame =
     SharedRelations(s, dir, "embeddings_normed") {
@@ -195,10 +202,13 @@ object SimilarityQueries {
       s"i -> CAST(${planeWeightSql(p.toString, "i")} AS DOUBLE) * CAST($v[i] AS DOUBLE))), " +
       s"(acc, x) -> acc + x)"
 
-  private def bucketSql(v: String): String =
+  /** Oracle twin of [[bucketColAt]]. */
+  private[queries] def bucketSqlAt(v: String, offset: Int): String =
     (0 until NBits).map { p =>
-      s"(CASE WHEN ${projSql(v, p)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+      s"(CASE WHEN ${projSql(v, offset + p)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
+
+  private def bucketSql(v: String): String = bucketSqlAt(v, 0)
 
   val oracle: Map[String, String] = Map(
     "s01_knn_brute" ->

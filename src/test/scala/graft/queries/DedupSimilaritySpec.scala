@@ -64,6 +64,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("d08 recovers planted embedding near-dups and nothing else") {
+    val pairs = DedupQueries.d08_embed_neardup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    assert(pairs.nonEmpty)
+    // every reported pair is a planted (v, v+10000) copy — the natural
+    // corpus has no cosine ≥ τ pairs (max natural cos < 0.8)
+    pairs.foreach { case (a, b, c) =>
+      assert(b === a + 10000L, s"non-planted pair ($a,$b)")
+      assert(c >= 0.99 && c <= 1.0 + 1e-12, s"cos($a,$b)=$c out of range")
+    }
+    // two-table banding recall on the planted pairs (analysis: ~97%,
+    // a miss straddles a hyperplane in both tables)
+    assert(pairs.length.toDouble / n >= 0.9,
+      s"planted-pair recall ${pairs.length}/$n")
+  }
+
   test("posting-size ceiling drops stop-shingle fanout but keeps discriminative pairs") {
     import spark.implicits._
     // Skewed fixture: 100 docs all share one boilerplate shingle
