@@ -38,6 +38,35 @@ object MediaCodecs {
     * this; the sampling/explode plumbing around it stays.
     */
   val FrameBytes = 32
+
+  /** Row stride when an image payload is viewed as a byte grid. */
+  val ImageRowBytes = 32
+
+  /** Thumbnail edge length produced by [[resizeStub]]. */
+  val ThumbEdge = 8
+
+  /** STUB — stands in for an image resample (a real codec does
+    * bilinear/Lanczos over decoded pixels): nearest-neighbor gather
+    * over the payload viewed as a [[ImageRowBytes]]-column byte grid
+    * (partial last row discarded). Deterministic, so the oracle can
+    * recompute every output byte; callers' schema/partitioning/digest
+    * plumbing is untouched by swapping in a real resampler.
+    */
+  def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val srcW = ImageRowBytes
+    val h = payload.length / srcW
+    val out = new Array[Byte](outW * outH)
+    var r = 0
+    while (r < outH) {
+      var c = 0
+      while (c < outW) {
+        out(r * outW + c) = payload((r * h / outH) * srcW + (c * srcW / outW))
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
 }
 
 /** One media row: the payload is an opaque binary column; `meta` is
@@ -55,3 +84,8 @@ case class MediaFeatures(
     doc_id: Long,
     n_bytes: Long,
     features: Array[Float])
+
+case class MediaThumb(
+    doc_id: Long,
+    src_h: Long,
+    resized: Array[Byte])

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.multimodal.{MediaCodecs, MediaFeatures, MediaRow}
+import graft.multimodal.{MediaCodecs, MediaFeatures, MediaRow, MediaThumb}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -121,6 +121,26 @@ object MultimodalQueries {
         col("cos"))
   }
 
+  // Thumbnail resize over image-typed payloads through the stub
+  // resampler: the payload viewed as a 32-byte-row grid is
+  // nearest-neighbor downsampled to 8×8 per partition (same typed
+  // iterator shape as m02 — bounded memory, batch-amortized, a real
+  // bilinear/Lanczos codec drops into resizeStub untouched), and the
+  // thumbnail ships as its digest. src_h pins the grid geometry the
+  // resample ran against.
+  def m05_resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).filter(col("media_type") === "image").as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          MediaThumb(r.doc_id, r.n_bytes / MediaCodecs.ImageRowBytes,
+            MediaCodecs.resizeStub(r.payload,
+              MediaCodecs.ThumbEdge, MediaCodecs.ThumbEdge))
+        }
+      }.select(col("doc_id"), col("src_h"),
+        md5(col("resized")).as("thumb_digest"))
+  }
+
   /** Oracle twin of the media derivation (string side; bytes == chars
     * on this ASCII corpus).
     */
@@ -182,6 +202,21 @@ object MultimodalQueries {
       |  SELECT qid, media_type, did, cos,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rn
       |  FROM p) WHERE rn = 1""".stripMargin),
+    "m05_resize" -> {
+      // The 64 gathered bytes, generated literally: out(r,c) reads
+      // src byte ((r·src_h)//8)·32 + 4c (nearest neighbor on a
+      // 32-wide grid; 1-based SUBSTRING).
+      val edge = MediaCodecs.ThumbEdge
+      val stride = MediaCodecs.ImageRowBytes
+      val gather = (for { r <- 0 until edge; c <- 0 until edge } yield
+        s"SUBSTRING(payload, (($r * src_h) // $edge) * $stride + " +
+          s"${c * stride / edge} + 1, 1)").mkString(" || ")
+      MediaCte + s""",
+        |g AS (SELECT doc_id, payload,
+        |    n_bytes // $stride AS src_h
+        |  FROM media WHERE media_type = 'image')
+        |SELECT doc_id, src_h, MD5($gather) AS thumb_digest FROM g""".stripMargin
+    },
     "m03_frame_sample" -> (MediaCte + s""",
       |frames AS (SELECT doc_id, payload,
       |    UNNEST(RANGE(0, ((n_bytes - 1) // 32) + 1)) AS frame_idx
@@ -196,5 +231,6 @@ object MultimodalQueries {
     "m02_features" -> (m02_features _),
     "m03_frame_sample" -> (m03_frame_sample _),
     "m04_media_nn" -> (m04_media_nn _),
+    "m05_resize" -> (m05_resize _),
   )
 }

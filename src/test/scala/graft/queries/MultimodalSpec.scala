@@ -48,6 +48,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.select("doc_id").distinct().count() === videoDocs)
   }
 
+  test("resize stub gathers nearest-neighbor bytes from the source grid") {
+    // 64-byte payload = 2 full 32-byte rows: thumb row r reads source
+    // row (r*2)/8 = 0 for r<4, 1 for r>=4; column c reads byte 4c.
+    val payload = Array.tabulate(64)(_.toByte)
+    val out = MediaCodecs.resizeStub(payload,
+      MediaCodecs.ThumbEdge, MediaCodecs.ThumbEdge)
+    assert(out.length === 64)
+    for (r <- 0 until 8; c <- 0 until 8)
+      assert(out(r * 8 + c) === payload((r * 2 / 8) * 32 + c * 4),
+        s"thumb($r,$c)")
+  }
+
+  test("m05 emits one thumbnail digest per image doc with its grid height") {
+    val media = MultimodalQueries.media(spark, dir)
+      .filter(col("media_type") === "image")
+      .select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = MultimodalQueries.m05_resize(spark, dir).collect()
+    assert(rows.length === media.size)
+    rows.foreach { r =>
+      val (id, h, dig) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(h === media(id) / MediaCodecs.ImageRowBytes, s"doc $id src_h")
+      assert(h >= 1, s"doc $id shorter than one grid row")
+      assert(dig.length === 32, s"doc $id digest")
+    }
+  }
+
   test("media NN stays within the query's media_type and under cos=1") {
     val rows = MultimodalQueries.m04_media_nn(spark, dir).collect()
     assert(rows.nonEmpty)
