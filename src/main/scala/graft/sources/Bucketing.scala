@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Bucketed-table support — the storage-layout half of the engine's
+  * shuffle discipline (SCALE.md): a table bucketed on its join/agg key
+  * is already hash-partitioned ON DISK, so every co-bucketed join and
+  * keyed aggregation over it runs with ZERO shuffle exchanges, at any
+  * number of executors. At 100 TB this is the difference between a
+  * fact⋈fact join that moves both tables across the network every
+  * query and one that only ever reads co-located bucket files — you
+  * pay one bucketed write, then every downstream keyed op is
+  * exchange-free (the layout is reused across queries, where a
+  * `repartition` would be re-shuffled per plan).
+  *
+  * `sortBy` additionally pre-orders rows within each bucket file, so
+  * sort-merge joins skip their sort when files-per-bucket is 1 (else
+  * the per-partition sort is local, still no exchange).
+  *
+  * [[graft.BucketingSpec]] pins the contract: a bucketed orders ⋈
+  * customer join and a keyed agg execute with no `Exchange` node.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed + in-bucket-sorted parquet table in the
+    * session catalog. Bucket count is the scale dial: pick it so one
+    * bucket ≈ one task's worth of data at the target SF (e.g. 4096
+    * buckets for a 10-TB fact table → ~2.5 GB/bucket).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String, moreKeys: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .saveAsTable(table)
+}
