@@ -17,7 +17,7 @@ object Explain {
       else Seq("q01_scan_project", "q02_filter", "q03_groupby_sum",
         "q04_join_broadcast", "q05_join_sortmerge", "q22_star_join",
         "d03_minhash_lsh", "d06_neardup_clusters", "d07_simhash_hamming",
-        "s02_knn_lsh",
+        "d08_embed_neardup", "s02_knn_lsh",
         "t05_fingerprint", "q23_event_windows")
     val spark = SparkSession.builder()
       .master("local[4]")

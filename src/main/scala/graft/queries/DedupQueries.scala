@@ -185,8 +185,10 @@ object DedupQueries {
     * signatures collapse (measured at sf0.1: 93% of docs landed in ONE
     * band bucket and Hamming ≤ 3 held for 4.77M of 12.5M pairs —
     * saturated; with shingle features the same corpus yields 246 pairs
-    * and a max bucket of 65). Cached: d04 emits it and d07 joins it on
-    * both sides; 8 bytes/doc, the cheapest relation in the family.
+    * and a max bucket of 65). Docs below one shingle (< 3 words) have
+    * no signature — they carry no shingle features, the same boundary
+    * d02/d03 draw. Cached: d04 emits it and d07 joins it on both
+    * sides; 8 bytes/doc, the cheapest relation in the family.
     */
   private[graft] def simhashSigs(s: SparkSession, dir: String): DataFrame =
     SharedRelations(s, dir, "simhash_sig") {

@@ -130,7 +130,11 @@ object MultimodalQueries {
   // resample ran against.
   def m05_resize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    media(s, dir).filter(col("media_type") === "image").as[MediaRow]
+    media(s, dir).filter(col("media_type") === "image")
+      // guard the grid precondition (≥ 1 full source row); a corrupt
+      // or truncated payload must be dropped, not throw mid-executor
+      .filter(col("n_bytes") >= MediaCodecs.ImageRowBytes)
+      .as[MediaRow]
       .mapPartitions { it =>
         it.map { r =>
           MediaThumb(r.doc_id, r.n_bytes / MediaCodecs.ImageRowBytes,
@@ -214,7 +218,7 @@ object MultimodalQueries {
       MediaCte + s""",
         |g AS (SELECT doc_id, payload,
         |    n_bytes // $stride AS src_h
-        |  FROM media WHERE media_type = 'image')
+        |  FROM media WHERE media_type = 'image' AND n_bytes >= $stride)
         |SELECT doc_id, src_h, MD5($gather) AS thumb_digest FROM g""".stripMargin
     },
     "m03_frame_sample" -> (MediaCte + s""",
