@@ -271,7 +271,7 @@ object DedupQueries {
   // norms) ride the band rows: verification needs no re-join.
   def d08_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val base = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val pert = emb.select((col("vec_id") + lit(10000L)).as("vec_id"),

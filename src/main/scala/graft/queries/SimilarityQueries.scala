@@ -112,7 +112,7 @@ object SimilarityQueries {
     // Vector dim probed once (one row-group read even at scale); the
     // hyperplane literals are sized to it.
     val dim = t(s, dir, "embeddings")
-      .select(size(col("embedding"))).head.getInt(0)
+      .select(size(col("embedding"))).head().getInt(0)
     val e = normed(s, dir).withColumn("bucket", bucketCol("embedding", dim))
     val q0 = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "qbucket")
     val probes =
@@ -190,6 +190,119 @@ object SimilarityQueries {
         col("did").as("nn_id"), col("cos"))
   }
 
+  /** Lloyd iterations for [[s04_knn_ivf_trained]]. */
+  private val KmIters = 3
+
+  /** Fixed-point quantum for the centroid means: coordinates are
+    * scaled by 2²⁰, floored to int64, and summed EXACTLY — the same
+    * bit-exact-determinism design as the PageRank family's int64
+    * ranks. A double-sum mean would depend on accumulation order
+    * (different between engines and between cluster runs); the int64
+    * sum is order-free, and the one int→double conversion is exact
+    * below 2⁵³ (10⁹ vectors × 2²⁰ ≈ 2⁵⁰ — scales).
+    */
+  private val KmQuant = 1048576L
+
+  /** Embeddings as double vectors — shared by the k-means train,
+    * assign, and probe stages.
+    */
+  private[queries] def embDouble(s: SparkSession, dir: String): DataFrame =
+    SharedRelations(s, dir, "embeddings_double") {
+      t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    }
+
+  /** Squared euclidean ‖v−c‖² = v·v − 2 v·c + c·c (three codegen'd
+    * dots, no intermediate difference vector).
+    */
+  private def d2Col(v: String, cv: String): Column =
+    dotExpr(v, v) - lit(2d) * dotExpr(v, cv) + dotExpr(cv, cv)
+
+  /** Nearest trained cell per vector — broadcast argmin with a
+    * deterministic (d2, cid) tiebreak.
+    */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), d2Col("v", "cv").as("d2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Lloyd's k-means over the embedding table, as the engine's
+    * iterative-driver shape (O14): per pass, one broadcast argmin
+    * assignment + one (cell, dim) aggregation — both node-keyed
+    * equi-joins/aggs, no driver-side data. Centroid means are int64
+    * fixed-point ([[KmQuant]]) so training is bit-deterministic and
+    * the unrolled DuckDB oracle matches hash-exactly. Seeds are every
+    * 97th vector (s03's sampler); at 100 TB the same loop runs with a
+    * k-means|| oversampled seed set — the per-pass plan is unchanged.
+    */
+  private[queries] def kmeansCentroids(s: SparkSession, dir: String,
+                                       iters: Int): DataFrame = {
+    val e = embDouble(s, dir)
+    var cents = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var it = 0
+    while (it < iters) {
+      val asg = assignCells(e, cents)
+      val m = asg.join(e, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(floor(col("x") * KmQuant).cast(LongType)).cast(DoubleType) /
+          (count(lit(1)) * KmQuant).cast(DoubleType)).as("mu"))
+      cents = m.groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), p => p.getField("mu")).as("cv"))
+      it += 1
+    }
+    cents
+  }
+
+  // IVF with TRAINED centroids — the production path s03's
+  // deterministic sampler stands in for: 3 Lloyd passes refine the
+  // seed cells (mean assignment distance drops ~40% on the testdata,
+  // pinned in the spec), then the probe tail is s03's exact shape
+  // (broadcast assignment, nprobe=2 cell equi-join). Training cost is
+  // iters × (one broadcast scan + one keyed agg) — the same per-pass
+  // scale budget as PageRank.
+  def s04_knn_ivf_trained(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = SharedRelations(s, dir, "kmeans_cents") {
+      kmeansCentroids(s, dir, KmIters)
+    }
+    val e = embDouble(s, dir)
+      .withColumn("nrm", sqrt(dotExpr("v", "v")))
+    val asg = SharedRelations(s, dir, "kmeans_assign") {
+      assignCells(embDouble(s, dir), cents)
+    }
+    val qcells = broadcast(
+      embDouble(s, dir).filter(col("vec_id") < 20).join(broadcast(cents))
+        .select(col("vec_id").as("qid"), col("cid"), d2Col("v", "cv").as("d2"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("d2").asc, col("cid").asc)))
+        .filter(col("crn") <= 2)
+        .select(col("qid"), col("cid").as("cell"), col("crn")))
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn")
+      .join(qcells, Seq("qid"))
+    val d = e.join(asg, Seq("vec_id")).toDF("did", "dv", "dn", "cell")
+    val cand = q.join(d, Seq("cell")).filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("cell").as("probed"), col("did"),
+        (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos"))
+    val top1 = qcells.filter(col("crn") === 1)
+      .select(col("qid"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("did").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(top1, Seq("qid"))
+      .select(col("qid"), col("cell"), col("probed"),
+        col("did").as("nn_id"), col("cos"))
+  }
+
   private def dotSql(a: String, b: String): String =
     s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
       s"LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
@@ -241,7 +354,69 @@ object SimilarityQueries {
          |  FROM p) WHERE rk = 1""".stripMargin
     },
     "s03_knn_ivf" -> IvfOracle,
+    "s04_knn_ivf_trained" -> TrainedIvfOracle,
   )
+
+  /** Unrolled-Lloyd oracle for [[s04_knn_ivf_trained]]:
+    * `AS MATERIALIZED` per pass (the graph-family iterative pattern),
+    * int64 fixed-point means, then the s03-style probe tail over the
+    * trained cells.
+    */
+  private lazy val TrainedIvfOracle: String = {
+    def d2Sql(v: String, cv: String) =
+      s"${dotSql(v, v)} - 2 * ${dotSql(v, cv)} + ${dotSql(cv, cv)}"
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(RANGE(1, LEN(embedding)+1),
+         |      i -> CAST(embedding[i] AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv
+         |  FROM e WHERE vec_id % 97 = 0)""".stripMargin)
+    for (it <- 1 to KmIters) {
+      val p = it - 1
+      sb.append(s""",
+        |sc$it AS (SELECT e.vec_id, c.cid,
+        |    ${d2Sql("e.v", "c.cv")} AS d2
+        |  FROM e CROSS JOIN c$p c),
+        |asg$it AS MATERIALIZED (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM sc$it) WHERE rn = 1),
+        |m$it AS (SELECT a.cid, u.i AS pos,
+        |    CAST(SUM(CAST(FLOOR(e.v[u.i] * $KmQuant) AS BIGINT)) AS DOUBLE) /
+        |      CAST(COUNT(*) * $KmQuant AS DOUBLE) AS mu
+        |  FROM asg$it a JOIN e ON a.vec_id = e.vec_id,
+        |    UNNEST(RANGE(1, LEN(e.v)+1)) AS u(i)
+        |  GROUP BY a.cid, u.i),
+        |c$it AS MATERIALIZED (SELECT cid, LIST(mu ORDER BY pos) AS cv
+        |  FROM m$it GROUP BY cid)""".stripMargin)
+    }
+    sb.append(s""",
+      |en AS (SELECT vec_id, v, SQRT(${dotSql("v", "v")}) AS nrm FROM e),
+      |scf AS (SELECT e.vec_id, c.cid,
+      |    ${d2Sql("e.v", "c.cv")} AS d2
+      |  FROM e CROSS JOIN c$KmIters c),
+      |fasg AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+      |  FROM scf) WHERE rn = 1),
+      |qc AS (SELECT vec_id AS qid, cid AS cell, rn AS crn FROM (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+      |  FROM scf WHERE vec_id < 20) WHERE rn <= 2),
+      |p AS (SELECT q.vec_id AS qid, qc.cell AS probed, d.vec_id AS did,
+      |    ${dotSql("q.v", "d.v")} / (q.nrm * d.nrm) AS cos
+      |  FROM en q JOIN qc ON qc.qid = q.vec_id
+      |  JOIN fasg da ON da.cid = qc.cell AND da.vec_id <> q.vec_id
+      |  JOIN en d ON d.vec_id = da.vec_id)
+      |SELECT p.qid, t.cell, p.probed, p.did AS nn_id, p.cos FROM (
+      |  SELECT qid, probed, did, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rn
+      |  FROM p) p
+      |JOIN (SELECT qid, cell FROM qc WHERE crn = 1) t ON t.qid = p.qid
+      |WHERE p.rn = 1""".stripMargin)
+    sb.toString
+  }
 
   private lazy val IvfOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -276,5 +451,6 @@ object SimilarityQueries {
     "s01_knn_brute" -> (s01_knn_brute _),
     "s02_knn_lsh" -> (s02_knn_lsh _),
     "s03_knn_ivf" -> (s03_knn_ivf _),
+    "s04_knn_ivf_trained" -> (s04_knn_ivf_trained _),
   )
 }

@@ -185,6 +185,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "second probe cell changed nothing")
   }
 
+  test("k-means training monotonically tightens cells (Lloyd's descent)") {
+    val dot = graft.functions.GraftExpressions.dot _
+    def meanMinD2(iters: Int): Double = {
+      val cents = SimilarityQueries.kmeansCentroids(spark, dir, iters)
+      val e = SimilarityQueries.embDouble(spark, dir)
+      e.join(cents)
+        .select(col("vec_id"),
+          (dot(col("v"), col("v")) - lit(2d) * dot(col("v"), col("cv")) +
+            dot(col("cv"), col("cv"))).as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
+        .agg(avg(col("d2"))).head().getDouble(0)
+    }
+    val seed = meanMinD2(0)
+    val mid = meanMinD2(1)
+    val trained = meanMinD2(3)
+    assert(mid <= seed + 1e-12, s"pass 1 worsened: $seed -> $mid")
+    assert(trained <= mid + 1e-12, s"pass 3 worsened: $mid -> $trained")
+    assert(trained < seed * 0.9,
+      s"training barely moved: $seed -> $trained")
+  }
+
   test("LSH ANN returns true in-bucket neighbors no better than brute force") {
     val brute = SimilarityQueries.s01_knn_brute(spark, dir)
       .filter(col("rk") === 1)
