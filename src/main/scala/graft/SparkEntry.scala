@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracle ++
       graft.queries.SimilarityQueries.oracle ++
       graft.queries.MultimodalQueries.oracle ++
-      graft.queries.StreamQueries.oracle
+      graft.queries.StreamQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }

@@ -449,12 +449,13 @@ object DedupQueries {
         s"CAST(m${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
       .mkString("\n  UNION ALL\n")})""".stripMargin
 
-  /** Unrolled label-propagation oracle for [[d06_neardup_clusters]] —
+  /** Unrolled label-propagation CTE prefix ending in `l{rounds}` —
     * `AS MATERIALIZED` per round like the graph-family oracles (plain
-    * CTEs inline per reference in DuckDB; see
-    * [[GraphQueries]]'s EdgesCte note).
+    * CTEs inline per reference in DuckDB; see [[GraphQueries]]'s
+    * EdgesCte note). Shared by the d06 oracle and the curation
+    * pipeline's ([[PipelineQueries]]) keeper gate.
     */
-  private def neardupClustersOracle(rounds: Int): String = {
+  private[queries] def neardupLabelsCte(rounds: Int): String = {
     val sb = new StringBuilder(BandsCte)
     sb.append(""",
       |pairs AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -473,12 +474,17 @@ object DedupQueries {
         |  LEAST(l.cluster, COALESCE(m$i.nbr, l.cluster)) AS cluster
         |  FROM l$p l LEFT JOIN m$i ON l.doc_id = m$i.doc_id)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT d.doc_id, COALESCE(l$rounds.cluster, d.doc_id) AS cluster,
-      |  d.doc_id = COALESCE(l$rounds.cluster, d.doc_id) AS is_keeper
-      |FROM documents d LEFT JOIN l$rounds ON d.doc_id = l$rounds.doc_id""".stripMargin)
     sb.toString
   }
+
+  /** Rounds the registered d06 query runs (and p01 inherits). */
+  private[queries] val NeardupRounds = 3
+
+  private def neardupClustersOracle(rounds: Int): String =
+    neardupLabelsCte(rounds) + s"""
+      |SELECT d.doc_id, COALESCE(l$rounds.cluster, d.doc_id) AS cluster,
+      |  d.doc_id = COALESCE(l$rounds.cluster, d.doc_id) AS is_keeper
+      |FROM documents d LEFT JOIN l$rounds ON d.doc_id = l$rounds.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d01_exact" ->
@@ -505,7 +511,7 @@ object DedupQueries {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       |GROUP BY 1, 2""".stripMargin),
-    "d06_neardup_clusters" -> neardupClustersOracle(3),
+    "d06_neardup_clusters" -> neardupClustersOracle(NeardupRounds),
     "d04_simhash" -> (SimhashCte + "\nSELECT doc_id, simhash FROM sig"),
     "d07_simhash_hamming" -> (SimhashCte + s"""
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed query a training-data
+  * pipeline actually ships, rather than its stages in isolation:
+  *
+  *   language gate (t03's n-gram classifier)
+  *     ∧ quality floors (t04's C4/Gopher-style heuristics)
+  *     ∧ one-doc-per-near-dup-cluster (d06's keepers)
+  *
+  * All three gates are the families' own relations composed with two
+  * doc-keyed equi-joins (one of them a semi-join) — no new shuffle
+  * shape, and at 100 TB each input is the already-materialized output
+  * of its stage, so curation costs two hash joins over pruned
+  * columns. The oracle splices the same three CTE groups
+  * ([[TextQueries.LangScoreCte]], [[TextQueries.QualityBaseCte]],
+  * [[DedupQueries.neardupLabelsCte]]) and applies identical
+  * predicates, so the kept set is hash-checked end to end.
+  */
+object PipelineQueries {
+
+  /** Quality gates (see the sf0.01 distributions in the scaladoc of
+    * the spec): length floor, a stopword-ratio band (too low = word
+    * salad, too high = boilerplate), a digit-ratio ceiling (the
+    * standard gate; this corpus has no digits, so it passes all rows
+    * here), and a mean-token-length ceiling.
+    */
+  private val MinTokens = 30L
+  private val StopLo = 0.01
+  private val StopHi = 0.15
+  private val MaxDigitRatio = 0.2
+  private val MaxMeanTokLen = 5.0
+  private val TargetLang = "en"
+
+  def p01_curate(s: SparkSession, dir: String): DataFrame = {
+    val lang = TextQueries.t03_langid(s, dir)
+      .select(col("doc_id"), col("pred_lang"))
+    val qual = TextQueries.t04_quality(s, dir)
+    val keepers = DedupQueries.d06_neardup_clusters(s, dir)
+      .filter(col("is_keeper")).select(col("doc_id"))
+    qual.join(lang, Seq("doc_id"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("pred_lang") === TargetLang &&
+        col("n_tokens") >= MinTokens &&
+        col("stop_ratio") >= StopLo && col("stop_ratio") <= StopHi &&
+        col("digit_ratio") <= MaxDigitRatio &&
+        col("mean_tok_len") <= MaxMeanTokLen)
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        col("stop_ratio"), col("mean_tok_len"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "p01_curate" -> {
+      val r = DedupQueries.NeardupRounds
+      DedupQueries.neardupLabelsCte(r) + s""",
+        |${TextQueries.LangScoreCte},
+        |lp AS (${TextQueries.LangPredSelect}),
+        |${TextQueries.QualityBaseCte},
+        |q AS (${TextQueries.QualitySelect}),
+        |k AS (SELECT d.doc_id
+        |  FROM documents d LEFT JOIN l$r ON d.doc_id = l$r.doc_id
+        |  WHERE d.doc_id = COALESCE(l$r.cluster, d.doc_id))
+        |SELECT q.doc_id, lp.pred_lang, q.n_tokens, q.stop_ratio,
+        |  q.mean_tok_len
+        |FROM q
+        |JOIN lp ON q.doc_id = lp.doc_id
+        |JOIN k ON q.doc_id = k.doc_id
+        |WHERE lp.pred_lang = '$TargetLang'
+        |  AND q.n_tokens >= $MinTokens
+        |  AND q.stop_ratio >= $StopLo AND q.stop_ratio <= $StopHi
+        |  AND q.digit_ratio <= $MaxDigitRatio
+        |  AND q.mean_tok_len <= $MaxMeanTokLen""".stripMargin
+    },
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_curate" -> (p01_curate _),
+  )
+}

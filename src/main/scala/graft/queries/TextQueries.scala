@@ -118,6 +118,53 @@ object TextQueries {
         polyHash("text").as("fp"),
         md5(col("text")).as("md5"))
 
+  /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final
+    * select) — shared by the t03 oracle and the curation pipeline's
+    * ([[PipelineQueries]]) language gate.
+    */
+  private[queries] val LangScoreCte: String =
+    """sc AS (SELECT doc_id, lang,
+      |  (LENGTH(text)-LENGTH(REPLACE(text,'the','')))/3
+      |    + (LENGTH(text)-LENGTH(REPLACE(text,'row','')))/3
+      |    + (LENGTH(text)-LENGTH(REPLACE(text,'fast','')))/4 AS s_en,
+      |  (LENGTH(text)-LENGTH(REPLACE(text,'win','')))/3
+      |    + (LENGTH(text)-LENGTH(REPLACE(text,'batch','')))/5
+      |    + (LENGTH(text)-LENGTH(REPLACE(text,'group','')))/5 AS s_de,
+      |  (LENGTH(text)-LENGTH(REPLACE(text,'que','')))/3
+      |    + (LENGTH(text)-LENGTH(REPLACE(text,'col','')))/3
+      |    + (LENGTH(text)-LENGTH(REPLACE(text,'merge','')))/5 AS s_fr,
+      |  (LENGTH(text)-LENGTH(REPLACE(text,'dat','')))/3
+      |    + (LENGTH(text)-LENGTH(REPLACE(text,'part','')))/4
+      |    + (LENGTH(text)-LENGTH(REPLACE(text,'val','')))/3 AS s_es
+      |  FROM documents)""".stripMargin
+
+  private[queries] val LangPredSelect: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |       WHEN s_fr >= s_es THEN 'fr'
+      |       ELSE 'es' END AS pred_lang
+      |FROM sc""".stripMargin
+
+  /** t04's base-count CTE (`b`) + ratio select, shared like
+    * [[LangScoreCte]].
+    */
+  private[queries] val QualityBaseCte: String =
+    """b AS (SELECT doc_id, text,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+      |      w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS BIGINT) AS n_digit
+      |  FROM documents)""".stripMargin
+
+  private[queries] val QualitySelect: String =
+    """SELECT doc_id, n_tokens,
+      |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      |  CAST(n_digit AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS digit_ratio,
+      |  CAST(LENGTH(text) - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |    AS mean_tok_len
+      |FROM b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t01_tokens" ->
       """SELECT doc_id,
@@ -131,40 +178,8 @@ object TextQueries {
         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_subtokens,
         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
         |FROM documents""".stripMargin,
-    "t03_langid" ->
-      """WITH sc AS (SELECT doc_id, lang,
-        |  (LENGTH(text)-LENGTH(REPLACE(text,'the','')))/3
-        |    + (LENGTH(text)-LENGTH(REPLACE(text,'row','')))/3
-        |    + (LENGTH(text)-LENGTH(REPLACE(text,'fast','')))/4 AS s_en,
-        |  (LENGTH(text)-LENGTH(REPLACE(text,'win','')))/3
-        |    + (LENGTH(text)-LENGTH(REPLACE(text,'batch','')))/5
-        |    + (LENGTH(text)-LENGTH(REPLACE(text,'group','')))/5 AS s_de,
-        |  (LENGTH(text)-LENGTH(REPLACE(text,'que','')))/3
-        |    + (LENGTH(text)-LENGTH(REPLACE(text,'col','')))/3
-        |    + (LENGTH(text)-LENGTH(REPLACE(text,'merge','')))/5 AS s_fr,
-        |  (LENGTH(text)-LENGTH(REPLACE(text,'dat','')))/3
-        |    + (LENGTH(text)-LENGTH(REPLACE(text,'part','')))/4
-        |    + (LENGTH(text)-LENGTH(REPLACE(text,'val','')))/3 AS s_es
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-        |       WHEN s_fr >= s_es THEN 'fr'
-        |       ELSE 'es' END AS pred_lang
-        |FROM sc""".stripMargin,
-    "t04_quality" ->
-      """WITH b AS (SELECT doc_id, text,
-        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-        |      w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop,
-        |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS BIGINT) AS n_digit
-        |  FROM documents)
-        |SELECT doc_id, n_tokens,
-        |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-        |  CAST(n_digit AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS digit_ratio,
-        |  CAST(LENGTH(text) - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-        |    AS mean_tok_len
-        |FROM b""".stripMargin,
+    "t03_langid" -> s"WITH $LangScoreCte\n$LangPredSelect",
+    "t04_quality" -> s"WITH $QualityBaseCte\n$QualitySelect",
     "t05_fingerprint" ->
       s"""SELECT doc_id,
          |  ${polyHashSql("text")} AS fp,

@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** p01's composition semantics: the kept set is exactly the docs that
+  * pass every gate of the three upstream stages — no gate silently
+  * drops or resurrects a row through the joins.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("curation keeps exactly the intersection of the three gates") {
+    val kept = PipelineQueries.p01_curate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val lang = TextQueries.t03_langid(spark, dir)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keepers = DedupQueries.d06_neardup_clusters(spark, dir)
+      .filter(col("is_keeper")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = TextQueries.t04_quality(spark, dir).collect().filter { r =>
+      val (id, n, stop, digit, mtl) = (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      lang(id) == "en" && n >= 30L &&
+        stop >= 0.01 && stop <= 0.15 && digit <= 0.2 && mtl <= 5.0 &&
+        keepers.contains(id)
+    }.map(_.getLong(0)).toSet
+
+    assert(expected.nonEmpty, "fixture should curate a non-empty corpus")
+    assert(kept === expected)
+    // the gates actually bite: curation is a strict subset of keepers
+    assert(kept.size < keepers.size)
+  }
+}
