@@ -326,16 +326,25 @@ object DedupQueries {
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .distinct()
     }
+    // Self-loops make each round a SINGLE join + agg: lab_i(v) =
+    // min over u ∈ N(v) ∪ {v} of lab_{i-1}(u), so the previous round's
+    // labels are referenced once. The textbook least(own, min-neighbor)
+    // form reads them twice — join base and message build — which
+    // doubles the unpinned plan per round (2^r copies of the seed
+    // subtree by round r; measured as p01's 3.6s composition cost
+    // before this rewrite). Result is value-identical; the oracle keeps
+    // the least/coalesce formulation as an independent derivation.
+    val symLoop = SharedRelations(s, dir, "neardup_symloop") {
+      sym.union(
+        sym.select(col("u")).distinct().select(col("u"), col("u").as("v")))
+    }
     var lab = sym.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
     var i = 0
     while (i < rounds) {
-      val nbrMin = sym.join(lab, sym("u") === lab("doc_id"))
-        .groupBy(col("v").as("doc_id")).agg(min(col("cluster")).as("nbr"))
-      lab = lab.join(nbrMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster")))
-            .as("cluster"))
+      lab = symLoop.join(lab, symLoop("u") === lab("doc_id"))
+        .groupBy(symLoop("v").as("doc_id"))
+        .agg(min(col("cluster")).as("cluster"))
       i += 1
     }
     t(s, dir, "documents").select(col("doc_id"))
