@@ -477,16 +477,21 @@ object GraphQueries {
       val e = derivedEdges(s, dir)
       e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
     }
+    // Self-loops: one join + min-agg per round, labels referenced once
+    // (the least/coalesce form reads them twice and doubles the lazy
+    // plan per round — see DedupQueries.d06's identical rewrite; the
+    // oracle keeps that form as an independent derivation).
+    val symLoop = SharedRelations(s, dir, "graph_symloop") {
+      sym.union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+    }
     val nodes = sym.select(col("src").as("node")).distinct()
     var lab = nodes.select(col("node"), col("node").as("label"))
     var i = 0
     while (i < rounds) {
-      val nbrMin = sym.join(lab, sym("src") === lab("node"))
-        .select(col("dst").as("node"), col("label"))
-        .groupBy("node").agg(min(col("label")).as("nbr"))
-      lab = lab.join(nbrMin, Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      lab = symLoop.join(lab, symLoop("src") === lab("node"))
+        .groupBy(symLoop("dst").as("node"))
+        .agg(min(col("label")).as("label"))
       i += 1
     }
     lab
