@@ -21,18 +21,24 @@ object Bench {
       try Tables(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => () }
     }
-    // Evict shared/pinned caches at family boundaries (d→g→m→q→s→t):
-    // families don't share relations across the boundary, so this
-    // bounds executor memory to one family's working set without
-    // losing within-family reuse. Deep probes (*_i10) additionally
-    // evict right after their own samples: their working set is the
-    // largest in the run and must not shade their siblings' medians.
+    // Evict shared/pinned caches at family boundaries
+    // (d→g→m→p→q→s→t): families don't share relations across the
+    // boundary, so this bounds executor memory to one family's working
+    // set without losing within-family reuse. Deep probes (*_i10)
+    // additionally evict right after their own samples: their working
+    // set is the largest in the run and must not shade their siblings'
+    // medians.
     //
     // Median of 3 back-to-back runs per query: a single GC pause or
     // JIT deopt then shifts one sample, not the query's reported time
     // (the q17–q21 cross-round variance pattern). Runs 2–3 hit the
     // family's warmed shared caches — the medians measure steady-state
     // query execution, which is what round-over-round comparison needs.
+    // Deep probes (*_i10) additionally report sample 1 in a "cold" map:
+    // their later samples resume from the memoized mid-loop checkpoint,
+    // so the median alone would hide the full-pass cost the probe
+    // exists to measure (round-6 verdict item).
+    val debugSamples = sys.env.contains("SPARK_GRAFT_SAMPLES")
     var family = ""
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
@@ -45,18 +51,23 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      if (debugSamples)
+        System.err.println(f"SAMPLES $name ${samples.map(t => f"$t%.3f").mkString(" ")}")
       if (name.endsWith("_i10")) graft.queries.SharedRelations.evict(spark)
-      name -> samples.sorted.apply(1)
+      (name, samples.sorted.apply(1), samples.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-family subtotals: regression triage is one look at this map
     // instead of a 59-entry diff.
     val fams = results.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + rs.map(_._2).sum }
       .mkString("{", ",", "}")
+    val cold = results.filter(_._1.endsWith("_i10"))
+      .map { case (k, _, c) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"cold":$cold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,11 +40,11 @@ object PageRankCli {
 
   /** Trailing digits of a state-dir path (`…/out7` → 7): the pass its
     * state came from, used as this run's pass-numbering offset. A path
-    * with no digit suffix — or one that is ALL digits, which is a name,
-    * not a suffix — offsets from 0.
+    * whose BASENAME has no digit suffix — or is all digits, which is a
+    * name, not a suffix (`123`, `/data/123`) — offsets from 0.
     */
   private[graft] def passOffsetOf(in: String): Int = {
-    val name = in.stripSuffix("/")
+    val name = in.stripSuffix("/").split('/').last
     val digits = name.reverse.takeWhile(_.isDigit).reverse
     if (digits.isEmpty || digits.length == name.length) 0
     else

@@ -70,7 +70,20 @@ object GraphOps {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst"), col("src")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = nodes(edges).select(col("node"), col("node").as("label"))
+    val out = connectedComponentsFromSym(sym, maxRounds, checkpointEvery)
+    sym.unpersist(false)
+    out
+  }
+
+  /** [[connectedComponents]] over an already-symmetrized (and ideally
+    * caller-persisted) edge relation — every round joins against it, so
+    * a shared materialization must not be rebuilt or unpersisted here.
+    */
+  def connectedComponentsFromSym(sym: DataFrame, maxRounds: Int = 50,
+                                 checkpointEvery: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
     var changed = 1L
@@ -91,7 +104,6 @@ object GraphOps {
       lab = next
       round += 1
     }
-    sym.unpersist(false)
     lab.select(col("node"), col("label").as("component"))
   }
 

@@ -22,6 +22,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRankGraphX {
 
+  /** The session owning this graph's RDDs: the active (else default)
+    * session when it shares the graph's SparkContext, otherwise one
+    * resolved from that context — never a stranger session in a
+    * multi-session driver (round-6 ADVICE on `SparkSession.active`).
+    */
+  private def sessionOf(rdd: RDD[_]): SparkSession =
+    SparkSession.getActiveSession
+      .filter(_.sparkContext eq rdd.sparkContext)
+      .orElse(SparkSession.getDefaultSession
+        .filter(_.sparkContext eq rdd.sparkContext))
+      .getOrElse(
+        org.apache.spark.sql.graft.ColumnBridge.sessionFor(rdd.sparkContext))
+
   /** Edges per partition the iteration loop targets: small enough to
     * parallelize a cluster-scale graph, large enough that per-task
     * overhead doesn't dominate (an iterative GraphX job runs MANY
@@ -60,7 +73,7 @@ object PageRankGraphX {
     */
   def standardOn(graph0: Graph[Double, Unit], iters: Int,
                  beta: Double = 0.15): DataFrame = {
-    val spark = SparkSession.active
+    val spark = sessionOf(graph0.vertices)
     val n = graph0.numVertices.toDouble
     // out-degree as vertex attribute; 0 for dangling
     val degrees = graph0.outDegrees
@@ -206,7 +219,7 @@ object PageRankGraphX {
     * [[standardOn]]).
     */
   def standardFixedPointOn(graph0: Graph[Double, Unit], iters: Int): DataFrame = {
-    val spark = SparkSession.active
+    val spark = sessionOf(graph0.vertices)
     val Scale = 1000000000000L
     val Beta = 15L * Scale / 100L
     val n = graph0.numVertices

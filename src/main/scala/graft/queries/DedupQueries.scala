@@ -68,10 +68,14 @@ object DedupQueries {
   // (documents unioned with a re-ingested copy, ids offset): group on
   // md5, keep the min id. At 100 TB the 16-byte digest — not the text —
   // is the shuffle key, and partial aggregation collapses dup groups
-  // map-side.
+  // map-side. The re-ingest offset is max(doc_id)+1 — a 1-row broadcast
+  // scalar, never a constant that a larger sf's genuine ids could
+  // collide with.
   def d01_exact(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val corpus = d.union(d.select(col("doc_id") + lit(10000L), col("text")))
+    val off = broadcast(d.agg((max(col("doc_id")) + 1L).as("off")))
+    val corpus = d.union(
+      d.crossJoin(off).select(col("doc_id") + col("off"), col("text")))
     corpus.groupBy(md5(col("text")).as("content_key"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
@@ -274,9 +278,14 @@ object DedupQueries {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val base = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val pert = emb.select((col("vec_id") + lit(10000L)).as("vec_id"),
-      expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + " +
-        s"CAST((vec_id + i) % 7 - 3 AS DOUBLE) * ${D08NoiseScale}D)").as("v"))
+    // Re-ingest offset is max(vec_id)+1 (broadcast scalar, like d01) so
+    // the planted namespace can never collide with genuine ids at any
+    // sf; the noise term keys off the ORIGINAL vec_id either way.
+    val off = broadcast(emb.agg((max(col("vec_id")) + 1L).as("off")))
+    val pert = emb.crossJoin(off)
+      .select((col("vec_id") + col("off")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + " +
+          s"CAST((vec_id + i) % 7 - 3 AS DOUBLE) * ${D08NoiseScale}D)").as("v"))
     // Persisted: 16 hyperplane projections per row, and both sides of
     // the band self-join read it — ~0.5 KB/vector, cheap to pin.
     val bands = SharedRelations(s, dir, "embed_neardup_bands") {
@@ -316,7 +325,7 @@ object DedupQueries {
     * data.
     */
   def d06_neardup_clusters(s: SparkSession, dir: String,
-                           rounds: Int = 3): DataFrame = {
+                           rounds: Int = NeardupRounds): DataFrame = {
     // Persisted: every propagation round joins against this relation —
     // unpinned, each round would re-run the whole band-join candidate
     // generation (the plan repeats the d03 subtree once per round).
@@ -417,15 +426,16 @@ object DedupQueries {
     val bandSelects = bucketSqls.zipWithIndex.map { case (_, i) =>
       s"SELECT vec_id, v, nrm, $i AS tbl, b$i AS bkt FROM corpus"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH base AS (SELECT vec_id,
+    s"""WITH off AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings),
+       |base AS (SELECT vec_id,
        |    LIST_TRANSFORM(RANGE(1, LEN(embedding)+1),
        |      i -> CAST(embedding[i] AS DOUBLE)) AS v
        |  FROM embeddings),
-       |pert AS (SELECT vec_id + 10000 AS vec_id,
+       |pert AS (SELECT vec_id + off AS vec_id,
        |    LIST_TRANSFORM(RANGE(1, LEN(embedding)+1),
        |      i -> CAST(embedding[i] AS DOUBLE) +
        |        CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE) * $D08NoiseScale) AS v
-       |  FROM embeddings),
+       |  FROM embeddings, off),
        |corpus AS MATERIALIZED (SELECT vec_id, v,
        |    SQRT(${dotSql("v", "v")}) AS nrm,
        |    ${bucketSqls.zipWithIndex.map { case (b, i) => s"$b AS b$i" }
@@ -497,9 +507,10 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "d01_exact" ->
-      """WITH corpus AS (
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+        |corpus AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |  UNION ALL SELECT doc_id + off, text FROM documents, off)
         |SELECT MD5(text) AS content_key, MIN(doc_id) AS keeper,
         |  COUNT(*) AS n_copies
         |FROM corpus GROUP BY 1""".stripMargin,
@@ -553,7 +564,7 @@ object DedupQueries {
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d04_simhash" -> (d04_simhash _),
     "d05_embed_nn" -> (d05_embed_nn _),
-    "d06_neardup_clusters" -> ((s, d) => d06_neardup_clusters(s, d)),
+    "d06_neardup_clusters" -> ((s, d) => d06_neardup_clusters(s, d, NeardupRounds)),
     "d07_simhash_hamming" -> (d07_simhash_hamming _),
     "d08_embed_neardup" -> (d08_embed_neardup _),
   )

@@ -213,6 +213,14 @@ object GraphQueries {
     }
   }
 
+  /** Test hook: drop (and release) this session's memoized checkpoints
+    * so plan-shape assertions start from a known memo-free state — the
+    * resume path makes plan size depend on whatever memo an EARLIER
+    * caller left behind (round-6 ADVICE on GraphQueriesSpec).
+    */
+  private[queries] def clearCheckpointMemos(s: SparkSession): Unit =
+    releaseMemos(s)
+
   private def releaseMemos(s: SparkSession): Unit = {
     cpMemo.keys.filter(_._1 eq s).foreach { k =>
       cpMemo.remove(k).foreach { case (_, df) =>
@@ -515,6 +523,41 @@ object GraphQueries {
     sb.toString
   }
 
+  /** CONVERGED connected components (no fixed trip count): iterate
+    * min-label propagation until no label changes, bounded at 50
+    * rounds ([[graft.graph.GraphOps.connectedComponentsFromSym]], one
+    * join + min-agg + change-count per round over the shared
+    * symmetrized relation). Unlike fixed-round g05 this needs a driver
+    * convergence loop — but the FIXPOINT itself is SQL-expressible:
+    * at convergence label(v) = min node id reachable from v, which the
+    * oracle computes as a recursive-CTE transitive closure over the
+    * symmetrized graph. Integer labels ⇒ hash-exact, closing the
+    * round-6 "converged variant is inherently rows-only" gap.
+    */
+  def g11_cc_converged(s: SparkSession, dir: String): DataFrame = {
+    val sym = SharedRelations(s, dir, "graph_sym") {
+      val e = derivedEdges(s, dir)
+      e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
+    }
+    graft.graph.GraphOps.connectedComponentsFromSym(sym)
+  }
+
+  /** Recursive-CTE oracle for [[g11_cc_converged]]: BFS closure
+    * `reach(node, r)` over the symmetrized edges (UNION dedups per
+    * DuckDB's recursive semantics, so it terminates on cycles), then
+    * component = min reachable id — the converged label-prop fixpoint
+    * by definition.
+    */
+  private def ccConvergedOracle: String =
+    "WITH RECURSIVE " + EdgesCte.stripPrefix("WITH ") + """,
+      |sym AS MATERIALIZED (SELECT src, dst FROM edges
+      |        UNION SELECT dst AS src, src AS dst FROM edges),
+      |reach(node, r) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
+      |SELECT node, MIN(r) AS component FROM reach GROUP BY node""".stripMargin
+
   /** Global triangle count over the canonicalized undirected graph
     * (a<b): two self-joins — the standard distributed formulation; at
     * scale the join key is the node id and AQE handles the skewed hubs.
@@ -554,6 +597,7 @@ object GraphQueries {
     "g08_pagerank_compat" -> pagerankCompatOracle(3),
     "g09_pagerank_personalized" -> pagerankPersonalizedOracle(3),
     "g05_cc_labelprop" -> ccOracle(3),
+    "g11_cc_converged" -> ccConvergedOracle,
     "g06_triangles" -> (EdgesCte + """,
       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       |        FROM edges)
@@ -578,6 +622,7 @@ object GraphQueries {
     "g08_pagerank_compat" -> ((s, d) => g08_pagerank_compat(s, d)),
     "g09_pagerank_personalized" -> ((s, d) => g09_pagerank_personalized(s, d)),
     "g05_cc_labelprop" -> ((s, d) => g05_cc_labelprop(s, d)),
+    "g11_cc_converged" -> (g11_cc_converged _),
     "g06_triangles" -> (g06_triangles _),
     // Flagship GraphX path — iterative double-precision PageRank; not
     // SQL-expressible bit-exactly (float accumulation order), so no

@@ -25,7 +25,12 @@ object MultimodalQueries {
     Tables(s, dir, name)
 
   /** The binary media table: doc_id, media_type tag, payload bytes,
-    * byte length. Spark side of the shared derivation.
+    * byte length. Spark side of the shared derivation. Deliberately NOT
+    * [[SharedRelations]]-cached: it is a narrow, codegen'd projection
+    * straight off the parquet scan (no shuffle to save), and pinning it
+    * would hold the full payload column — the one thing a multimodal
+    * pipeline must keep OUT of cache memory. The expensive shared stage
+    * (decode+embed) is what gets pinned, in [[m04_media_nn]]'s `feats`.
     */
   def media(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -42,6 +42,15 @@ object ColumnBridge {
     }
   }
 
+  /** A session bound to exactly `sc` — for code handed bare RDDs (the
+    * GraphX paths) that must not adopt a stranger active session in a
+    * multi-session driver. `Builder.sparkContext` is `private[spark]`,
+    * hence this bridge.
+    */
+  def sessionFor(sc: org.apache.spark.SparkContext): org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.classic.SparkSession.builder()
+      .sparkContext(sc).getOrCreate()
+
   /** Register the graft SQL functions on an ALREADY-BUILT session
     * (sessions built with `GraftExtensions` don't need this). Uses the
     * session's function registry, which is `private[sql]`.

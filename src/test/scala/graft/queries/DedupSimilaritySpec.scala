@@ -17,11 +17,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("exact dedup collapses the doubled corpus to one keeper per text") {
     val out = DedupQueries.d01_exact(spark, dir).cache()
-    val docs = graft.Tables(spark, dir, "documents").count()
+    val d = graft.Tables(spark, dir, "documents")
+    val docs = d.count()
+    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
     assert(out.count() === docs)
     assert(out.agg(min(col("n_copies"))).head.getLong(0) === 2L)
-    // keeper is always the original (un-offset) id
-    assert(out.filter(col("keeper") >= 10000L).count() === 0L)
+    // keeper is always the original (un-offset, ≤ max genuine) id
+    assert(out.filter(col("keeper") > maxId).count() === 0L)
   }
 
   test("high-jaccard pairs are caught by MinHash LSH banding") {
@@ -67,12 +69,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("d08 recovers planted embedding near-dups and nothing else") {
     val pairs = DedupQueries.d08_embed_neardup(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val n = graft.Tables(spark, dir, "embeddings").count()
+    val e = graft.Tables(spark, dir, "embeddings")
+    val n = e.count()
+    val off = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
     assert(pairs.nonEmpty)
-    // every reported pair is a planted (v, v+10000) copy — the natural
+    // every reported pair is a planted (v, v+off) copy — the natural
     // corpus has no cosine ≥ τ pairs (max natural cos < 0.8)
     pairs.foreach { case (a, b, c) =>
-      assert(b === a + 10000L, s"non-planted pair ($a,$b)")
+      assert(b === a + off, s"non-planted pair ($a,$b)")
       assert(c >= 0.99 && c <= 1.0 + 1e-12, s"cos($a,$b)=$c out of range")
     }
     // two-table banding recall on the planted pairs (analysis: ~97%,

@@ -37,6 +37,12 @@ class GraphQueriesSpec extends AnyFunSuite {
   }
 
   test("pagerank plan size is bounded by the checkpoint cadence, not iters") {
+    // Hermetic: a memo left by an earlier caller (e.g. the cadence-2
+    // spec above, or a Bench/Verify run on a shared session) would make
+    // the two calls resume from the same absolute pass and leave
+    // DIFFERENT residual depths (10 vs 14 minus the memo pass) — the
+    // comparison below only holds when both calls plan memo-free.
+    GraphQueries.clearCheckpointMemos(spark)
     def planNodes(iters: Int): Int =
       GraphQueries.g04_pagerank(spark, dir, iters, checkpointEvery = 4)
         .queryExecution.optimizedPlan.collect { case n => n }.length
@@ -45,9 +51,7 @@ class GraphQueriesSpec extends AnyFunSuite {
     // last checkpoint spans cadence..2·cadence−1 passes regardless of
     // total iterations: 10 and 14 passes at cadence 4 both leave a
     // 6-pass residual over a checkpoint scan and must yield the SAME
-    // plan size — the pre-fix behavior doubled per pass. (Memo resume
-    // doesn't change the shape: checkpoints land on absolute pass
-    // indices either way.)
+    // plan size — the pre-fix behavior doubled per pass.
     assert(planNodes(10) === planNodes(14))
   }
 
@@ -68,6 +72,23 @@ class GraphQueriesSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     // monotone non-increasing labels
     assert(l4.forall { case (n, l) => l <= l3(n) })
+  }
+
+  test("converged cc equals fixed-round label-prop once rounds pass convergence") {
+    val conv = GraphQueries.g11_cc_converged(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // find the fixed-round convergence point on this graph, then pin:
+    // converged == the stable fixed-round result (and stays stable)
+    val r20 = GraphQueries.g05_cc_labelprop(spark, dir, 20)
+      .as[(Long, Long)].collect().toMap
+    val r21 = GraphQueries.g05_cc_labelprop(spark, dir, 21)
+      .as[(Long, Long)].collect().toMap
+    assert(r20 === r21, "20 rounds should be past convergence at sf0.001")
+    assert(conv === r20)
+    // every label is its component's minimum member (fixpoint witness)
+    conv.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"component $c not labeled by its min")
+    }
   }
 
   test("degrees reconcile with edge count") {

@@ -211,6 +211,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stateful query restarted from its checkpoint recovers state exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The recovery contract a real ingest pipeline relies on: kill a
+    // watermarked windowed aggregation mid-stream, restart it on the
+    // SAME checkpoint dir, and the emitted windows must be exactly the
+    // ones a never-interrupted run produces — no lost windows (state
+    // forgotten) and no duplicates (committed offsets replayed).
+    val cpDir = java.nio.file.Files
+      .createTempDirectory("graft-recovery-cp").toString
+    val in = MemoryStream[Ev]
+    def start(name: String) =
+      StreamOps.windowedCounts(in.toDF(), wm = "10 minutes", win = "5 minutes")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cpDir)
+        .outputMode(OutputMode.Append).start()
+
+    val q1 = start("rec1")
+    try {
+      in.addData(ev(1, 0), ev(2, 3, v = 2.0), ev(3, 6)) // open windows
+      q1.processAllAvailable()
+      // watermark still behind: every window is open, state-store-only
+      assert(spark.table("rec1").count() === 0)
+    } finally q1.stop()
+
+    // Data arriving while the query is down, then restart on the same
+    // checkpoint. The source still holds the pre-stop batch too, so a
+    // broken restart has BOTH failure modes available: losing the
+    // recovered state (missing/undercounted windows) or re-reading the
+    // committed batch (double-counted windows).
+    in.addData(ev(9, 59)) // closes both open windows
+    val q2 = start("rec2")
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("rec2")
+        .select("window_start", "n_events", "total_value")
+        .collect().sortBy(_.getTimestamp(0).getTime)
+      // exactly the two pre-stop windows, counts intact, emitted once:
+      // n_events = 4 would mean the committed batch was replayed,
+      // 0 rows would mean the state store was not recovered
+      assert(rows.length === 2)
+      assert(rows(0).getTimestamp(0) === ts(0))
+      assert(rows(0).getLong(1) === 2L)
+      assert(rows(0).getDouble(2) === 3.0)
+      assert(rows(1).getTimestamp(0) === ts(5))
+      assert(rows(1).getLong(1) === 1L)
+      // an idle re-trigger after recovery adds nothing new
+      q2.processAllAvailable()
+      assert(spark.table("rec2").count() === 2)
+    } finally q2.stop()
+  }
+
   test("batch twin and streaming window rollup agree on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
