@@ -63,7 +63,12 @@ object Bench {
     val fams = results.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + rs.map(_._2).sum }
       .mkString("{", ",", "}")
-    val cold = results.filter(_._1.endsWith("_i10"))
+    // Cold map: queries whose later samples resume from a memo (the
+    // *_i10 cpMemo resume; g11/g12's memoized converged CC) report
+    // sample 1 too — the median alone would hide the full-pass cost.
+    val cold = results
+      .filter { case (n, _, _) =>
+        n.endsWith("_i10") || n.startsWith("g11") || n.startsWith("g12") }
       .map { case (k, _, c) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

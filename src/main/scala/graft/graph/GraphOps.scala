@@ -75,36 +75,162 @@ object GraphOps {
     out
   }
 
+  /** Release whatever kind of pin a loop iterate holds: a CacheManager
+    * persist (`unpersist` — no-op on checkpointed plans) and/or a
+    * `localCheckpoint` RDD (`releaseCheckpoint` — no-op on ordinary
+    * plans). Checkpoint RDDs live OUTSIDE the CacheManager, so
+    * `clearCache`-style eviction can't reach them; every iterate this
+    * loop retires must go through here or it stays pinned for the
+    * session's lifetime (the round-7 g11 leak).
+    */
+  private def releaseIterate(df: DataFrame): Unit = {
+    df.unpersist(false)
+    org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(df)
+  }
+
   /** [[connectedComponents]] over an already-symmetrized (and ideally
     * caller-persisted) edge relation — every round joins against it, so
     * a shared materialization must not be rebuilt or unpersisted here.
+    *
+    * Each iterate carries its previous label as `old`, so convergence
+    * detection is a filter+count on the already-cached iterate — no
+    * dedicated change-detection join (round-7 verdict: that join was an
+    * extra two-shuffle job per round). The returned frame is an eager
+    * `localCheckpoint` of the converged labels: self-contained (safe to
+    * memoize after `sym` is evicted) and the ONLY pin that escapes the
+    * loop — every per-round persist and superseded mid-loop checkpoint
+    * is released before return. Callers that keep the result long-term
+    * own that single checkpoint and release it via
+    * [[org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint]].
     */
   def connectedComponentsFromSym(sym: DataFrame, maxRounds: Int = 50,
                                  checkpointEvery: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     var lab = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+      .select(col("node"), col("node").as("label"), col("node").as("old"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       // labels flow u→v across the symmetrized edges
-      val nbr = sym.toDF("u", "v").join(lab.toDF("u", "l"), Seq("u"))
+      val nbr = sym.toDF("u", "v")
+        .join(lab.select(col("node").as("u"), col("label").as("l")), Seq("u"))
         .groupBy(col("v").as("node")).agg(min(col("l")).as("nbr"))
-      var next = lab.join(nbr, Seq("node"), "left_outer")
+      var next = lab.select(col("node"), col("label"))
+        .join(nbr, Seq("node"), "left_outer")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          col("label").as("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if ((round + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
-      changed = next.join(lab.toDF("node", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
-      if (prev != null) prev.unpersist(false)
+      if ((round + 1) % checkpointEvery == 0) {
+        val pre = next
+        next = next.localCheckpoint(true) // eager: materializes via pre's cache
+        pre.unpersist(false)              // then the pre-checkpoint pin retires
+      }
+      // count() materializes next; lab is kept one extra round so an
+      // evicted cache block of next can still recompute cheaply
+      changed = next.filter(col("label") =!= col("old")).count()
+      if (prev != null) releaseIterate(prev)
       prev = lab
       lab = next
       round += 1
     }
-    lab.select(col("node"), col("label").as("component"))
+    val out = lab.select(col("node"), col("label").as("component"))
+      .localCheckpoint(true)
+    if (prev != null) releaseIterate(prev)
+    releaseIterate(lab)
+    out
+  }
+
+  /** Connected components in O(log n) rounds via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the scale path when graph
+    * DIAMETER, not size, is the enemy: min-label propagation
+    * ([[connectedComponentsFromSym]]) needs O(diameter) rounds, and the
+    * reference's own k-chain topology at k=1000 (Makefile:22-23) has
+    * diameter 1000. Here every round contracts star subtrees, so round
+    * count is logarithmic in component size regardless of diameter.
+    *
+    * Per round, with Γ⁺(u) = neighbors of u ∪ {u} and m(u) = min Γ⁺(u):
+    *  - large-star: ∀ v ∈ Γ(u), v > u: emit (v, m(u)) — larger
+    *    neighbors re-hook onto u's minimum;
+    *  - small-star: over the large-star output, ∀ v ∈ Γ(u), v ≤ u:
+    *    emit (v, m(u)) and (u, m(u)) — u and its smaller neighbors
+    *    collapse onto the minimum.
+    * Both phases are a min-aggregate + an equi-join on the node id —
+    * never a neighborhood `collect_list`, so a 100 TB hub node costs
+    * two shuffled rows, not an executor-OOM array. The fixpoint is a
+    * star forest: every node points directly at its component minimum.
+    *
+    * Convergence needs a set comparison (unlike label-prop there is no
+    * per-row `old` to carry: the edge SET changes shape), so each round
+    * pays one left-anti join on the node-sized iterate — acceptable
+    * because the loop runs O(log n) rounds, not O(diameter).
+    * Non-convergence within `maxRounds` throws rather than returning
+    * half-contracted edges. Same pin discipline as
+    * [[connectedComponentsFromSym]]: the returned frame is a
+    * self-contained eager checkpoint and the only surviving pin.
+    */
+  def connectedComponentsLogN(edges: DataFrame, maxRounds: Int = 30,
+                              checkpointEvery: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var curCount = cur.count()
+    var prev: DataFrame = null
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val sym = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      val symS = large.union(
+        large.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("dst") <= col("src"))
+      val minsS = symS.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      var next = symS.join(minsS, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(minsS.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if ((round + 1) % checkpointEvery == 0) {
+        val pre = next
+        next = next.localCheckpoint(true)
+        pre.unpersist(false)
+      }
+      val nextCount = next.count() // materializes next
+      // distinct sets: equal ⟺ no fresh edges AND same cardinality
+      val fresh = next.join(cur, Seq("src", "dst"), "left_anti").count()
+      changed = fresh + math.abs(nextCount - curCount)
+      curCount = nextCount
+      if (prev != null) releaseIterate(prev)
+      prev = cur
+      cur = next
+      round += 1
+    }
+    require(changed == 0,
+      s"connectedComponentsLogN: no fixpoint within $maxRounds rounds")
+    val out = nodes
+      .join(cur.select(col("src").as("node"), col("dst").as("component")),
+        Seq("node"), "left_outer")
+      .groupBy("node")
+      .agg(min(coalesce(col("component"), col("node"))).as("component"))
+      .localCheckpoint(true)
+    nodes.unpersist(false)
+    if (prev != null) releaseIterate(prev)
+    releaseIterate(cur)
+    out
   }
 
   def explodeAdjacency(adj: DataFrame): DataFrame =

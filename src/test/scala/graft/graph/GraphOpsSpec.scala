@@ -66,6 +66,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaDf(4L) === 1L && viaDf(9L) === 1L && viaDf(6L) === 5L)
   }
 
+  test("logN cc matches label-prop and converges logarithmically on a chain") {
+    import spark.implicits._
+    // Path 1–2–…–256: diameter 255, the adversarial topology for
+    // label propagation (the reference's k-chain at k=1000 scales the
+    // same shape). The round budget IS the assertion: label-prop needs
+    // ~255 rounds here; star contraction must finish inside 15 —
+    // connectedComponentsLogN throws if it doesn't converge in time.
+    val chain = (1L until 256L).map(i => (i, i + 1)).toDF("src", "dst")
+    val logn = GraphOps.connectedComponentsLogN(chain, maxRounds = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(logn.size === 256)
+    assert(logn.values.forall(_ === 1L))
+    // and on a general mixed graph (two components, a cycle, a
+    // self-loop singleton) it matches the label-prop fixpoint exactly
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 2L), (5L, 6L),
+      (6L, 5L), (7L, 7L)).toDF("src", "dst")
+    val viaProp = GraphOps.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLog = GraphOps.connectedComponentsLogN(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLog === viaProp)
+    assert(viaLog(7L) === 7L)
+  }
+
   test("readEdgesCsv FAILFAST rejects malformed rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("edges").toFile
     val f = new java.io.File(dir, "edges.csv")

@@ -91,6 +91,29 @@ class GraphQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("logN star-contraction cc equals converged label-prop on the derived graph") {
+    val viaProp = GraphQueries.g11_cc_converged(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val viaLog = GraphQueries.g12_cc_logn(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLog === viaProp)
+  }
+
+  test("converged-cc loops leave no pinned blocks after eviction") {
+    // The round-7 leak: per-round persists and localCheckpoint RDDs
+    // escaping the loop. Both CC paths now retire every iterate and
+    // return a single memoized checkpoint that the eviction hook
+    // releases — so eviction must return the session to (at most) the
+    // pins that existed before the loops ran.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    GraphQueries.g11_cc_converged(spark, dir).count()
+    GraphQueries.g12_cc_logn(spark, dir).count()
+    SharedRelations.evict(spark)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pinned RDDs survived eviction: $leaked")
+  }
+
   test("degrees reconcile with edge count") {
     val e = GraphQueries.derivedEdges(spark, dir)
     val nEdges = e.count()

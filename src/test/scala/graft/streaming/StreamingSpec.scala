@@ -212,44 +212,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("stateful query restarted from its checkpoint recovers state exactly-once") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     // The recovery contract a real ingest pipeline relies on: kill a
     // watermarked windowed aggregation mid-stream, restart it on the
     // SAME checkpoint dir, and the emitted windows must be exactly the
     // ones a never-interrupted run produces — no lost windows (state
     // forgotten) and no duplicates (committed offsets replayed).
+    // MemoryStream cannot restart from a checkpoint (round-7 verdict)
+    // and the append-mode memory SINK refuses recovery too, so both
+    // ends are files: a directory of JSONL chunks in (the file source
+    // persists its processed-file log in the checkpoint) and a parquet
+    // file sink out (whose _spark_metadata commit log is what makes
+    // the sink exactly-once — batch reads of the dir see only
+    // committed files). The restart has both failure modes to get
+    // wrong: forgetting the state store (missing windows) or
+    // re-reading committed chunks (double-counted windows).
     val cpDir = java.nio.file.Files
       .createTempDirectory("graft-recovery-cp").toString
-    val in = MemoryStream[Ev]
-    def start(name: String) =
-      StreamOps.windowedCounts(in.toDF(), wm = "10 minutes", win = "5 minutes")
-        .writeStream.format("memory").queryName(name)
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-recovery-in")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-recovery-out").toString
+    val outSchema =
+      "window_start timestamp, event_type string, n_events bigint, total_value double"
+    def emitted() = spark.read.schema(outSchema).parquet(outDir)
+    val isoTs = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss")
+    def writeChunk(name: String, evs: Seq[Ev]): Unit = {
+      val lines = evs.map { e =>
+        s"""{"event_id":${e.event_id},"ts":"${isoTs.format(e.ts)}",""" +
+          s""""user_id":${e.user_id},"event_type":"${e.event_type}",""" +
+          s""""value":${e.value}}"""
+      }
+      // write-then-atomic-move so the source never lists a partial file
+      val tmp = java.nio.file.Files.createTempFile("graft-chunk", ".json")
+      java.nio.file.Files.write(tmp,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, inDir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def start() = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+        .json(inDir.toString)
+      StreamOps.windowedCounts(src, wm = "10 minutes", win = "5 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir)
         .option("checkpointLocation", cpDir)
         .outputMode(OutputMode.Append).start()
+    }
 
-    val q1 = start("rec1")
+    writeChunk("b1.json", Seq(ev(1, 0), ev(2, 3, v = 2.0), ev(3, 6)))
+    val q1 = start()
     try {
-      in.addData(ev(1, 0), ev(2, 3, v = 2.0), ev(3, 6)) // open windows
       q1.processAllAvailable()
       // watermark still behind: every window is open, state-store-only
-      assert(spark.table("rec1").count() === 0)
+      assert(emitted().count() === 0)
     } finally q1.stop()
 
     // Data arriving while the query is down, then restart on the same
-    // checkpoint. The source still holds the pre-stop batch too, so a
-    // broken restart has BOTH failure modes available: losing the
+    // checkpoint. The source dir still holds the committed chunk too,
+    // so a broken restart has BOTH failure modes available: losing the
     // recovered state (missing/undercounted windows) or re-reading the
-    // committed batch (double-counted windows).
-    in.addData(ev(9, 59)) // closes both open windows
-    val q2 = start("rec2")
+    // committed chunk (double-counted windows).
+    writeChunk("b2.json", Seq(ev(9, 59))) // closes both open windows
+    val q2 = start()
     try {
       q2.processAllAvailable()
-      val rows = spark.table("rec2")
+      val rows = emitted()
         .select("window_start", "n_events", "total_value")
         .collect().sortBy(_.getTimestamp(0).getTime)
       // exactly the two pre-stop windows, counts intact, emitted once:
-      // n_events = 4 would mean the committed batch was replayed,
+      // n_events = 4 would mean the committed chunk was replayed,
       // 0 rows would mean the state store was not recovered
       assert(rows.length === 2)
       assert(rows(0).getTimestamp(0) === ts(0))
@@ -259,7 +291,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows(1).getLong(1) === 1L)
       // an idle re-trigger after recovery adds nothing new
       q2.processAllAvailable()
-      assert(spark.table("rec2").count() === 2)
+      assert(emitted().count() === 2)
     } finally q2.stop()
   }
 
