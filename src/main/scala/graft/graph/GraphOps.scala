@@ -171,18 +171,28 @@ object GraphOps {
     * half-contracted edges. Same pin discipline as
     * [[connectedComponentsFromSym]]: the returned frame is a
     * self-contained eager checkpoint and the only surviving pin.
+    *
+    * Unlike the label-prop loop (whose iterate is referenced ONCE per
+    * round, so a checkpoint cadence of 5 bounds plan growth linearly),
+    * a star round references its predecessor ~24× through the
+    * sym→mins→large→symS→minsS chain — plan size (and with it
+    * analysis + cache-subtree-matching time) multiplies ~24× per
+    * UN-checkpointed round, which is exponential in the cadence
+    * (cadence 3 measured 205 s at sf0.1 vs ~10 s at cadence 1). So
+    * every round checkpoints, and the mid-round `large` relation is
+    * pinned while the three branches that read it materialize —
+    * released as soon as the round's iterate is checkpointed.
     */
-  def connectedComponentsLogN(edges: DataFrame, maxRounds: Int = 30,
-                              checkpointEvery: Int = 3): DataFrame = {
+  def connectedComponentsLogN(edges: DataFrame,
+                              maxRounds: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cur = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var curCount = cur.count()
-    var prev: DataFrame = null
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -193,29 +203,25 @@ object GraphOps {
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val symS = large.union(
         large.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("dst") <= col("src"))
       val minsS = symS.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
-      var next = symS.join(minsS, Seq("src"))
+      val next = symS.join(minsS, Seq("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(minsS.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if ((round + 1) % checkpointEvery == 0) {
-        val pre = next
-        next = next.localCheckpoint(true)
-        pre.unpersist(false)
-      }
-      val nextCount = next.count() // materializes next
+        .localCheckpoint(true) // eager: materializes, then large retires
+      large.unpersist(false)
+      val nextCount = next.count()
       // distinct sets: equal ⟺ no fresh edges AND same cardinality
       val fresh = next.join(cur, Seq("src", "dst"), "left_anti").count()
       changed = fresh + math.abs(nextCount - curCount)
       curCount = nextCount
-      if (prev != null) releaseIterate(prev)
-      prev = cur
+      releaseIterate(cur)
       cur = next
       round += 1
     }
@@ -228,7 +234,6 @@ object GraphOps {
       .agg(min(coalesce(col("component"), col("node"))).as("component"))
       .localCheckpoint(true)
     nodes.unpersist(false)
-    if (prev != null) releaseIterate(prev)
     releaseIterate(cur)
     out
   }
