@@ -43,8 +43,14 @@ object Bench {
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     val results = all.map { case (name, fn) =>
-      if (family.nonEmpty && name.take(1) != family)
+      if (family.nonEmpty && name.take(1) != family) {
         graft.queries.SharedRelations.evict(spark)
+        // The evict drops block-manager entries but their heap garbage
+        // lingers until the next major GC — measured shading g04/g08
+        // medians 2-3x after the d family. One explicit collection per
+        // family boundary (7/run) keeps each family's samples clean.
+        System.gc()
+      }
       family = name.take(1)
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,7 +61,58 @@ object PipelineQueries {
         col("stop_ratio"), col("mean_tok_len"))
   }
 
+  /** Per-language sample cap and the salt-lane fanout of the skew-proof
+    * top-N (see [[p02_balanced_sample]]).
+    */
+  private val SampleCap = 40
+  private val SaltLanes = 8
+
+  /** Language-balanced deterministic sample — the corpus-balancing step
+    * of a training-data pipeline: keep at most [[SampleCap]] documents
+    * per language, chosen by a content hash so the draw is (a)
+    * deterministic across engines/runs — md5(text) is the order key,
+    * doc_id the tiebreak — and (b) unbiased by ingest order.
+    *
+    * Scale shape: the naive form is one Window over
+    * `partitionBy(lang)`, which funnels each language onto a SINGLE
+    * task — the classic stratum-skew trap when one language is 90% of
+    * a 100 TB corpus. Instead, q26's salting pattern applied to top-N:
+    * phase 1 ranks within (lang, salt-lane) — [[SaltLanes]] parallel
+    * tasks per language, each keeping ≤ cap rows — and phase 2 ranks
+    * the ≤ lanes·cap survivors per language exactly. Lossless for ANY
+    * lane assignment: a global top-cap row is necessarily within the
+    * top-cap of its own lane, so phase 1 never drops a winner — which
+    * is why the salt (doc_id mod lanes) needn't appear in the oracle.
+    */
+  def p02_balanced_sample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("text").cast("binary")).as("key"))
+    val lane = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("key"), col("doc_id"))
+    val survivors = docs
+      .withColumn("salt", pmod(col("doc_id"), lit(SaltLanes)))
+      .withColumn("lrn", row_number().over(lane))
+      .filter(col("lrn") <= SampleCap)
+    val w = Window.partitionBy(col("lang")).orderBy(col("key"), col("doc_id"))
+    survivors
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SampleCap)
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // The oracle is the UNSALTED definition — phase 1 is lossless, so
+    // the two must agree row-for-row (DuckDB md5() = Spark md5 over
+    // UTF-8 bytes, both lowercase hex).
+    "p02_balanced_sample" -> s"""
+      |SELECT doc_id, lang, rn FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+      |      AS rn
+      |  FROM documents)
+      |WHERE rn <= $SampleCap""".stripMargin,
     "p01_curate" -> {
       val r = DedupQueries.NeardupRounds
       DedupQueries.neardupLabelsCte(r) + s""",
@@ -86,5 +138,6 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curate" -> (p01_curate _),
+    "p02_balanced_sample" -> (p02_balanced_sample _),
   )
 }

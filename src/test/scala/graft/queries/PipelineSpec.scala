@@ -36,4 +36,28 @@ class PipelineSpec extends AnyFunSuite {
     // the gates actually bite: curation is a strict subset of keepers
     assert(kept.size < keepers.size)
   }
+
+  test("balanced sample equals the unsalted per-language top-N") {
+    // The salted two-phase top-N must be LOSSLESS: identical rows (and
+    // ranks) to the single-window definition, for every language —
+    // the property that lets the 100 TB plan avoid one-task-per-stratum
+    // windows without changing the sample.
+    import org.apache.spark.sql.expressions.Window
+    val got = PipelineQueries.p02_balanced_sample(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("key"), col("doc_id"))
+    val want = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("text").cast("binary")).as("key"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 40)
+      .select("doc_id", "lang", "rn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    // every language stratum is capped, none is empty on the fixture
+    val perLang = got.groupBy(_._2).view.mapValues(_.size)
+    assert(perLang.values.forall(n => n > 0 && n <= 40))
+  }
 }
