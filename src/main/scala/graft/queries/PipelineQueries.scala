@@ -102,7 +102,64 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
+  /** Tokens per packed training sequence and the shard fanout of the
+    * packing (see [[p03_pack]]).
+    */
+  private val PackBudget = 512L
+  private val PackShards = 16L
+
+  /** Deterministic sequence packing — the concat-and-chunk step LLM
+    * pretraining uses: documents are laid head-to-tail in a fixed
+    * order and split into [[PackBudget]]-token sequences, so each doc
+    * gets (chunk, offset) coordinates; a doc may straddle a chunk
+    * boundary, exactly like the real pipeline (the tokenizer's
+    * attention mask handles the seam).
+    *
+    * Scale shape: a single global cumulative sum would be ONE task at
+    * 100 TB (an unpartitioned ORDER BY window), so packing is
+    * per-shard: shard = doc_id mod [[PackShards]], each shard packs
+    * independently (one cumsum task per shard — at cluster scale set
+    * shards ≈ 4× executor count) and chunks are keyed (shard, chunk).
+    * Determinism: coordinates depend only on (doc_id, n_tokens) —
+    * invariant across partitioning, cluster size, and engine, which
+    * the DuckDB oracle proves.
+    */
+  def p03_pack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " "))
+          .cast(org.apache.spark.sql.types.LongType).as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        floor(col("start") / lit(PackBudget.toDouble)).as("chunk"),
+        (col("start") % lit(PackBudget)).as("off"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "p03_pack" -> s"""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+      |    doc_id % $PackShards AS shard
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, shard,
+      |    -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which would
+      |    -- leak into off's type; Spark's stays BIGINT
+      |    CAST(COALESCE(SUM(n_tokens) OVER (
+      |      PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start
+      |  FROM toks)
+      |SELECT doc_id, shard,
+      |  CAST(FLOOR(start / ${PackBudget}.0) AS BIGINT) AS chunk,
+      |  start % $PackBudget AS off
+      |FROM packed""".stripMargin,
     // The oracle is the UNSALTED definition — phase 1 is lossless, so
     // the two must agree row-for-row (DuckDB md5() = Spark md5 over
     // UTF-8 bytes, both lowercase hex).
@@ -139,5 +196,6 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curate" -> (p01_curate _),
     "p02_balanced_sample" -> (p02_balanced_sample _),
+    "p03_pack" -> (p03_pack _),
   )
 }

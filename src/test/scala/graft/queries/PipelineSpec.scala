@@ -60,4 +60,24 @@ class PipelineSpec extends AnyFunSuite {
     val perLang = got.groupBy(_._2).view.mapValues(_.size)
     assert(perLang.values.forall(n => n > 0 && n <= 40))
   }
+
+  test("packing lays each shard head-to-tail with no gaps or overlaps") {
+    val rows = PipelineQueries.p03_pack(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toks = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).distinct.length === toks.size) // every doc, once
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      var expectedStart = 0L
+      docs.sortBy(_._1).foreach { case (id, _, chunk, off) =>
+        assert(id % 16 === shard)
+        // (chunk, off) are exactly the head-to-tail cumsum coordinates
+        assert(chunk === expectedStart / 512 && off === expectedStart % 512,
+          s"doc $id in shard $shard")
+        expectedStart += toks(id)
+      }
+    }
+  }
 }
