@@ -394,7 +394,51 @@ object CoreQueries {
           unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
   }
 
+  // Set operations (SURVEY §2.1 lists them absent from the reference —
+  // the tagged-value multiplexing in O4 is the closest analogue):
+  // customers with orders in BOTH price bands (INTERSECT) minus those
+  // with any finished order (EXCEPT). Both engines give set ops
+  // distinct semantics; at scale each leg is a pruned scan and the set
+  // ops are key-only shuffles (custkey, 8 B) — no payload rides them.
+  def q34_set_ops(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    val small = o.filter(col("o_totalprice") < 50000.0).select(col("o_custkey"))
+    val finished = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    big.intersect(small).except(finished)
+  }
+
+  // Exact grouped percentiles — percentile() sorts within each group
+  // (exact, unlike approx_percentile) and interpolates; l_quantity is
+  // integral-valued (1..50 as DOUBLE), so every interpolated midpoint
+  // is exactly representable and the DuckDB quantile_cont twin is
+  // bit-identical regardless of either engine's interpolation formula.
+  // Scale: one hash shuffle on the (low-cardinality) group key; the
+  // per-group sort is the cost — at 100 TB switch to approx_percentile
+  // (q30's sketch rationale) unless exactness is contractual.
+  def q35_percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.75)").as("q3_qty"),
+        max(col("l_quantity")).as("max_qty"))
+
   val oracle: Map[String, String] = Map(
+    "q34_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 50000
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q35_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q3_qty,
+        |  MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q01_scan_project" ->
       """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INTEGER) AS qty_int
         |FROM lineitem""".stripMargin,
@@ -606,5 +650,7 @@ object CoreQueries {
     "q31_pivot" -> (q31_pivot _),
     "q32_correlated" -> (q32_correlated _),
     "q33_lead_lag" -> (q33_lead_lag _),
+    "q34_set_ops" -> (q34_set_ops _),
+    "q35_percentile" -> (q35_percentile _),
   )
 }

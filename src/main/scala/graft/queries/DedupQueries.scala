@@ -80,6 +80,29 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
 
+  /** The `source` partition that plays the incoming batch in
+    * [[d09_incremental]].
+    */
+  private val IncrementalBatch = "src0"
+
+  // Incremental-ingest dedup — the shape a CONTINUOUSLY-fed corpus
+  // needs (d01 dedups a closed corpus): admit from the new batch only
+  // documents whose content digest is unseen in the already-ingested
+  // corpus, via a digest left-anti join. At 100 TB the seen side is
+  // the corpus's maintained digest index (16 B/doc — a bucketed table
+  // on content_key, so the anti-join co-locates without an exchange);
+  // only digests shuffle, never text. The streaming twin is
+  // StreamOps.dedupWithinWatermark (same key, watermark-bounded state
+  // instead of a persistent index).
+  def d09_incremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val batch = d.filter(col("source") === IncrementalBatch)
+      .select(col("doc_id"), md5(col("text")).as("content_key"))
+    val seen = d.filter(col("source") =!= IncrementalBatch)
+      .select(md5(col("text")).as("content_key"))
+    batch.join(seen, Seq("content_key"), "left_anti")
+  }
+
   /** Posting-size ceiling for [[d02_ngram_jaccard]]'s pair explode.
     * The pair fanout per (lang, shingle) group is quadratic in posting
     * size, so one boilerplate shingle shared by 10⁶ docs would put a
@@ -506,6 +529,12 @@ object DedupQueries {
       |FROM documents d LEFT JOIN l$rounds ON d.doc_id = l$rounds.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d09_incremental" -> s"""
+      |SELECT MD5(d.text) AS content_key, d.doc_id
+      |FROM documents d
+      |WHERE d.source = '$IncrementalBatch' AND NOT EXISTS (
+      |  SELECT 1 FROM documents s
+      |  WHERE s.source <> '$IncrementalBatch' AND MD5(s.text) = MD5(d.text))""".stripMargin,
     "d01_exact" ->
       """WITH off AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
         |corpus AS (
@@ -567,5 +596,6 @@ object DedupQueries {
     "d06_neardup_clusters" -> ((s, d) => d06_neardup_clusters(s, d, NeardupRounds)),
     "d07_simhash_hamming" -> (d07_simhash_hamming _),
     "d08_embed_neardup" -> (d08_embed_neardup _),
+    "d09_incremental" -> (d09_incremental _),
   )
 }
