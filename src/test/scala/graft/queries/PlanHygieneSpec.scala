@@ -76,6 +76,25 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p02: both top-N phases prune before their exchange") {
+    // The skew-proof sampling claim is only real if the optimizer
+    // keeps WindowGroupLimit (partial top-N) BELOW each shuffle — the
+    // pre-shuffle prune is what bounds per-lane data. Regressing to a
+    // bare Window would still be correct (the oracle can't see it) but
+    // would ship whole strata through both exchanges.
+    val p = plan("p02_balanced_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      "p02 grew extra shuffles beyond the two rank phases")
+  }
+
+  test("p03: packing is one shard exchange over a pruned scan") {
+    val p = plan("p03_pack")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size === 1,
+      "p03 must shuffle exactly once (on shard)")
+    assert(!p.contains("lang"), "p03 scan not pruned: reads lang")
+  }
+
   test("narrow text pipelines stay shuffle-free and codegen'd") {
     // `*(n)` is executedPlan.toString's whole-stage-codegen marker.
     // (t04's higher-order filter() lambda legitimately splits its
