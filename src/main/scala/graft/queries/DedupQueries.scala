@@ -103,6 +103,22 @@ object DedupQueries {
     batch.join(seen, Seq("content_key"), "left_anti")
   }
 
+  // Canonical-form exact dedup — d01 with the C4-style normalization
+  // real pipelines hash: lowercase, strip non-alphanumerics, collapse
+  // runs of spaces, trim. Catches the trivial-variant duplicates
+  // (case, punctuation, spacing) that byte-exact hashing misses while
+  // staying one narrow map + one digest-keyed shuffle; the patterns
+  // are simple classes that Java and RE2 regex dialects agree on.
+  def d10_canonical(s: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"), canon.as("c"))
+      .groupBy(md5(col("c")).as("canon_key"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_variants"))
+  }
+
   /** Posting-size ceiling for [[d02_ngram_jaccard]]'s pair explode.
     * The pair fanout per (lang, shingle) group is quadratic in posting
     * size, so one boilerplate shingle shared by 10⁶ docs would put a
@@ -535,6 +551,14 @@ object DedupQueries {
       |WHERE d.source = '$IncrementalBatch' AND NOT EXISTS (
       |  SELECT 1 FROM documents s
       |  WHERE s.source <> '$IncrementalBatch' AND MD5(s.text) = MD5(d.text))""".stripMargin,
+    "d10_canonical" ->
+      """SELECT MD5(c) AS canon_key, MIN(doc_id) AS keeper,
+        |  COUNT(*) AS n_variants
+        |FROM (SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
     "d01_exact" ->
       """WITH off AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
         |corpus AS (
@@ -597,5 +621,6 @@ object DedupQueries {
     "d07_simhash_hamming" -> (d07_simhash_hamming _),
     "d08_embed_neardup" -> (d08_embed_neardup _),
     "d09_incremental" -> (d09_incremental _),
+    "d10_canonical" -> (d10_canonical _),
   )
 }

@@ -57,4 +57,42 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("the curation composition is exchange-free over bucketed stage outputs") {
+    // SCALE.md's pipeline claim, machine-checked: persist the three
+    // p01 stage outputs bucketed on doc_id and the composed curation
+    // (two joins + gates) plans ZERO exchanges — at 100 TB the
+    // pipeline pays each stage's shuffle once at write time, then
+    // every downstream composition is free of them.
+    import graft.queries.{DedupQueries, PipelineQueries, TextQueries}
+    Bucketing.writeBucketed(
+      TextQueries.t03_langid(spark, dir).select(col("doc_id"), col("pred_lang")),
+      "b_lang", 8, "doc_id")
+    Bucketing.writeBucketed(
+      TextQueries.t04_quality(spark, dir), "b_quality", 8, "doc_id")
+    Bucketing.writeBucketed(
+      DedupQueries.d06_neardup_clusters(spark, dir)
+        .filter(col("is_keeper")).select(col("doc_id")),
+      "b_keepers", 8, "doc_id")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val composed = spark.table("b_quality")
+        .join(spark.table("b_lang"), Seq("doc_id"))
+        .join(spark.table("b_keepers"), Seq("doc_id"), "left_semi")
+        .filter(col("pred_lang") === "en" &&
+          col("n_tokens") >= 30L &&
+          col("stop_ratio") >= 0.01 && col("stop_ratio") <= 0.15 &&
+          col("digit_ratio") <= 0.2 && col("mean_tok_len") <= 5.0)
+      val p = finalPlan(composed)
+      assert(!p.contains("Exchange"), s"bucketed curation shuffled:\n$p")
+      // same rows as the live composition
+      assert(composed.count() ===
+        PipelineQueries.p01_curate(spark, dir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("b_lang", "b_quality", "b_keepers")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
