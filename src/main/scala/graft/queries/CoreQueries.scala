@@ -425,6 +425,24 @@ object CoreQueries {
         expr("percentile(l_quantity, 0.75)").as("q3_qty"),
         max(col("l_quantity")).as("max_qty"))
 
+  // Arbitrary GROUPING SETS — the general form under q19's ROLLUP and
+  // q27's CUBE: the (rf, ls) detail, the rf marginal, and the grand
+  // total, but NOT the ls marginal (the set cube would add). One
+  // Expand + one hash aggregation, same single-shuffle shape as
+  // rollup/cube; "ALL" sentinels disambiguate the null grouping rows
+  // exactly like q27.
+  def q36_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+
   val oracle: Map[String, String] = Map(
     "q34_set_ops" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
@@ -432,6 +450,13 @@ object CoreQueries {
         |SELECT o_custkey FROM orders WHERE o_totalprice < 50000
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
     "q35_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q1_qty,
@@ -652,5 +677,6 @@ object CoreQueries {
     "q33_lead_lag" -> (q33_lead_lag _),
     "q34_set_ops" -> (q34_set_ops _),
     "q35_percentile" -> (q35_percentile _),
+    "q36_grouping_sets" -> (q36_grouping_sets _),
   )
 }

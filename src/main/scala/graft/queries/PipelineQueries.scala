@@ -140,6 +140,55 @@ object PipelineQueries {
         (col("start") % lit(PackBudget)).as("off"))
   }
 
+  /** n-gram length and the eval-shard modulus of the contamination
+    * check (see [[p04_contamination]]): docs with
+    * `doc_id % EvalMod == 0` play the held-out eval set.
+    */
+  private val ContamN = 8
+  private val EvalMod = 20L
+
+  /** Train/eval contamination check — the benchmark-decontamination
+    * step of a training-data pipeline: a training document is flagged
+    * when any of its word-[[ContamN]]-grams also appears in the eval
+    * set (the standard n-gram-collision definition; real pipelines use
+    * 8–13-grams — at this corpus' ~30-word vocabulary 8-grams are
+    * already discriminative: only genuine near-dup pairs straddling
+    * the split collide).
+    *
+    * Scale shape: the eval side is DISTINCT n-grams of a benchmark
+    * suite — megabytes, not terabytes — so it is `broadcast()` and the
+    * train grams never shuffle for the join; the only exchange is the
+    * per-doc count, which partial-aggregates to ~one row per document
+    * map-side because a doc's grams are co-located in its input split.
+    * At larger eval sets, swap the gram string for its 64-bit hash to
+    * shrink the broadcast 10× (t05's fingerprint machinery) — kept as
+    * strings here so the oracle stays a plain string equi-join.
+    */
+  def p04_contamination(s: SparkSession, dir: String): DataFrame = {
+    val ng = Tables(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= ContamN)
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sequence(1, size(w) - ${ContamN - 1}), " +
+          s"i -> array_join(slice(w, i, $ContamN), ' ')))").as("gs"))
+      .select(col("doc_id"),
+        size(col("gs")).cast(org.apache.spark.sql.types.LongType).as("n_ngrams"),
+        explode(col("gs")).as("g"))
+    val evalGrams = ng.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      .select(col("g")).distinct()
+      .withColumn("hit", lit(1L))
+    ng.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_ngrams")).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        (col("n_hit").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_ngrams").cast(org.apache.spark.sql.types.DoubleType))
+          .as("contamination"),
+        (col("n_hit") > 0L).as("is_contaminated"))
+  }
+
   val oracle: Map[String, String] = Map(
     "p03_pack" -> s"""
       |WITH toks AS (
@@ -170,6 +219,26 @@ object PipelineQueries {
       |      AS rn
       |  FROM documents)
       |WHERE rn <= $SampleCap""".stripMargin,
+    "p04_contamination" -> s"""
+      |WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+      |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= $ContamN),
+      |ng AS (SELECT doc_id, CAST(LEN(gs) AS BIGINT) AS n_ngrams,
+      |    UNNEST(gs) AS g
+      |  FROM (SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - ${ContamN - 2}),
+      |      i -> ARRAY_TO_STRING(w[i:i+${ContamN - 1}], ' '))) AS gs
+      |    FROM w)),
+      |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % $EvalMod = 0),
+      |hits AS (SELECT tr.doc_id, MAX(tr.n_ngrams) AS n_ngrams,
+      |    CAST(SUM(CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_hit
+      |  FROM ng tr LEFT JOIN ev ON tr.g = ev.g
+      |  WHERE tr.doc_id % $EvalMod != 0
+      |  GROUP BY 1)
+      |SELECT doc_id, n_ngrams, n_hit,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS contamination,
+      |  n_hit > 0 AS is_contaminated
+      |FROM hits""".stripMargin,
     "p01_curate" -> {
       val r = DedupQueries.NeardupRounds
       DedupQueries.neardupLabelsCte(r) + s""",
@@ -197,5 +266,6 @@ object PipelineQueries {
     "p01_curate" -> (p01_curate _),
     "p02_balanced_sample" -> (p02_balanced_sample _),
     "p03_pack" -> (p03_pack _),
+    "p04_contamination" -> (p04_contamination _),
   )
 }

@@ -303,6 +303,67 @@ object SimilarityQueries {
         col("did").as("nn_id"), col("cos"))
   }
 
+  /** PQ parameters (see [[s05_knn_pq]]): subspace count, codebook
+    * sampler modulus (every 31st vector's subvectors become codewords),
+    * and the fixed-point quantum for the ADC partial distances.
+    */
+  private val PqM = 8
+  private val PqSampleMod = 31L
+  private val PqQuant = 1048576L
+
+  // Product-quantization ANN with asymmetric distance (ADC) — the
+  // memory-bound scale path the IVF family doesn't cover: each vector
+  // is ENCODED as PqM one-byte-ish codes (nearest codeword per
+  // subspace), a ~32× compression of a 64-dim float vector, and search
+  // scans the code table instead of the vectors. Per query the ADC
+  // lookup table (quantized ‖q_m − c‖² for every (subspace, codeword))
+  // is broadcast — kilobytes — so the scan is one broadcast equi-join
+  // on (m, code) + a per-(query, vector) sum: at 100 TB only the
+  // packed code table moves, never the embeddings. Partial distances
+  // are int64 fixed-point ([[PqQuant]], the k-means-means design) so
+  // the cross-subspace sum is order-free and the oracle hash-exact;
+  // the one final /2²⁰ is an exact power-of-two scaling.
+  def s05_knn_pq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = t(s, dir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    val subDim = dim / PqM
+    val sub = embDouble(s, dir)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    val cb = sub.filter(col("vec_id") % PqSampleMod === 0)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    // Encode: nearest codeword per (vector, subspace) — broadcast
+    // argmin, the same shape as the IVF assignment. (A production sink
+    // would collect_list the M codes into one packed row; the exploded
+    // form is what the ADC join consumes directly.)
+    val enc = SharedRelations(s, dir, "pq_codes") {
+      val scored = sub.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"), d2Col("sv", "cv").as("d2"))
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid").as("code"))
+    }
+    val lut = broadcast(sub.filter(col("vec_id") < 20)
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cid").as("code"),
+        floor(d2Col("sv", "cv") * PqQuant).cast(LongType).as("d2q")))
+    // Every (m, code) of a data vector matches exactly one LUT row per
+    // query, so each (qid, did) group sums exactly PqM partials.
+    val adc = enc.join(lut, Seq("m", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2q")).as("d2q"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("d2q").asc, col("vec_id").asc)
+    adc.withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        (col("d2q").cast(DoubleType) / lit(PqQuant.toDouble)).as("approx_d2"))
+  }
+
   private def dotSql(a: String, b: String): String =
     s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
       s"LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
@@ -355,7 +416,43 @@ object SimilarityQueries {
     },
     "s03_knn_ivf" -> IvfOracle,
     "s04_knn_ivf_trained" -> TrainedIvfOracle,
+    "s05_knn_pq" -> PqOracle,
   )
+
+  /** Oracle twin of [[s05_knn_pq]]: subspace slices (DuckDB list
+    * slicing is 1-based inclusive, `LEN(v)//PqM` the subspace width),
+    * the same d2 = v·v − 2v·c + c·c op order, int64-quantized partials.
+    */
+  private lazy val PqOracle: String = {
+    def d2Sql(v: String, cv: String) =
+      s"${dotSql(v, v)} - 2 * ${dotSql(v, cv)} + ${dotSql(cv, cv)}"
+    s"""WITH e AS (SELECT vec_id,
+       |    LIST_TRANSFORM(RANGE(1, LEN(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, u.m AS m,
+       |    v[u.m*(LEN(v)//$PqM)+1 : (u.m+1)*(LEN(v)//$PqM)] AS sv
+       |  FROM e, UNNEST(RANGE(0, $PqM)) AS u(m)),
+       |cb AS (SELECT m, vec_id AS cid, sv AS cv
+       |  FROM sub WHERE vec_id % $PqSampleMod = 0),
+       |enc AS (SELECT vec_id, m, cid AS code FROM (
+       |  SELECT s.vec_id, s.m, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |lut AS (SELECT s.vec_id AS qid, s.m, c.cid AS code,
+       |    CAST(FLOOR((${d2Sql("s.sv", "c.cv")}) * $PqQuant) AS BIGINT) AS d2q
+       |  FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 20),
+       |adc AS (SELECT l.qid, en.vec_id AS did,
+       |    CAST(SUM(l.d2q) AS BIGINT) AS d2q
+       |  FROM enc en JOIN lut l ON l.m = en.m AND l.code = en.code
+       |  WHERE l.qid <> en.vec_id GROUP BY 1, 2)
+       |SELECT qid, did AS nn_id,
+       |  CAST(d2q AS DOUBLE) / $PqQuant.0 AS approx_d2 FROM (
+       |  SELECT qid, did, d2q,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2q ASC, did ASC) AS rn
+       |  FROM adc) WHERE rn = 1""".stripMargin
+  }
 
   /** Unrolled-Lloyd oracle for [[s04_knn_ivf_trained]]:
     * `AS MATERIALIZED` per pass (the graph-family iterative pattern),
@@ -452,5 +549,6 @@ object SimilarityQueries {
     "s02_knn_lsh" -> (s02_knn_lsh _),
     "s03_knn_ivf" -> (s03_knn_ivf _),
     "s04_knn_ivf_trained" -> (s04_knn_ivf_trained _),
+    "s05_knn_pq" -> (s05_knn_pq _),
   )
 }

@@ -118,6 +118,55 @@ object TextQueries {
         polyHash("text").as("fp"),
         md5(col("text")).as("md5"))
 
+  /** Repetition-gate thresholds (see [[t06_repetition]]): flag when the
+    * most frequent bigram exceeds [[TopBigramMax]] of all bigram
+    * occurrences, or more than [[DupTrigramMax]] of trigram occurrences
+    * are repeats — the Gopher-style "repetitive document" signals.
+    */
+  private val TopBigramMax = 0.08
+  private val DupTrigramMax = 0.05
+
+  // Repetition signals (Gopher-style quality filtering): per document,
+  // the top-bigram occurrence fraction and the duplicate-trigram
+  // fraction, plus the gate flag. Scale shape: ONE scan of `text`
+  // explodes a tagged union of bigrams and trigrams, then two hash
+  // aggregations — (doc_id, n, gram) counts, then per-doc stats. Both
+  // shuffles partial-aggregate map-side, and because a document's
+  // grams are co-located in its input split, the second shuffle moves
+  // ~one row per (doc, n) — no join, no second scan of the corpus.
+  def t06_repetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "concat(" +
+          "transform(sequence(1, size(w) - 1), i -> " +
+          "  struct(2 AS n, concat_ws(' ', element_at(w, i), element_at(w, i+1)) AS g)), " +
+          "transform(sequence(1, size(w) - 2), i -> " +
+          "  struct(3 AS n, concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)) AS g)))"))
+        .as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+    val stats = grams
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("c"))).as("maxb"),
+        sum(when(col("n") === 2, col("c"))).as("totb"),
+        count(when(col("n") === 3, lit(1))).as("dist3"),
+        sum(when(col("n") === 3, col("c"))).as("tot3"))
+    // Each fraction is ONE double division of two exact integers, so
+    // the gate comparisons see bit-identical values in both engines.
+    stats.select(col("doc_id"),
+      (col("maxb").cast(DoubleType) / col("totb").cast(DoubleType))
+        .as("top_bigram_frac"),
+      ((col("tot3") - col("dist3")).cast(DoubleType) / col("tot3").cast(DoubleType))
+        .as("dup_trigram_frac"))
+      .withColumn("is_repetitive",
+        col("top_bigram_frac") > TopBigramMax ||
+          col("dup_trigram_frac") > DupTrigramMax)
+  }
+
   /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final
     * select) — shared by the t03 oracle and the curation pipeline's
     * ([[PipelineQueries]]) language gate.
@@ -185,6 +234,29 @@ object TextQueries {
          |  ${polyHashSql("text")} AS fp,
          |  MD5(text) AS md5
          |FROM documents""".stripMargin,
+    // The oracle computes the two signals in independent CTE chains
+    // (bigram counts; per-doc trigram distinct) — same values, shape
+    // needn't mirror the single-scan Spark plan.
+    "t06_repetition" ->
+      s"""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+         |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+         |bg AS (SELECT doc_id,
+         |  UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM w),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |bs AS (SELECT doc_id,
+         |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+         |  FROM bc GROUP BY 1),
+         |tri AS (SELECT doc_id, CAST(LEN(w) - 2 AS BIGINT) AS tot,
+         |  CAST(LEN(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS dist
+         |  FROM w)
+         |SELECT bs.doc_id, top_bigram_frac,
+         |  CAST(tot - dist AS DOUBLE) / CAST(tot AS DOUBLE) AS dup_trigram_frac,
+         |  top_bigram_frac > $TopBigramMax
+         |    OR CAST(tot - dist AS DOUBLE) / CAST(tot AS DOUBLE) > $DupTrigramMax
+         |    AS is_repetitive
+         |FROM bs JOIN tri ON bs.doc_id = tri.doc_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -193,5 +265,6 @@ object TextQueries {
     "t03_langid" -> (t03_langid _),
     "t04_quality" -> (t04_quality _),
     "t05_fingerprint" -> (t05_fingerprint _),
+    "t06_repetition" -> (t06_repetition _),
   )
 }

@@ -26,6 +26,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(bucketized.nonEmpty)
   }
 
+  test("grouping sets emit exactly detail + rf marginal + grand total") {
+    val rows = CoreQueries.q36_grouping_sets(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val detail = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val rfMarginal = detail.groupBy(_._1).map { case (rf, g) =>
+      (rf, "ALL", g.map(_._3).sum)
+    }.toSet
+    val total = Set(("ALL", "ALL", detail.map(_._3).sum))
+    // no ls marginal — the set that distinguishes GROUPING SETS from CUBE
+    assert(rows === detail ++ rfMarginal ++ total)
+  }
+
   test("approx_count_distinct stays within 2% of exact on the fixed fixture") {
     // q30's oracle gate is a loose 8% (rsd=0.02 is a std-dev, not a
     // bound, so the cross-sf hard gate needs headroom); the tight 2%

@@ -210,6 +210,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"training barely moved: $seed -> $trained")
   }
 
+  test("PQ codes quantize losslessly for codebook vectors; ADC is a true d2 lower-bound proxy") {
+    // A vector whose subvectors ARE codewords encodes to itself, so its
+    // ADC distance to a query is the quantized true distance: for every
+    // (query, codebook-vector) pair, approx_d2 must be within PqM
+    // quantization steps of the exact ‖q−v‖² (each of the 8 partials
+    // floors away < 2⁻²⁰).
+    val d = "/root/testdata/sf0.01"
+    val exact = SimilarityQueries.normed(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0d)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    val got = SimilarityQueries.s05_knn_pq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 20) // one winner per query
+    got.foreach { case (qid, nn, _) => assert(qid < 20 && nn != qid) }
+    // winners that are codebook vectors carry (near-)exact distances
+    val cbWinners = got.filter(_._2 % 31 == 0)
+    cbWinners.foreach { case (qid, nn, ad2) =>
+      val truth = d2(exact(qid), exact(nn))
+      assert(math.abs(ad2 - truth) <= 8.0 / 1048576.0 + 1e-12,
+        s"q=$qid nn=$nn adc=$ad2 true=$truth")
+    }
+  }
+
   test("LSH ANN returns true in-bucket neighbors no better than brute force") {
     val brute = SimilarityQueries.s01_knn_brute(spark, dir)
       .filter(col("rk") === 1)

@@ -61,6 +61,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(perLang.values.forall(n => n > 0 && n <= 40))
   }
 
+  test("contamination check matches the n-gram-collision definition") {
+    // sf0.01: the fixture corpus has near-dup pairs straddling the
+    // eval split, so both flag outcomes occur.
+    val d = "/root/testdata/sf0.01"
+    val got = PipelineQueries.p04_contamination(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+
+    val grams = graft.Tables(spark, d, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 8)
+      .map { case (id, w) => id -> w.sliding(8).map(_.mkString(" ")).toSet }
+      .toMap
+    val evalSet = grams.collect { case (id, g) if id % 20 == 0 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = grams.collect { case (id, g) if id % 20 != 0 =>
+      val hits = g.count(evalSet.contains).toLong
+      id -> ((g.size.toLong, hits, hits.toDouble / g.size.toDouble, hits > 0))
+    }
+
+    assert(got.keySet === expected.keySet) // train docs only, all of them
+    expected.foreach { case (id, want) => assert(got(id) === want, s"doc $id") }
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+
   test("packing lays each shard head-to-tail with no gaps or overlaps") {
     val rows = PipelineQueries.p03_pack(spark, dir)
       .collect()
