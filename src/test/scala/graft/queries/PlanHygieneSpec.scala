@@ -95,6 +95,41 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("lang"), "p03 scan not pruned: reads lang")
   }
 
+  test("q36: grouping sets is one Expand + one aggregation exchange") {
+    val p = plan("q36_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size === 1,
+      "q36 must shuffle exactly once (the grouping aggregation)")
+  }
+
+  test("t06: repetition signals are one scan and two aggregation exchanges") {
+    val p = plan("t06_repetition")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size === 2,
+      "t06 must shuffle exactly twice (gram counts, per-doc stats)")
+    assert(!p.contains("Join"), "t06 grew a join; both signals ride one relation")
+    // one corpus scan only — the tagged-union explode exists to avoid
+    // re-reading `text` per gram size ("Scan parquet" is the leaf
+    // node's label; the bare word appears twice per leaf)
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      "t06 scans the corpus more than once")
+  }
+
+  test("p04: eval n-grams broadcast; train grams never shuffle for the probe") {
+    val p = plan("p04_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "p04 degraded to a shuffled join; the eval side must broadcast")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s05: PQ encode and ADC are broadcast joins over the code relation") {
+    val p = plan("s05_knn_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"s05 plans a cross product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "s05 plans a nested-loop join")
+  }
+
   test("narrow text pipelines stay shuffle-free and codegen'd") {
     // `*(n)` is executedPlan.toString's whole-stage-codegen marker.
     // (t04's higher-order filter() lambda legitimately splits its
