@@ -103,6 +103,36 @@ object DedupQueries {
     batch.join(seen, Seq("content_key"), "left_anti")
   }
 
+  /** Span length for [[d11_repeated_spans]] — 13 words, the standard
+    * exact-substring-dedup span (long enough that natural text never
+    * collides; repeats are real copies or boilerplate).
+    */
+  private val SpanN = 13
+
+  // Span-level exact dedup / boilerplate mining — the repeated-span
+  // pass doc-level dedup misses: every 13-word window of the corpus,
+  // grouped, keeping spans that occur ≥ 2 times (total occurrences,
+  // distinct docs, first doc). At 100 TB the shuffle key is the span's
+  // 16-byte digest, never the text — ~24 B/row through the exchange —
+  // and partial aggregation collapses each split's repeats map-side;
+  // the singleton long tail dies in the HAVING. The window explode is
+  // O(tokens) rows — the inherent cost of exact substring dedup (a
+  // suffix-array build has the same input scan but needs a global
+  // sort; the digest-group form is the shuffle-friendly equivalent at
+  // fixed span length).
+  def d11_repeated_spans(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= SpanN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${SpanN - 1}), " +
+          s"i -> array_join(slice(w, i, $SpanN), ' '))")).as("g"))
+      .groupBy(md5(col("g")).as("span_key"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") >= 2)
+
   // Canonical-form exact dedup — d01 with the C4-style normalization
   // real pipelines hash: lowercase, strip non-alphanumerics, collapse
   // runs of spaces, trim. Catches the trivial-variant duplicates
@@ -559,6 +589,17 @@ object DedupQueries {
         |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c
         |  FROM documents)
         |GROUP BY 1""".stripMargin,
+    "d11_repeated_spans" -> s"""
+      |WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+      |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= $SpanN),
+      |g AS (SELECT doc_id,
+      |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - ${SpanN - 2}),
+      |      i -> ARRAY_TO_STRING(w[i:i+${SpanN - 1}], ' '))) AS g
+      |  FROM w)
+      |SELECT MD5(g) AS span_key, CAST(COUNT(*) AS BIGINT) AS n_occ,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS first_doc
+      |FROM g GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     "d01_exact" ->
       """WITH off AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
         |corpus AS (
@@ -622,5 +663,6 @@ object DedupQueries {
     "d08_embed_neardup" -> (d08_embed_neardup _),
     "d09_incremental" -> (d09_incremental _),
     "d10_canonical" -> (d10_canonical _),
+    "d11_repeated_spans" -> (d11_repeated_spans _),
   )
 }

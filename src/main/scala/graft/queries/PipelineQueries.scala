@@ -189,6 +189,48 @@ object PipelineQueries {
         (col("n_hit") > 0L).as("is_contaminated"))
   }
 
+  /** Fixed-point quantum for [[p05_mixture]]'s weight normalization —
+    * the k-means-means / PQ-ADC determinism design: quantize each
+    * per-source term to int64, sum EXACTLY (order-free), divide once.
+    */
+  private val MixQuant = 1099511627776L // 2^40
+
+  /** Source-mixture weighting — the domain-balancing step of a
+    * training-data pipeline: per source, its token share and a
+    * temperature-flattened sampling weight w_s ∝ share_s^τ (τ = 0.5,
+    * the standard multilingual/domain-mixing rule: sqrt flattening
+    * upsamples small sources, downsamples dominant ones). `boost` =
+    * weight/share is the per-source oversampling factor the sampler
+    * applies (> 1 below-average sources, < 1 above-average).
+    *
+    * Shares are over TOKENS, not documents (what mixture weights mean
+    * in practice). Scale shape: one low-cardinality source aggregation
+    * (map-side combining), then two 1-row broadcast scalars (total
+    * tokens, total quantized weight) — the 100 TB corpus is scanned
+    * once and only k source rows ever cross the driver-free plan.
+    * Determinism: tokens sum exactly as int64; sqrt is IEEE
+    * correctly-rounded in both engines; the weight normalizer sums
+    * int64-quantized terms ([[MixQuant]]) so normalization is
+    * order-free and the oracle hash-exact.
+    */
+  def p05_mixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val bySrc = Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("toks"))
+    val tot = broadcast(bySrc.agg(sum(col("toks")).as("tot")))
+    val sh = bySrc.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("toks"),
+        (col("toks").cast(DoubleType) / col("tot").cast(DoubleType)).as("share"))
+      .withColumn("wq", floor(sqrt(col("share")) * MixQuant).cast(LongType))
+    val wsum = broadcast(sh.agg(sum(col("wq")).as("ws")))
+    sh.crossJoin(wsum)
+      .select(col("source"), col("n_docs"), col("toks"), col("share"),
+        (col("wq").cast(DoubleType) / col("ws").cast(DoubleType)).as("weight"))
+      .withColumn("boost", col("weight") / col("share"))
+  }
+
   val oracle: Map[String, String] = Map(
     "p03_pack" -> s"""
       |WITH toks AS (
@@ -219,6 +261,22 @@ object PipelineQueries {
       |      AS rn
       |  FROM documents)
       |WHERE rn <= $SampleCap""".stripMargin,
+    "p05_mixture" -> s"""
+      |WITH b AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS toks
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot FROM b),
+      |sh AS (SELECT source, n_docs, toks,
+      |    CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+      |    CAST(FLOOR(SQRT(CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE))
+      |      * $MixQuant) AS BIGINT) AS wq
+      |  FROM b, t),
+      |w AS (SELECT CAST(SUM(wq) AS BIGINT) AS ws FROM sh)
+      |SELECT source, n_docs, toks, share,
+      |  CAST(wq AS DOUBLE) / CAST(ws AS DOUBLE) AS weight,
+      |  (CAST(wq AS DOUBLE) / CAST(ws AS DOUBLE)) / share AS boost
+      |FROM sh, w""".stripMargin,
     "p04_contamination" -> s"""
       |WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
       |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= $ContamN),
@@ -267,5 +325,6 @@ object PipelineQueries {
     "p02_balanced_sample" -> (p02_balanced_sample _),
     "p03_pack" -> (p03_pack _),
     "p04_contamination" -> (p04_contamination _),
+    "p05_mixture" -> (p05_mixture _),
   )
 }

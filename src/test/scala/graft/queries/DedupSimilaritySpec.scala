@@ -210,6 +210,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"training barely moved: $seed -> $trained")
   }
 
+  test("repeated spans equal the brute-force 13-gram occurrence counts") {
+    val d = "/root/testdata/sf0.01"
+    val got = DedupQueries.d11_repeated_spans(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val spans = graft.Tables(spark, d, "documents")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val w = r.getString(1).split(" ")
+        if (w.length < 13) Nil
+        else w.sliding(13).map(g => (g.mkString(" "), r.getLong(0))).toSeq
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(g: String) =
+      md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = spans.groupBy(_._1).filter(_._2.length >= 2)
+      .map { case (g, occ) =>
+        key(g) -> ((occ.length.toLong, occ.map(_._2).distinct.length.toLong,
+          occ.map(_._2).min))
+      }
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // cross-doc repeats exist, not just within-doc ones
+    assert(got.values.exists(_._2 >= 2))
+  }
+
   test("PQ codes quantize losslessly for codebook vectors; ADC is a true d2 lower-bound proxy") {
     // A vector whose subvectors ARE codewords encodes to itself, so its
     // ADC distance to a query is the quantized true distance: for every

@@ -88,6 +88,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
   }
 
+  test("mixture weights are a normalized sqrt-flattening of token shares") {
+    val rows = PipelineQueries.p05_mixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val toks = graft.Tables(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = toks.values.sum.toDouble
+    assert(rows.map(_._1).toSet === toks.keySet)
+    rows.foreach { case (src, _, t, share, _, _) =>
+      assert(t === toks(src) && share === t / total, src)
+    }
+    // weights normalize, and the temperature actually flattens: the
+    // biggest share is downsampled, the smallest upsampled
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
+    val byShare = rows.sortBy(_._4)
+    assert(byShare.last._6 < 1.0 && byShare.head._6 > 1.0,
+      s"flattening inverted: ${byShare.head} ${byShare.last}")
+    // monotone: larger share never gets a smaller weight
+    byShare.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5, s"weight not monotone in share: $a vs $b")
+    }
+  }
+
   test("packing lays each shard head-to-tail with no gaps or overlaps") {
     val rows = PipelineQueries.p03_pack(spark, dir)
       .collect()
