@@ -304,11 +304,15 @@ object SimilarityQueries {
   }
 
   /** PQ parameters (see [[s05_knn_pq]]): subspace count, codebook
-    * sampler modulus (every 31st vector's subvectors become codewords),
-    * and the fixed-point quantum for the ADC partial distances.
+    * sampler (every 31st vector's subvectors become codewords, capped
+    * at [[PqK]] codewords per subspace — a FIXED codebook size is what
+    * makes PQ's encode cost linear in n; an uncapped sampler would
+    * grow the codebook with the corpus and the encode argmin
+    * quadratically), and the fixed-point quantum for the ADC partials.
     */
   private val PqM = 8
   private val PqSampleMod = 31L
+  private val PqK = 16L
   private val PqQuant = 1048576L
 
   // Product-quantization ANN with asymmetric distance (ADC) — the
@@ -333,7 +337,8 @@ object SimilarityQueries {
         col("v"))
       .select(col("vec_id"), col("m"),
         slice(col("v"), col("m") * subDim + 1, lit(subDim)).as("sv"))
-    val cb = sub.filter(col("vec_id") % PqSampleMod === 0)
+    val cb = sub.filter(col("vec_id") % PqSampleMod === 0 &&
+        col("vec_id") < PqSampleMod * PqK)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
     // Encode: nearest codeword per (vector, subspace) — broadcast
     // argmin, the same shape as the IVF assignment. (A production sink
@@ -434,7 +439,8 @@ object SimilarityQueries {
        |    v[u.m*(LEN(v)//$PqM)+1 : (u.m+1)*(LEN(v)//$PqM)] AS sv
        |  FROM e, UNNEST(RANGE(0, $PqM)) AS u(m)),
        |cb AS (SELECT m, vec_id AS cid, sv AS cv
-       |  FROM sub WHERE vec_id % $PqSampleMod = 0),
+       |  FROM sub WHERE vec_id % $PqSampleMod = 0
+       |    AND vec_id < ${PqSampleMod * PqK}),
        |enc AS (SELECT vec_id, m, cid AS code FROM (
        |  SELECT s.vec_id, s.m, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m

@@ -254,7 +254,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.length === 20) // one winner per query
     got.foreach { case (qid, nn, _) => assert(qid < 20 && nn != qid) }
     // winners that are codebook vectors carry (near-)exact distances
-    val cbWinners = got.filter(_._2 % 31 == 0)
+    val cbWinners = got.filter(g => g._2 % 31 == 0 && g._2 < 31 * 16)
     cbWinners.foreach { case (qid, nn, ad2) =>
       val truth = d2(exact(qid), exact(nn))
       assert(math.abs(ad2 - truth) <= 8.0 / 1048576.0 + 1e-12,
