@@ -443,6 +443,26 @@ object CoreQueries {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("n"), col("sum_qty"))
 
+  // RANGE window frame — peers enter the frame by VALUE distance, not
+  // row position (q07 is the ROWS twin): a 10-minute trailing sum of
+  // event value per user, ordered by event seconds. RANGE frames are
+  // tie-insensitive (all rows with equal `sec` share one frame and one
+  // result), so no tiebreak column is needed for determinism; the sum
+  // goes through DECIMAL like every double agg (q29's discipline).
+  // Scale: one hash shuffle on user_id; the per-partition sort is the
+  // cost, same as any windowed query.
+  def q37_range_frame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-600L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        sum(col("value").cast(DecimalType(28, 2))).over(w)
+          .cast(DoubleType).as("trailing_10m"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q34_set_ops" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
@@ -450,6 +470,16 @@ object CoreQueries {
         |SELECT o_custkey FROM orders WHERE o_totalprice < 50000
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    // FLOOR before the BIGINT cast: the fixture timestamps carry
+    // fractional seconds, DuckDB's cast rounds but Spark's
+    // unix_timestamp truncates.
+    "q37_range_frame" ->
+      """SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_10m
+        |FROM events""".stripMargin,
     "q36_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |  COALESCE(l_linestatus, 'ALL') AS ls,
@@ -678,5 +708,6 @@ object CoreQueries {
     "q34_set_ops" -> (q34_set_ops _),
     "q35_percentile" -> (q35_percentile _),
     "q36_grouping_sets" -> (q36_grouping_sets _),
+    "q37_range_frame" -> (q37_range_frame _),
   )
 }

@@ -41,6 +41,32 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(rows === detail ++ rfMarginal ++ total)
   }
 
+  test("range frame equals the brute-force value-window definition") {
+    val got = CoreQueries.q37_range_frame(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = raw.groupBy(_._2)
+    // every event's trailing sum = sum of SAME-USER raw values within
+    // [sec-600, sec] — including equal-sec peers AFTER it in any row
+    // order (RANGE is tie-insensitive; a ROWS frame would differ
+    // exactly there)
+    got.foreach { case (id, u, sec, trailing) =>
+      val want = byUser(u).filter(e => e._3 >= sec - 600 && e._3 <= sec)
+        .map(e => BigDecimal(e._4).setScale(2)).sum.toDouble
+      assert(trailing === want, s"event $id")
+    }
+    assert(got.length === raw.length)
+    // the frame actually bounds: some trailing sum < its user's total
+    assert(byUser.exists { case (u, es) =>
+      val totals = got.filter(_._2 == u).map(_._4)
+      totals.min < es.map(e => BigDecimal(e._4).setScale(2)).sum.toDouble
+    })
+  }
+
   test("approx_count_distinct stays within 2% of exact on the fixed fixture") {
     // q30's oracle gate is a loose 8% (rsd=0.02 is a std-dev, not a
     // bound, so the cross-sf hard gate needs headroom); the tight 2%
