@@ -133,6 +133,48 @@ object DedupQueries {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_occ") >= 2)
 
+  // Span REMOVAL — the action step of exact substring dedup (d11 is
+  // the audit): every token covered by a globally-repeated 13-gram
+  // span is excised, the per-doc transform real pipelines apply to
+  // strip boilerplate. Three stages: positional grams (one corpus
+  // scan), the repeated-digest set (one digest-keyed agg, d11's
+  // shape), and a per-doc rewrite driven by the doc's sorted
+  // span-start list (collect_list per doc — bounded by tokens/doc,
+  // not corpus size). The rewrite itself is per-row higher-order
+  // functions: keep token i unless some start x has x ≤ i ≤ x+12 —
+  // O(L·|starts|) per doc, and |starts| is small except for heavily
+  // boilerplated docs, exactly where the work belongs. Docs under 13
+  // words (or with no repeated spans) pass through byte-identical.
+  // Policy: every occurrence is excised (the boilerplate reading; a
+  // doc that is ALL boilerplate cleans to empty). The keep-first
+  // variant joins d11's first_doc in and exempts (doc_id = first_doc)
+  // starts — same shuffle shape, one more digest-keyed column.
+  def d12_span_removal(s: SparkSession, dir: String): DataFrame = {
+    val w = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val g = w.filter(size(col("w")) >= SpanN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${SpanN - 1}), " +
+          s"i -> struct(i AS pos, array_join(slice(w, i, $SpanN), ' ') AS g))"))
+        .as("t"))
+      .select(col("doc_id"), col("t.pos").as("pos"), md5(col("t.g")).as("k"))
+    val rep = g.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("k"))
+    val starts = g.join(rep, Seq("k"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    w.join(starts, Seq("doc_id"), "left")
+      .withColumn("ss", coalesce(col("ss"), expr("CAST(array() AS array<int>)")))
+      .withColumn("keep", expr(
+        s"filter(sequence(1, size(w)), " +
+          s"i -> NOT exists(ss, x -> x <= i AND i <= x + ${SpanN - 1}))"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_before"),
+        size(col("keep")).cast(LongType).as("n_after"),
+        expr("array_join(transform(keep, i -> element_at(w, i)), ' ')")
+          .as("cleaned"))
+  }
+
   // Canonical-form exact dedup — d01 with the C4-style normalization
   // real pipelines hash: lowercase, strip non-alphanumerics, collapse
   // runs of spaces, trim. Catches the trivial-variant duplicates
@@ -600,6 +642,27 @@ object DedupQueries {
       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
       |  MIN(doc_id) AS first_doc
       |FROM g GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    "d12_span_removal" -> s"""
+      |WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, u.i AS pos,
+      |    ARRAY_TO_STRING(w[u.i:u.i+${SpanN - 1}], ' ') AS g
+      |  FROM w, UNNEST(RANGE(1, LEN(w) - ${SpanN - 2})) AS u(i)
+      |  WHERE LEN(w) >= $SpanN),
+      |rep AS (SELECT MD5(g) AS k FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+      |starts AS (SELECT g.doc_id, LIST(g.pos ORDER BY g.pos) AS ss
+      |  FROM g JOIN rep ON MD5(g.g) = rep.k GROUP BY 1),
+      |clean AS (SELECT w.doc_id,
+      |    CAST(LEN(w.w) AS BIGINT) AS n_before, w.w AS w,
+      |    LIST_FILTER(RANGE(1, LEN(w.w) + 1),
+      |      i -> LEN(LIST_FILTER(COALESCE(s.ss, []),
+      |        x -> x <= i AND i <= x + ${SpanN - 1})) = 0) AS keep
+      |  FROM w LEFT JOIN starts s ON w.doc_id = s.doc_id)
+      |SELECT doc_id, n_before, CAST(LEN(keep) AS BIGINT) AS n_after,
+      |  -- COALESCE: DuckDB's ARRAY_TO_STRING of an empty list is NULL,
+      |  -- Spark's array_join is '' (a fully-excised doc hits this)
+      |  COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(keep, i -> w[i]), ' '), '')
+      |    AS cleaned
+      |FROM clean""".stripMargin,
     "d01_exact" ->
       """WITH off AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
         |corpus AS (
@@ -664,5 +727,6 @@ object DedupQueries {
     "d09_incremental" -> (d09_incremental _),
     "d10_canonical" -> (d10_canonical _),
     "d11_repeated_spans" -> (d11_repeated_spans _),
+    "d12_span_removal" -> (d12_span_removal _),
   )
 }

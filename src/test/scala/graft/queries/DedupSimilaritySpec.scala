@@ -236,6 +236,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.values.exists(_._2 >= 2))
   }
 
+  test("span removal excises exactly the tokens covered by repeated spans") {
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, d, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    // brute force: global span multiset → repeated spans → coverage
+    val allSpans = docs.toSeq.flatMap { case (id, w) =>
+      if (w.length < 13) Nil
+      else w.sliding(13).zipWithIndex.map { case (g, i) => (g.mkString(" "), id, i) }
+    }
+    val repeated = allSpans.groupBy(_._1).filter(_._2.size >= 2).keySet
+    val expected = docs.map { case (id, w) =>
+      val starts = allSpans.filter(s => s._2 == id && repeated(s._1)).map(_._3)
+      val keep = w.indices.filterNot(i => starts.exists(s => s <= i && i <= s + 12))
+      id -> ((w.length.toLong, keep.length.toLong, keep.map(w).mkString(" ")))
+    }
+    val got = DedupQueries.d12_span_removal(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, want) => assert(got(id) === want, s"doc $id") }
+    // the operator bites on the fixture and untouched docs pass through
+    assert(got.values.exists(v => v._2 < v._1))
+    assert(got.values.exists(v => v._2 === v._1))
+  }
+
   test("PQ codes quantize losslessly for codebook vectors; ADC is a true d2 lower-bound proxy") {
     // A vector whose subvectors ARE codewords encodes to itself, so its
     // ADC distance to a query is the quantized true distance: for every
