@@ -143,6 +143,64 @@ object GraphOps {
     out
   }
 
+  /** Unreached-distance sentinel for [[bfsFromSym]] — far above any
+    * real hop count, far below Long overflow under +1.
+    */
+  val BfsInf: Long = Long.MaxValue / 4
+
+  /** Converged single-source BFS (hop distances) over a symmetrized
+    * edge relation — [[connectedComponentsFromSym]]'s loop shape with
+    * distance relaxation instead of min-label: per round, the settled
+    * frontier (dist < INF) flows u→v, each v takes
+    * min(dist, min_u dist(u)+1), and the loop stops when no distance
+    * changes. Only settled rows enter the per-round join (the
+    * frontier filter), so early rounds join a few rows, not the whole
+    * node set. Same pin discipline: per-round persists retire, the
+    * result is the one surviving eager checkpoint. Unreached nodes
+    * report dist = −1.
+    */
+  def bfsFromSym(sym: DataFrame, source: Long, maxRounds: Int = 100,
+                 checkpointEvery: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    var dist = sym.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(col("node") === source, 0L).otherwise(BfsInf).as("dist"))
+      .select(col("node"), col("dist"), col("dist").as("old"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbr = sym.toDF("u", "v")
+        .join(dist.filter(col("dist") < BfsInf)
+          .select(col("node").as("u"), col("dist").as("d")), Seq("u"))
+        .groupBy(col("v").as("node")).agg((min(col("d")) + 1L).as("nd"))
+      var next = dist.select(col("node"), col("dist"))
+        .join(nbr, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
+          col("dist").as("old"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if ((round + 1) % checkpointEvery == 0) {
+        val pre = next
+        next = next.localCheckpoint(true)
+        pre.unpersist(false)
+      }
+      changed = next.filter(col("dist") =!= col("old")).count()
+      if (prev != null) releaseIterate(prev)
+      prev = dist
+      dist = next
+      round += 1
+    }
+    val out = dist
+      .select(col("node"),
+        when(col("dist") === BfsInf, -1L).otherwise(col("dist")).as("dist"))
+      .localCheckpoint(true)
+    if (prev != null) releaseIterate(prev)
+    releaseIterate(dist)
+    out
+  }
+
   /** Connected components in O(log n) rounds via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14) — the scale path when graph

@@ -582,6 +582,50 @@ object GraphQueries {
       graft.graph.GraphOps.connectedComponentsLogN(derivedEdges(s, dir))
     }
 
+  /** Converged single-source BFS: hop distances from the graph's
+    * minimum node id over the symmetrized edges
+    * ([[graft.graph.GraphOps.bfsFromSym]] — label-prop's loop shape
+    * with distance relaxation and a settled-frontier join filter).
+    * Source choice (min node) is data-derived, so the query is
+    * parameter-free; distances are integers ⇒ hash-exact against a
+    * recursive-CTE oracle whose (node, d) state is bounded by
+    * n × round-cap. Nodes outside the source's component report −1.
+    * Memoized like the CC family ([[ccMemoized]]) — deterministic per
+    * (session, sfDir).
+    */
+  def g13_bfs(s: SparkSession, dir: String): DataFrame =
+    ccMemoized(s, dir, "bfs") {
+      val sym = SharedRelations(s, dir, "graph_sym") {
+        val e = derivedEdges(s, dir)
+        e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
+      }
+      val source = sym.agg(min(col("src"))).head().getLong(0)
+      graft.graph.GraphOps.bfsFromSym(sym, source)
+    }
+
+  /** Recursive-CTE oracle for [[g13_bfs]]: shortest-path closure
+    * `bfs(node, d)` from the min node — UNION dedups (node, d) pairs,
+    * and the `d < 100` cap bounds recursion state to n × 100 rows on
+    * cyclic graphs (the Spark loop's maxRounds twin).
+    */
+  private def bfsOracle: String =
+    "WITH RECURSIVE " + EdgesCte.stripPrefix("WITH ") + """,
+      |sym AS MATERIALIZED (SELECT src, dst FROM edges
+      |        UNION SELECT dst AS src, src AS dst FROM edges),
+      |src0 AS MATERIALIZED (SELECT MIN(node) AS s FROM nodes),
+      |bfs(node, d) AS (
+      |  SELECT s, CAST(0 AS BIGINT) FROM src0
+      |  UNION
+      |  SELECT sym.dst, bfs.d + 1 FROM bfs JOIN sym ON bfs.node = sym.src
+      |  WHERE bfs.d < 100)
+      |-- DISTINCT: under WITH RECURSIVE, DuckDB does not dedup the
+      |-- nodes CTE's UNION (the closure oracles never noticed — they
+      |-- re-aggregate by node; a bare join over nodes would fan out)
+      |SELECT n.node, COALESCE(m.d, -1) AS dist
+      |FROM (SELECT DISTINCT node FROM nodes) n LEFT JOIN
+      |  (SELECT node, MIN(d) AS d FROM bfs GROUP BY 1) m
+      |  ON n.node = m.node""".stripMargin
+
   /** Recursive-CTE oracle for [[g11_cc_converged]]: BFS closure
     * `reach(node, r)` over the symmetrized edges (UNION dedups per
     * DuckDB's recursive semantics, so it terminates on cycles), then
@@ -641,6 +685,7 @@ object GraphQueries {
     // same fixpoint as g11, independently derived by the oracle's
     // transitive closure — one SQL text checks both algorithms
     "g12_cc_logn" -> ccConvergedOracle,
+    "g13_bfs" -> bfsOracle,
     "g06_triangles" -> (EdgesCte + """,
       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       |        FROM edges)
@@ -667,6 +712,7 @@ object GraphQueries {
     "g05_cc_labelprop" -> ((s, d) => g05_cc_labelprop(s, d)),
     "g11_cc_converged" -> (g11_cc_converged _),
     "g12_cc_logn" -> (g12_cc_logn _),
+    "g13_bfs" -> (g13_bfs _),
     "g06_triangles" -> (g06_triangles _),
     // Flagship GraphX path — iterative double-precision PageRank; not
     // SQL-expressible bit-exactly (float accumulation order), so no

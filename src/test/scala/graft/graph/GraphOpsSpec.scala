@@ -90,6 +90,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaLog(7L) === 7L)
   }
 
+  test("bfsFromSym computes exact hop distances and -1 off-component") {
+    import spark.implicits._
+    // chain 1–2–3–4 with shortcut 1–3, plus a separate 2-cycle {8,9}:
+    // exact distances from 1 are known, {8,9} unreachable
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (8L, 9L))
+      .toDF("src", "dst")
+    val sym = e.union(e.select($"dst", $"src")).toDF("src", "dst").distinct()
+    val d = GraphOps.bfsFromSym(sym, source = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      8L -> -1L, 9L -> -1L))
+    // neighbor distances never differ by more than 1 within a component
+    val dd = d
+    sym.collect().map(r => (r.getLong(0), r.getLong(1))).foreach {
+      case (u, v) =>
+        if (dd(u) >= 0 && dd(v) >= 0)
+          assert(math.abs(dd(u) - dd(v)) <= 1, s"edge ($u,$v)")
+        else assert(dd(u) < 0 && dd(v) < 0, s"edge ($u,$v) straddles reach")
+    }
+  }
+
   test("readEdgesCsv FAILFAST rejects malformed rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("edges").toFile
     val f = new java.io.File(dir, "edges.csv")
