@@ -70,11 +70,13 @@ object Bench {
       .map { case (f, rs) => s"\"" + f + "\":" + rs.map(_._2).sum }
       .mkString("{", ",", "}")
     // Cold map: queries whose later samples resume from a memo (the
-    // *_i10 cpMemo resume; g11/g12's memoized converged CC) report
-    // sample 1 too — the median alone would hide the full-pass cost.
+    // *_i10 cpMemo resume; the memoized converged loops g11/g12/g13)
+    // report sample 1 too — the median alone would hide the full-pass
+    // cost.
     val cold = results
       .filter { case (n, _, _) =>
-        n.endsWith("_i10") || n.startsWith("g11") || n.startsWith("g12") }
+        n.endsWith("_i10") || n.startsWith("g11") || n.startsWith("g12") ||
+          n.startsWith("g13") }
       .map { case (k, _, c) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -62,7 +62,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // (linear scan, map-side) — only its search stage must stay an
     // equi-join, which the cartesian check still covers.
     for (q <- Seq("d02_ngram_jaccard", "d03_minhash_lsh",
-        "d06_neardup_clusters", "s02_knn_lsh", "s03_knn_ivf")) {
+        "d06_neardup_clusters", "d11_repeated_spans", "d12_span_removal",
+        "s02_knn_lsh", "s03_knn_ivf")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cross product")
       if (q != "s03_knn_ivf")
