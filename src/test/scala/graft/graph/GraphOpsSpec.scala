@@ -111,6 +111,29 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bfsFromSym agrees with graphx.lib.ShortestPaths on the derived graph") {
+    // independent-implementation parity on real data (sf0.001): GraphX
+    // ShortestPaths runs Pregel hop counting; our relational loop must
+    // land on identical distances for every reachable node.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.queries.GraphQueries.derivedEdges(spark, dir)
+    val sym = e.union(e.select($"dst", $"src")).toDF("src", "dst").distinct()
+    val source = sym.agg(org.apache.spark.sql.functions.min($"src"))
+      .head().getLong(0)
+    val viaDf = GraphOps.bfsFromSym(sym, source)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g = PageRankGraphX.fromEdges(sym)
+    val viaGx = org.apache.spark.graphx.lib.ShortestPaths.run(g, Seq(source))
+      .vertices.collect()
+      .map { case (id, spmap) => id -> spmap.get(source).map(_.toLong).getOrElse(-1L) }
+      .toMap
+    assert(viaDf === viaGx)
+    assert(viaDf(source) === 0L)
+    assert(viaDf.values.max > 1L) // the fixture graph has real depth
+  }
+
   test("readEdgesCsv FAILFAST rejects malformed rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("edges").toFile
     val f = new java.io.File(dir, "edges.csv")
