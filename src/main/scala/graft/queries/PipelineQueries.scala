@@ -236,6 +236,29 @@ object PipelineQueries {
       .withColumn("boost", col("weight") / col("share"))
   }
 
+  /** Split fractions for [[p06_split]]: buckets 0–79 train, 80–89
+    * val, 90–99 test.
+    */
+  private val ValLo = 80L
+  private val TestLo = 90L
+
+  /** Deterministic train/val/test assignment — hash the CONTENT (not
+    * the id: re-ingests with new ids keep their split; the leakage
+    * discipline every pipeline needs) into 100 buckets and band them
+    * 80/10/10. The hash is the engine's shared polynomial rolling hash
+    * ([[TextQueries.polyHash]], codegen'd, DuckDB-reproducible), so
+    * the assignment is identical on any engine, partitioning, or
+    * cluster size. Pure narrow map — no shuffle at any scale.
+    */
+  def p06_split(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        pmod(TextQueries.polyHash("text"), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < ValLo, "train")
+          .when(col("bucket") < TestLo, "val")
+          .otherwise("test"))
+
   val oracle: Map[String, String] = Map(
     "p03_pack" -> s"""
       |WITH toks AS (
@@ -266,6 +289,13 @@ object PipelineQueries {
       |      AS rn
       |  FROM documents)
       |WHERE rn <= $SampleCap""".stripMargin,
+    "p06_split" -> s"""
+      |SELECT doc_id,
+      |  ${TextQueries.polyHashSql("text")} % 100 AS bucket,
+      |  CASE WHEN ${TextQueries.polyHashSql("text")} % 100 < $ValLo THEN 'train'
+      |       WHEN ${TextQueries.polyHashSql("text")} % 100 < $TestLo THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin,
     "p05_mixture" -> s"""
       |WITH b AS (SELECT source, COUNT(*) AS n_docs,
       |    CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS BIGINT)
@@ -331,5 +361,6 @@ object PipelineQueries {
     "p03_pack" -> (p03_pack _),
     "p04_contamination" -> (p04_contamination _),
     "p05_mixture" -> (p05_mixture _),
+    "p06_split" -> (p06_split _),
   )
 }

@@ -167,6 +167,28 @@ object TextQueries {
           col("dup_trigram_frac") > DupTrigramMax)
   }
 
+  // Token-rarity scoring — the frequency-dictionary join under LM
+  // quality heuristics (rare-token density without a model): a global
+  // token→count dictionary (one low-cardinality agg), then each doc
+  // joins its tokens against the BROADCAST dictionary and aggregates
+  // total/mean corpus frequency. At 100 TB the dictionary is the
+  // vocabulary — megabytes — so the doc side never shuffles for the
+  // join; the per-doc agg partial-aggregates map-side (tokens of a doc
+  // are co-located). All-integer until the single mean division.
+  def t07_rarity(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val dict = broadcast(toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq")))
+    toks.join(dict, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("total_freq"),
+        min(col("freq")).as("rarest_freq"))
+      .withColumn("mean_freq",
+        col("total_freq").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
   /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final
     * select) — shared by the t03 oracle and the curation pipeline's
     * ([[PipelineQueries]]) language gate.
@@ -215,6 +237,17 @@ object TextQueries {
       |FROM b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t07_rarity" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |dict AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM toks GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(freq) AS BIGINT) AS total_freq,
+        |  MIN(freq) AS rarest_freq,
+        |  CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_freq
+        |FROM toks JOIN dict USING (w)
+        |GROUP BY doc_id""".stripMargin,
     "t01_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
@@ -260,6 +293,7 @@ object TextQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_rarity" -> (t07_rarity _),
     "t01_tokens" -> (t01_tokens _),
     "t02_bpe_tokens" -> (t02_bpe_tokens _),
     "t03_langid" -> (t03_langid _),

@@ -113,6 +113,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("split assignment is content-keyed and lands near 80/10/10") {
+    val d = "/root/testdata/sf0.01"
+    val rows = PipelineQueries.p06_split(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 500)
+    rows.foreach { case (_, b, sp) =>
+      assert(b >= 0 && b < 100)
+      assert(sp === (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    val frac = rows.groupBy(_._3).view.mapValues(_.size / 500.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("val") > 0.04 && frac("test") > 0.04)
+    // content-keyed: identical text (d01's planted dups exist only in
+    // the unioned corpus, so here same doc => same bucket trivially) —
+    // assert determinism across a re-run instead
+    val again = PipelineQueries.p06_split(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("packing lays each shard head-to-tail with no gaps or overlaps") {
     val rows = PipelineQueries.p03_pack(spark, dir)
       .collect()

@@ -41,4 +41,24 @@ class TextQueriesSpec extends AnyFunSuite {
     // the gate bites on the fixture, in both directions
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
+
+  test("t07 rarity equals the brute-force corpus-frequency definition") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val dict = docs.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val expected = docs.map { case (id, ws) =>
+      val total = ws.map(dict).sum
+      id -> ((ws.size.toLong, total, ws.map(dict).min,
+        total.toDouble / ws.size.toDouble))
+    }
+    val got = TextQueries.t07_rarity(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got === expected)
+    // rarity varies on the fixture — the signal is discriminative
+    assert(got.values.map(_._4).toSet.size > 1)
+  }
 }
