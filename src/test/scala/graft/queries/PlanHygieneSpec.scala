@@ -131,6 +131,19 @@ class PlanHygieneSpec extends AnyFunSuite {
       "s05 plans a nested-loop join")
   }
 
+  test("t07: the frequency dictionary broadcasts; token side never shuffles for the join") {
+    val p = plan("t07_rarity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "t07 degraded to a shuffled join; the dictionary must broadcast")
+  }
+
+  test("p06: split assignment is a map-only narrow plan") {
+    val p = plan("p06_split")
+    assert(!p.contains("Exchange"), "p06 planned a shuffle")
+    assert(!p.contains("Join"), "p06 grew a join")
+  }
+
   test("narrow text pipelines stay shuffle-free and codegen'd") {
     // `*(n)` is executedPlan.toString's whole-stage-codegen marker.
     // (t04's higher-order filter() lambda legitimately splits its
