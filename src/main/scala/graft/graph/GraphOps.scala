@@ -150,14 +150,17 @@ object GraphOps {
 
   /** Converged single-source BFS (hop distances) over a symmetrized
     * edge relation — [[connectedComponentsFromSym]]'s loop shape with
-    * distance relaxation instead of min-label: per round, the settled
-    * frontier (dist < INF) flows u→v, each v takes
+    * distance relaxation instead of min-label: per round, the FRONTIER
+    * (nodes settled in the previous round — `dist` changed, which the
+    * carried `old` column witnesses; the source alone starts with
+    * old = INF ≠ dist = 0) flows u→v, each v takes
     * min(dist, min_u dist(u)+1), and the loop stops when no distance
-    * changes. Only settled rows enter the per-round join (the
-    * frontier filter), so early rounds join a few rows, not the whole
-    * node set. Same pin discipline: per-round persists retire, the
-    * result is the one surviving eager checkpoint. Unreached nodes
-    * report dist = −1.
+    * changes. Frontier-only joining is exact for unit weights: every
+    * frontier node at round r has dist exactly r, so a node's first
+    * relaxation IS its hop distance and earlier-settled nodes have
+    * nothing new to offer — total work O(E), not O(E·diameter). Same
+    * pin discipline: per-round persists retire, the result is the one
+    * surviving eager checkpoint. Unreached nodes report dist = −1.
     */
   def bfsFromSym(sym: DataFrame, source: Long, maxRounds: Int = 100,
                  checkpointEvery: Int = 5): DataFrame = {
@@ -165,14 +168,14 @@ object GraphOps {
     var dist = sym.select(col("src").as("node")).distinct()
       .select(col("node"),
         when(col("node") === source, 0L).otherwise(BfsInf).as("dist"))
-      .select(col("node"), col("dist"), col("dist").as("old"))
+      .select(col("node"), col("dist"), lit(BfsInf).as("old"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       val nbr = sym.toDF("u", "v")
-        .join(dist.filter(col("dist") < BfsInf)
+        .join(dist.filter(col("dist") < BfsInf && col("dist") =!= col("old"))
           .select(col("node").as("u"), col("dist").as("d")), Seq("u"))
         .groupBy(col("v").as("node")).agg((min(col("d")) + 1L).as("nd"))
       var next = dist.select(col("node"), col("dist"))

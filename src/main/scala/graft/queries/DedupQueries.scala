@@ -109,6 +109,25 @@ object DedupQueries {
     */
   private val SpanN = 13
 
+  /** Positional 13-gram spans (doc_id, pos, digest) — the stage output
+    * both span queries read (the shingles/doc_ngrams8 pattern): the
+    * O(tokens) window explode and the md5 run ONCE per (session,
+    * sfDir), not once per consumer — d12 alone would otherwise explode
+    * the corpus twice (its `rep` and `starts` subtrees shuffle
+    * differently, so ReuseExchange can't dedup them).
+    */
+  private[graft] def docSpans(s: SparkSession, dir: String): DataFrame =
+    SharedRelations(s, dir, "doc_spans13") {
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= SpanN)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(w) - ${SpanN - 1}), " +
+            s"i -> struct(i AS pos, array_join(slice(w, i, $SpanN), ' ') AS g))"))
+          .as("t"))
+        .select(col("doc_id"), col("t.pos").as("pos"), md5(col("t.g")).as("k"))
+    }
+
   // Span-level exact dedup / boilerplate mining — the repeated-span
   // pass doc-level dedup misses: every 13-word window of the corpus,
   // grouped, keeping spans that occur ≥ 2 times (total occurrences,
@@ -121,13 +140,8 @@ object DedupQueries {
   // sort; the digest-group form is the shuffle-friendly equivalent at
   // fixed span length).
   def d11_repeated_spans(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= SpanN)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${SpanN - 1}), " +
-          s"i -> array_join(slice(w, i, $SpanN), ' '))")).as("g"))
-      .groupBy(md5(col("g")).as("span_key"))
+    docSpans(s, dir)
+      .groupBy(col("k").as("span_key"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
@@ -152,12 +166,7 @@ object DedupQueries {
   def d12_span_removal(s: SparkSession, dir: String): DataFrame = {
     val w = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val g = w.filter(size(col("w")) >= SpanN)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${SpanN - 1}), " +
-          s"i -> struct(i AS pos, array_join(slice(w, i, $SpanN), ' ') AS g))"))
-        .as("t"))
-      .select(col("doc_id"), col("t.pos").as("pos"), md5(col("t.g")).as("k"))
+    val g = docSpans(s, dir)
     val rep = g.groupBy(col("k")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("k"))
     val starts = g.join(rep, Seq("k"))

@@ -176,8 +176,12 @@ object TextQueries {
   // join; the per-doc agg partial-aggregates map-side (tokens of a doc
   // are co-located). All-integer until the single mean division.
   def t07_rarity(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // stage output: the dictionary agg and the probe join both read
+    // the token relation — materialized once, not derived per consumer
+    val toks = graft.queries.SharedRelations(s, dir, "doc_tokens") {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    }
     val dict = broadcast(toks.groupBy(col("w"))
       .agg(count(lit(1)).as("freq")))
     toks.join(dict, Seq("w"))
