@@ -150,6 +150,23 @@ object MultimodalQueries {
         md5(col("resized")).as("thumb_digest"))
   }
 
+  // Asset-level exact dedup — the multimodal twin of d01: the media
+  // table doubled with re-ingested copies (ids offset by a broadcast
+  // max+1 scalar, d01's collision-proof pattern), then grouped by
+  // (media_type, payload digest), keeping the min id. The 16-byte
+  // digest is the shuffle key — payload bytes never cross an
+  // exchange, the property that makes asset dedup viable when the
+  // payload column is the 100 TB.
+  def m06_payload_dedup(s: SparkSession, dir: String): DataFrame = {
+    val m = media(s, dir).select(col("doc_id"), col("media_type"), col("payload"))
+    val off = broadcast(m.agg((max(col("doc_id")) + 1L).as("off")))
+    val corpus = m.unionByName(
+      m.crossJoin(off).select((col("doc_id") + col("off")).as("doc_id"),
+        col("media_type"), col("payload")))
+    corpus.groupBy(col("media_type"), md5(col("payload")).as("digest"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+  }
+
   /** Oracle twin of the media derivation (string side; bytes == chars
     * on this ASCII corpus).
     */
@@ -211,6 +228,15 @@ object MultimodalQueries {
       |  SELECT qid, media_type, did, cos,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rn
       |  FROM p) WHERE rn = 1""".stripMargin),
+    "m06_payload_dedup" -> (MediaCte + """,
+      |off AS (SELECT MAX(doc_id) + 1 AS off FROM media),
+      |corpus AS (
+      |  SELECT doc_id, media_type, payload FROM media
+      |  UNION ALL
+      |  SELECT doc_id + off, media_type, payload FROM media, off)
+      |SELECT media_type, MD5(payload) AS digest,
+      |  MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM corpus GROUP BY 1, 2""".stripMargin),
     "m05_resize" -> {
       // The 64 gathered bytes, generated literally: out(r,c) reads
       // src byte ((r·src_h)//8)·32 + 4c (nearest neighbor on a
@@ -241,5 +267,6 @@ object MultimodalQueries {
     "m03_frame_sample" -> (m03_frame_sample _),
     "m04_media_nn" -> (m04_media_nn _),
     "m05_resize" -> (m05_resize _),
+    "m06_payload_dedup" -> (m06_payload_dedup _),
   )
 }

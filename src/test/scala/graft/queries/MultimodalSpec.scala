@@ -89,4 +89,18 @@ class MultimodalSpec extends AnyFunSuite {
       assert(cos <= 1.0 + 1e-12 && cos >= -1.0 - 1e-12, s"q=$qid cos=$cos")
     }
   }
+
+  test("payload dedup collapses the doubled media corpus to one keeper per asset") {
+    val base = MultimodalQueries.media(spark, dir)
+      .select("doc_id", "media_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = MultimodalQueries.m06_payload_dedup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // one group per unique base asset; each has its planted re-ingest
+    assert(rows.length === base.size)
+    rows.foreach { case (mt, _, keeper, n) =>
+      assert(n === 2L, s"asset $keeper") // base + planted copy
+      assert(base(keeper) === mt, s"keeper $keeper not from the base corpus")
+    }
+  }
 }
