@@ -599,9 +599,20 @@ object GraphQueries {
         val e = derivedEdges(s, dir)
         e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
       }
-      val source = sym.agg(min(col("src"))).head().getLong(0)
-      graft.graph.GraphOps.bfsFromSym(sym, source)
+      bfsFromMinSource(sym)
     }
+
+  /** BFS from the minimum node id of `sym` (src/dst longs) — or the
+    * empty (node, dist) relation when the graph has no edges (min of
+    * an empty relation is a NULL row, which the other graph queries
+    * degrade through but a bare `getLong` would NPE on).
+    */
+  private[queries] def bfsFromMinSource(sym: DataFrame): DataFrame = {
+    val srcRow = sym.agg(min(col("src"))).head()
+    if (srcRow.isNullAt(0))
+      sym.select(col("src").as("node"), lit(-1L).as("dist")).where(lit(false))
+    else graft.graph.GraphOps.bfsFromSym(sym, srcRow.getLong(0))
+  }
 
   /** Recursive-CTE oracle for [[g13_bfs]]: shortest-path closure
     * `bfs(node, d)` from the min node — UNION dedups (node, d) pairs,

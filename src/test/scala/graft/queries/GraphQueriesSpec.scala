@@ -130,4 +130,11 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(dangling.nonEmpty)
     assert(dangling.intersect(srcs).isEmpty)
   }
+
+  test("BFS on an empty edge relation returns the empty (node, dist) schema") {
+    val emptySym = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val d = GraphQueries.bfsFromMinSource(emptySym)
+    assert(d.columns.toSeq === Seq("node", "dist"))
+    assert(d.count() === 0L)
+  }
 }
