@@ -39,6 +39,14 @@ object Bench {
     // so the median alone would hide the full-pass cost the probe
     // exists to measure (round-6 verdict item).
     val debugSamples = sys.env.contains("SPARK_GRAFT_SAMPLES")
+    // Queries whose count()-side re-optimization ELIMINATES the
+    // operator under test (d12: the span join's agg key is provably
+    // unique, so count() proves the outer join irrelevant and measures
+    // a scan-count). For these, one extra `toRdd.count()` pass — which
+    // materializes the full optimized plan with no count-side
+    // pruning — is timed into an "uncounted" map so the artifact
+    // carries the honest cost alongside the comparable count() number.
+    val uncountedQueries = Set("d12_span_removal")
     var family = ""
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
@@ -59,10 +67,16 @@ object Bench {
       }
       if (debugSamples)
         System.err.println(f"SAMPLES $name ${samples.map(t => f"$t%.3f").mkString(" ")}")
+      val unc = if (uncountedQueries(name)) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        Some((System.nanoTime() - t0) / 1e9)
+      } else None
       if (name.endsWith("_i10")) graft.queries.SharedRelations.evict(spark)
-      (name, samples.sorted.apply(1), samples.head)
+      (name, samples.sorted.apply(1), samples.head, unc)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-family subtotals: regression triage is one look at this map
     // instead of a 59-entry diff.
@@ -74,13 +88,19 @@ object Bench {
     // report sample 1 too — the median alone would hide the full-pass
     // cost.
     val cold = results
-      .filter { case (n, _, _) =>
+      .filter { case (n, _, _, _) =>
         n.endsWith("_i10") || n.startsWith("g11") || n.startsWith("g12") ||
           n.startsWith("g13") }
-      .map { case (k, _, c) => s"\"" + k + "\":" + c }
+      .map { case (k, _, c, _) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    // Honest-cost map for the join-eliminated class (see
+    // uncountedQueries above): toRdd.count() time, NOT added to the
+    // total — the total stays the comparable count() methodology.
+    val unc = results
+      .collect { case (k, _, _, Some(u)) => s"\"" + k + "\":" + u }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"cold":$cold,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"cold":$cold,"uncounted":$unc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
