@@ -262,6 +262,34 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.05)
   }
 
+  // Runtime observability for d02's posting-size ceiling (the
+  // no-silent-caps principle, end to end): per lang, how many shingle
+  // groups exist, how many are pairable (2..cap), how many the ceiling
+  // drops, and how many candidate pairs those drops forgo
+  // (psize·(psize−1)/2 per over-cap group — exact int64, the product
+  // of consecutive ints is even). On the testdata max_psize = 14 so
+  // n_over_cap = 0 — the audit PROVES the ceiling is inactive here;
+  // the skewed-fixture spec pins the nonzero case with a tiny cap.
+  def d02_posting_audit(s: SparkSession, dir: String): DataFrame =
+    postingAudit(shingles(s, dir), DefaultMaxPosting)
+
+  /** Audit relation for [[ngramJaccardPairs]]'s ceiling, parameterized
+    * the same way. One posting-size agg + one per-lang rollup — strictly
+    * cheaper than d02 itself (no pair explode).
+    */
+  private[graft] def postingAudit(sh: DataFrame, maxPosting: Int): DataFrame =
+    sh.groupBy(col("lang"), col("sh"))
+      .agg(count(lit(1)).as("psize"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("psize") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("psize").between(2, maxPosting), 1L).otherwise(0L))
+          .as("n_pairable"),
+        sum(when(col("psize") > maxPosting, 1L).otherwise(0L)).as("n_over_cap"),
+        sum(when(col("psize") > maxPosting,
+          expr("psize * (psize - 1) div 2")).otherwise(0L)).as("dropped_pairs"),
+        max(col("psize")).as("max_psize"))
+
   // MinHash + LSH banding: 8 permutation mins per doc, 4 bands of 2 →
   // band-bucket equi-join yields candidate pairs; n_bands = how many
   // bands collided (≥3 ⇒ near-certain near-dup at this signature size).
@@ -692,6 +720,15 @@ object DedupQueries {
       |JOIN n na ON na.doc_id = doc_a
       |JOIN n nb ON nb.doc_id = doc_b
       |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.05""".stripMargin),
+    "d02_posting_audit" -> (ShinglesCte + s""",
+      |p AS (SELECT lang, sh, COUNT(*) AS psize FROM s GROUP BY 1, 2)
+      |SELECT lang, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN psize = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+      |  CAST(SUM(CASE WHEN psize BETWEEN 2 AND $DefaultMaxPosting THEN 1 ELSE 0 END) AS BIGINT) AS n_pairable,
+      |  CAST(SUM(CASE WHEN psize > $DefaultMaxPosting THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+      |  CAST(SUM(CASE WHEN psize > $DefaultMaxPosting THEN psize * (psize - 1) // 2 ELSE 0 END) AS BIGINT) AS dropped_pairs,
+      |  MAX(psize) AS max_psize
+      |FROM p GROUP BY lang""".stripMargin),
     "d03_minhash_lsh" -> (BandsCte + """
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
       |FROM bands a JOIN bands b
@@ -727,6 +764,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact" -> (d01_exact _),
     "d02_ngram_jaccard" -> (d02_ngram_jaccard _),
+    "d02_posting_audit" -> (d02_posting_audit _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d04_simhash" -> (d04_simhash _),
     "d05_embed_nn" -> (d05_embed_nn _),
