@@ -26,6 +26,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.filter(col("keeper") > maxId).count() === 0L)
   }
 
+  test("trained PQ codebook cuts quantization error and holds top-1 recall") {
+    val sub = SimilarityQueries.pqSub(spark, dir).cache()
+    val seedErr = SimilarityQueries.pqQuantError(
+      sub, SimilarityQueries.pqSeedCodebook(sub))
+    val trained = SimilarityQueries.pqTrainedCodebook(sub)
+    val trainedErr = SimilarityQueries.pqQuantError(sub, trained)
+    // Lloyd is monotone non-increasing in quantization error; the
+    // trained codebook must never be worse than the id-sampled seed.
+    assert(trainedErr <= seedErr + 1e-9,
+      s"quantization error rose: seed=$seedErr trained=$trainedErr")
+    info(f"quantization error: seed=$seedErr%.1f trained=$trainedErr%.1f " +
+      f"(${100 * (1 - trainedErr / seedErr)}%.1f%% lower)")
+
+    // Top-1 recall against the exact brute-force baseline (rk = 1).
+    val truth = SimilarityQueries.s01_knn_brute(spark, dir)
+      .filter(col("rk") === 1).select("qid", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "nn_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      truth.count { case (q, n) => got.get(q).contains(n) }.toDouble / truth.size
+    }
+    // Note s01 ranks by cosine while PQ ranks by L2 on unnormalized
+    // vectors, so exact top-1 agreement is a conservative yardstick;
+    // what matters is that training never loses to the id-sampled
+    // seed (measured here: seed 0.00, trained 0.10 — all inputs and
+    // both algorithms are deterministic, so these are stable).
+    val r5 = recall(SimilarityQueries.s05_knn_pq(spark, dir))
+    val r6 = recall(SimilarityQueries.s06_knn_pq_trained(spark, dir))
+    info(f"top-1 recall vs s01: s05=$r5%.2f s06=$r6%.2f")
+    assert(r6 >= r5, s"trained recall $r6 below seed recall $r5")
+    assert(r6 >= 0.05, s"trained recall $r6 below pinned floor")
+    sub.unpersist()
+  }
+
   test("high-jaccard pairs are caught by MinHash LSH banding") {
     val jac = DedupQueries.d02_ngram_jaccard(spark, dir)
       .filter(col("jaccard") >= 0.5)
@@ -115,6 +150,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // Production default is far above the testdata's max posting (14),
     // so the DuckDB oracle row is unaffected by the ceiling.
     assert(DedupQueries.DefaultMaxPosting > 14)
+
+    // The audit relation makes the same trade observable at run time:
+    // under cap=50 exactly the stop shingle is over-cap, forgoing its
+    // C(100,2) pairs — the count the unbounded run materialized above.
+    val audit = DedupQueries.postingAudit(sh, maxPosting = 50).collect()
+    assert(audit.length === 1)
+    val a = audit(0)
+    assert(a.getLong(a.fieldIndex("n_shingles")) === 102L)
+    assert(a.getLong(a.fieldIndex("n_singleton")) === 100L)
+    assert(a.getLong(a.fieldIndex("n_pairable")) === 1L)
+    assert(a.getLong(a.fieldIndex("n_over_cap")) === 1L)
+    assert(a.getLong(a.fieldIndex("dropped_pairs")) === 4950L)
+    assert(a.getLong(a.fieldIndex("max_psize")) === 100L)
   }
 
   test("near-dup clusters agree with the pair graph and keep one doc each") {
