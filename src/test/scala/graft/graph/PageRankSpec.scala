@@ -80,6 +80,25 @@ class PageRankSpec extends AnyFunSuite {
     assert(res.counterValue === 33333334L)
   }
 
+  test("compat CSV sink is byte-identical to the golden file modulo row order") {
+    // Tier-2 parity (SURVEY §7.3): not just numerically equal state,
+    // but the exact bytes the reference's reducer wrote
+    // (pageRank_v2.java:207-217 `node,U,contrib,adj-`), through the
+    // real writeCompatCsv sink. Spark's double→string cast is Java
+    // Double.toString, and the compat contribs are bit-identical to
+    // the reference's doubles, so every line must match byte-for-byte;
+    // only the row order (a reducer-partition artifact) is modded out.
+    val goldenSrc = Source.fromFile(
+      "/root/reference/output/check3/part-r-00000")
+    val golden = try goldenSrc.getLines().filter(_.nonEmpty).toVector.sorted
+      finally goldenSrc.close()
+    val got = PageRank.compat(GraphIO.kChainEdges(spark, 3), 3, 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-golden").toString
+    GraphIO.writeCompatCsv(got.state.select("node", "contrib", "adj"), tmp)
+    val lines = spark.read.text(tmp).as[String].collect().toVector.sorted
+    assert(lines === golden)
+  }
+
   test("compat multi-pass matches the independent reference impl") {
     for (k <- Seq(3L, 5L); passes <- Seq(2, 3, 7)) {
       val edges = (for {
