@@ -193,6 +193,50 @@ object TextQueries {
         col("total_freq").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
 
+  /** PII surface patterns for [[t08_redact]]. Deliberately
+    * backslash-free ([.] instead of \.) so one literal survives the
+    * Scala → Spark-SQL-string → regex and Scala → DuckDB paths
+    * unchanged, and RE2 (DuckDB) and java.util.regex (Spark) agree on
+    * every construct used (character classes + bounded repetition
+    * only — no lookaround, no escapes).
+    */
+  private[queries] val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  private[queries] val PhonePat = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  private[queries] val Ipv4Pat =
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  // PII redaction — the standard curation scrub before text enters a
+  // training corpus: emails, phone numbers, and IPv4 addresses are
+  // rewritten to typed placeholders, with per-doc match counts so the
+  // scrub's activity is observable (the no-silent-rewrites principle;
+  // same stance as d02_posting_audit). Counts are measured on the
+  // ORIGINAL text, independent of replacement order; the rewrite
+  // applies email → phone → ip so an address inside an email never
+  // double-redacts. Map-only, codegen'd, pruned scan — the t01–t05
+  // scale shape. On this synthetic corpus every count is provably 0
+  // and clean_text == text, which the oracle hash-checks end to end
+  // (precision: no false positives on clean text); recall on planted
+  // PII is pinned in the fixture spec.
+  def t08_redact(s: SparkSession, dir: String): DataFrame =
+    redact(t(s, dir, "documents"))
+
+  /** [[t08_redact]] on any (doc_id, text) relation — the fixture spec
+    * feeds planted PII through the same operator.
+    */
+  private[graft] def redact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"CAST(size(regexp_extract_all(text, '$EmailPat', 0)) AS BIGINT)")
+        .as("n_emails"),
+      expr(s"CAST(size(regexp_extract_all(text, '$PhonePat', 0)) AS BIGINT)")
+        .as("n_phones"),
+      expr(s"CAST(size(regexp_extract_all(text, '$Ipv4Pat', 0)) AS BIGINT)")
+        .as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>"),
+        Ipv4Pat, "<IP>").as("clean_text"))
+
   /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final
     * select) — shared by the t03 oracle and the curation pipeline's
     * ([[PipelineQueries]]) language gate.
@@ -265,6 +309,16 @@ object TextQueries {
         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
         |FROM documents""".stripMargin,
     "t03_langid" -> s"WITH $LangScoreCte\n$LangPredSelect",
+    "t08_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$EmailPat')) AS BIGINT) AS n_emails,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$PhonePat')) AS BIGINT) AS n_phones,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$Ipv4Pat')) AS BIGINT) AS n_ips,
+         |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+         |    '$EmailPat', '<EMAIL>', 'g'),
+         |    '$PhonePat', '<PHONE>', 'g'),
+         |    '$Ipv4Pat', '<IP>', 'g') AS clean_text
+         |FROM documents""".stripMargin,
     "t04_quality" -> s"WITH $QualityBaseCte\n$QualitySelect",
     "t05_fingerprint" ->
       s"""SELECT doc_id,
@@ -304,5 +358,6 @@ object TextQueries {
     "t04_quality" -> (t04_quality _),
     "t05_fingerprint" -> (t05_fingerprint _),
     "t06_repetition" -> (t06_repetition _),
+    "t08_redact" -> (t08_redact _),
   )
 }

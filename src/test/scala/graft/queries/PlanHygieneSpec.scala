@@ -149,7 +149,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // (t04's higher-order filter() lambda legitimately splits its
     // span — HOFs aren't codegen'd — but a codegen'd stage must still
     // exist and nothing may shuffle.)
-    for (q <- Seq("t01_tokens", "t03_langid", "t04_quality")) {
+    for (q <- Seq("t01_tokens", "t03_langid", "t04_quality", "t08_redact")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q planned a shuffle")
       assert(p.contains("*("), s"$q fell out of codegen entirely")

@@ -42,6 +42,55 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("t08 redaction catches planted PII and is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The corpus oracle run only proves precision (no false positives
+    // on clean text); recall needs PII that the testdata deliberately
+    // lacks — plant every pattern class, plus near-misses that must
+    // NOT match.
+    val fixture = Seq(
+      (1L, "reach bob.smith+spam@mail-host.org or alice@sub.example.io today"),
+      (2L, "call 555-123-4567 or 555 987 6543 after noon"),
+      (3L, "server at 10.0.0.1 and 192.168.254.254 went down"),
+      (4L, "mixed: eve@corp.net pinged 172.16.0.9 at 555.111.2222"),
+      (5L, "near misses: bob@nodot 999-99-9999 1.2.3 version 1.2.3.4.5"),
+      (6L, "clean text with no contact details at all")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.redact(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    assert(got(1L) === ((2L, 0L, 0L, "reach <EMAIL> or <EMAIL> today")))
+    assert(got(2L) === ((0L, 2L, 0L, "call <PHONE> or <PHONE> after noon")))
+    assert(got(3L) === ((0L, 0L, 2L, "server at <IP> and <IP> went down")))
+    // doc 4: 555.111.2222 is a phone (dot separators, only two dots —
+    // not IP-shaped); the three pattern classes hit once each.
+    assert(got(4L) === ((1L, 1L, 1L, "mixed: <EMAIL> pinged <IP> at <PHONE>")))
+    // near-misses: no dotted TLD → not an email; SSN shape (3-2-4) ≠
+    // phone shape (3-3-4); 1.2.3 too short; but 1.2.3.4.5 DOES contain
+    // the IP-shaped 1.2.3.4 prefix — a documented over-match of the
+    // anchor-free pattern, pinned here so a pattern change is visible.
+    assert((got(5L)._1, got(5L)._2, got(5L)._3) === ((0L, 0L, 1L)))
+    assert(got(6L) === ((0L, 0L, 0L, "clean text with no contact details at all")))
+
+    // Idempotence: placeholders contain nothing any pattern matches.
+    val once = TextQueries.redact(fixture)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = TextQueries.redact(once).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    got.foreach { case (id, (_, _, _, clean)) =>
+      assert(twice(id) === clean, s"doc $id not idempotent")
+    }
+
+    // Corpus run: provably inactive on the synthetic testdata — the
+    // d02_posting_audit stance: the no-op case is hash-checked by the
+    // oracle, the active case pinned here.
+    val corpus = TextQueries.t08_redact(spark, dir)
+    assert(corpus.filter(
+      col("n_emails") + col("n_phones") + col("n_ips") > 0).count() === 0L)
+  }
+
   test("t07 rarity equals the brute-force corpus-frequency definition") {
     val docs = graft.Tables(spark, dir, "documents")
       .select("doc_id", "text").collect()
