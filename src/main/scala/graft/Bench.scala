@@ -39,6 +39,10 @@ object Bench {
     // so the median alone would hide the full-pass cost the probe
     // exists to measure (round-6 verdict item).
     val debugSamples = sys.env.contains("SPARK_GRAFT_SAMPLES")
+    // Sample count per query. The driver's artifact is always median-of-3
+    // (default); the override exists for one-shot probes of queries whose
+    // single sample runs tens of minutes (d02 at sf10).
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     // Queries whose count()-side re-optimization ELIMINATES the
     // operator under test (d12: the span join's agg key is provably
     // unique, so count() proves the outer join irrelevant and measures
@@ -60,7 +64,7 @@ object Bench {
         System.gc()
       }
       family = name.take(1)
-      val samples = (1 to 3).map { _ =>
+      val samples = (1 to nSamples).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -74,7 +78,7 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } else None
       if (name.endsWith("_i10")) graft.queries.SharedRelations.evict(spark)
-      (name, samples.sorted.apply(1), samples.head, unc)
+      (name, samples.sorted.apply(samples.length / 2), samples.head, unc)
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
