@@ -124,11 +124,48 @@ class PlanHygieneSpec extends AnyFunSuite {
   }
 
   test("s05: PQ encode and ADC are broadcast joins over the code relation") {
-    val p = plan("s05_knn_pq")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), s"s05 plans a cross product")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "s05 plans a nested-loop join")
+    for (q <- Seq("s05_knn_pq", "s06_knn_pq_trained")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cross product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
+  test("the count()-collapse set is exactly the bench's uncounted set") {
+    // The bench materializes with count(), and Catalyst re-optimizes
+    // under it — row-preserving joins (outer joins on unique keys,
+    // 1-row scalar assemblies) are ELIMINATED, so those queries' bench
+    // numbers measure less than the full plan (d12/d06 collapse to a
+    // scan-count; p04 loses its probe join; the PageRank family loses
+    // its two ~free scalar joins). This sweep of the WHOLE registry
+    // pins the blind spot to exactly the set whose honest toRdd cost
+    // the bench artifact carries in its `uncounted` map
+    // (BENCH_NOTES §count()-collapse): if an operator change or a new
+    // query shifts the set, this tripwire forces Bench.uncountedQueries
+    // and the notes to move with it. Streaming twins and iterative
+    // loops return eager/checkpointed relations (0 joins both ways)
+    // and pass vacuously.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def joins(p: LogicalPlan): Int = p.collect { case j: Join => j }.size
+    val collapsed = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val full = joins(df.queryExecution.optimizedPlan)
+      val underCount = joins(df.groupBy().count().queryExecution.optimizedPlan)
+      if (underCount < full) Some(name -> ((full, underCount))) else None
+    }
+    val expected = Seq(
+      "d06_neardup_clusters" -> ((4, 0)),
+      "d12_span_removal" -> ((2, 0)),
+      "g04_pagerank" -> ((4, 2)),
+      "g04_pagerank_i10" -> ((4, 2)),
+      "g08_pagerank_compat" -> ((4, 2)),
+      "g09_pagerank_personalized" -> ((4, 2)),
+      "p04_contamination" -> ((1, 0)))
+    assert(collapsed === expected,
+      s"count()-collapse set changed: $collapsed — update Bench.uncountedQueries " +
+        "and BENCH_NOTES to keep the artifact honest")
   }
 
   test("t07: the frequency dictionary broadcasts; token side never shuffles for the join") {
