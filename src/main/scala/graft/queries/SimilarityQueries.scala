@@ -135,13 +135,28 @@ object SimilarityQueries {
         col("did").as("nn_id"), col("cos"))
   }
 
+  /** IVF coarse-quantizer seed set: every [[IvfSeedMod]]-th vector,
+    * CAPPED at [[IvfMaxCentroids]] codewords. The cap is what keeps
+    * the assignment argmin linear in n — without it |C| grows with the
+    * corpus and assignment is quadratic, the same defect class as
+    * s05's first uncapped codebook: the r9 sf10 probe measured s03's
+    * uncapped cold at 556s (200k vectors × 2062 centroids = 412M
+    * scored pairs). The cap bound (6208) exceeds every oracle-SF's max
+    * vec_id, so results at sf ≤ 0.1 are bit-identical to the uncapped
+    * seed; only the ≥sf1 scale path changes.
+    */
+  private[queries] val IvfSeedMod = 97
+  private[queries] val IvfMaxCentroids = 64
+
   // IVF-style ANN: a deterministic coarse quantizer (every 97th vector
-  // is a centroid), each vector assigned to its nearest centroid by
+  // is a centroid, capped at [[IvfMaxCentroids]] — see the seed-set
+  // doc), each vector assigned to its nearest centroid by
   // cosine (the inverted-file build); queries probe their `nprobe`
   // nearest cells (the standard IVF recall knob — a query near a cell
   // boundary has its true neighbor in the second-closest cell about as
   // often as the closest). At scale the assignment is a broadcast of
-  // |C| centroids against n vectors (linear scan, map-side), the
+  // a FIXED number of centroids against n vectors (linear scan,
+  // map-side), the
   // query-cell ranking touches only |Q|·|C| pairs, and search stays a
   // cell-key equi-join — the same sparse-join scale shape as s02.
   // `cell` reports the query's own (top-1) cell, `probed` the cell the
@@ -153,7 +168,8 @@ object SimilarityQueries {
                               nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = normed(s, dir)
-    val cents = broadcast(e.filter(col("vec_id") % 97 === 0)
+    val cents = broadcast(e.filter(col("vec_id") % IvfSeedMod === 0 &&
+        col("vec_id") < IvfSeedMod * IvfMaxCentroids)
       .toDF("cid", "cv", "cn"))
     val asg = SharedRelations(s, dir, "ivf_assign") {
       val scored = e.join(cents)
@@ -236,14 +252,17 @@ object SimilarityQueries {
     * assignment + one (cell, dim) aggregation — both node-keyed
     * equi-joins/aggs, no driver-side data. Centroid means are int64
     * fixed-point ([[KmQuant]]) so training is bit-deterministic and
-    * the unrolled DuckDB oracle matches hash-exactly. Seeds are every
-    * 97th vector (s03's sampler); at 100 TB the same loop runs with a
+    * the unrolled DuckDB oracle matches hash-exactly. Seeds are
+    * s03's capped sampler (every [[IvfSeedMod]]-th vector, at most
+    * [[IvfMaxCentroids]] — the cap keeps each Lloyd pass linear in n);
+    * at 100 TB the same loop runs with a
     * k-means|| oversampled seed set — the per-pass plan is unchanged.
     */
   private[queries] def kmeansCentroids(s: SparkSession, dir: String,
                                        iters: Int): DataFrame = {
     val e = embDouble(s, dir)
-    var cents = e.filter(col("vec_id") % 97 === 0)
+    var cents = e.filter(col("vec_id") % IvfSeedMod === 0 &&
+        col("vec_id") < IvfSeedMod * IvfMaxCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     var it = 0
     while (it < iters) {
@@ -619,7 +638,8 @@ object SimilarityQueries {
          |      i -> CAST(embedding[i] AS DOUBLE)) AS v
          |  FROM embeddings),
          |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv
-         |  FROM e WHERE vec_id % 97 = 0)""".stripMargin)
+         |  FROM e WHERE vec_id % $IvfSeedMod = 0
+         |    AND vec_id < ${IvfSeedMod * IvfMaxCentroids})""".stripMargin)
     for (it <- 1 to KmIters) {
       val p = it - 1
       sb.append(s""",
@@ -671,7 +691,8 @@ object SimilarityQueries {
        |    SQRT(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn
-       |  FROM e WHERE vec_id % 97 = 0),
+       |  FROM e WHERE vec_id % $IvfSeedMod = 0
+       |    AND vec_id < ${IvfSeedMod * IvfMaxCentroids}),
        |sc AS (SELECT e.vec_id, c.cid,
        |    ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS cos
        |  FROM e CROSS JOIN c),
