@@ -40,6 +40,16 @@ object GraftExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `Math.floorDiv(a, b)` over longs — floored (toward −∞) integer
+    * division, exact at any magnitude. Spark's `floor(a / b)` detours
+    * through doubles (inexact past 2^53) and `div` truncates toward
+    * zero; DuckDB's `//` floors, so this is the cross-engine-stable
+    * form. Used by [[graft.plans.RangeJoinBinning]] to derive bin ids.
+    */
+  def floorDiv(a: Column, b: Column): Column =
+    ColumnBridge.column(FloorDiv(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 case class PolyHash(child: Expression)
@@ -134,4 +144,33 @@ object DotProduct {
     }
     acc
   }
+}
+
+/** Floored long division (`Math.floorDiv`): rounds toward −∞, so
+  * consecutive width-`w` bins tile the full long line with no
+  * double-width bin straddling zero (the defect of truncating `div`).
+  * Divisor 0 raises, as in `//` on the oracle side; the binning rule
+  * only ever constructs positive literal divisors.
+  */
+case class FloorDiv(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_floordiv needs (bigint, bigint), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_floordiv"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Math.floorDiv(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Math.floorDiv($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloorDiv =
+    copy(left = newLeft, right = newRight)
 }

@@ -6,19 +6,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL-surface registration for the engine's custom expressions, so
   * `spark.sql("SELECT graft_polyhash(text) ...")` works alongside the
-  * Column API ([[GraftExpressions]]).
+  * Column API ([[GraftExpressions]]), plus the engine's optimizer
+  * rule ([[graft.plans.RangeJoinBinning]] — band joins become binned
+  * equi-joins instead of nested loops).
   *
   * Two entry points:
   *  - session build time: `.withExtensions(new GraftExtensions)` or
   *    `spark.sql.extensions=graft.functions.GraftExtensions`;
   *  - an existing session:
-  *    `org.apache.spark.sql.graft.ColumnBridge.registerGraftFunctions(spark)`.
+  *    `org.apache.spark.sql.graft.ColumnBridge.registerGraftFunctions(spark)`
+  *    and `graft.plans.RangeJoinBinning.install(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+  }
 }
 
 object GraftExtensions {
@@ -38,6 +43,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot(a, b)")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_floordiv"),
+      new ExpressionInfo(classOf[FloorDiv].getName, "graft_floordiv"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_floordiv(a, b)")
+        FloorDiv(args.head, args(1))
       }),
   )
 }

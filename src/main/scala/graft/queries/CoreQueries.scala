@@ -463,7 +463,42 @@ object CoreQueries {
           .cast(DoubleType).as("trailing_10m"))
   }
 
+  // Pure band join — NO equi key: all events (any user) in the
+  // 2-minute window after each error event. The only stock plan for
+  // an equality-free join condition is a nested loop over
+  // |errors|×|events| pairs — O(n·m) predicate evaluations however
+  // selective the band is. The session's RangeJoinBinning rule
+  // (graft.plans, installed via GraftExtensions) rewrites it to an
+  // Expand-to-2-bins + equi-join on floorDiv(sec, 120): candidates
+  // are bounded by per-bin occupancy and both sides shuffle by bin —
+  // the 100 TB shape. RangeJoinBinningSpec pins rule-on/rule-off row
+  // equivalence; PlanHygieneSpec pins the no-nested-loop plan. In a
+  // session without the extension the same code still returns
+  // identical rows, just on the naive plan.
+  def q38_band_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(unix_timestamp(col("ts")).as("sec"), col("value"),
+        col("event_id"), col("event_type"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("sec").as("err_sec"))
+    ev.select(col("sec"), col("value"))
+      .join(err, col("sec") > col("err_sec") &&
+        col("sec") <= col("err_sec") + lit(120L))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_near"),
+        sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)
+          .as("near_value"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q38_band_join" ->
+      """WITH e AS (SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+        |    value, event_type FROM events)
+        |SELECT r.event_id AS err_id, COUNT(*) AS n_near,
+        |  CAST(SUM(CAST(a.value AS DECIMAL(28,2))) AS DOUBLE) AS near_value
+        |FROM e r JOIN e a
+        |  ON r.event_type = 'error' AND a.sec > r.sec AND a.sec <= r.sec + 120
+        |GROUP BY r.event_id""".stripMargin,
     "q34_set_ops" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
         |INTERSECT
@@ -709,5 +744,6 @@ object CoreQueries {
     "q35_percentile" -> (q35_percentile _),
     "q36_grouping_sets" -> (q36_grouping_sets _),
     "q37_range_frame" -> (q37_range_frame _),
+    "q38_band_join" -> (q38_band_join _),
   )
 }

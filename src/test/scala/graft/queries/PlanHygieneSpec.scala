@@ -133,6 +133,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("q38: the band join is binned — no nested-loop, no cartesian") {
+    val p = plan("q38_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "q38 planned the O(n·m) nested loop; RangeJoinBinning did not fire")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Expand"), p)
+    assert(p.contains("__graft_band_bin"), p)
+  }
+
   test("the count()-collapse set is exactly the bench's uncounted set") {
     // The bench materializes with count(), and Catalyst re-optimizes
     // under it — row-preserving joins (outer joins on unique keys,
