@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }
 

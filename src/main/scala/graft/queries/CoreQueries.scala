@@ -490,7 +490,30 @@ object CoreQueries {
           .as("near_value"))
   }
 
+  // Grouped top-k on the custom physical operator (graft.plans
+  // .GroupedTopK → GroupedTopKExec via GroupedTopKStrategy): the 3
+  // highest-priced orders per customer, ties broken by orderkey. Same
+  // row multiset as row_number().over(window) <= 3, but the plan is
+  // partial-heaps → shuffle-by-custkey → final-heaps — NO sort on
+  // either side (Spark 4's own WindowGroupLimit pushdown still sorts
+  // every partition twice), and at most 3 rows per customer per input
+  // partition cross the exchange. GroupedTopKSpec pins the
+  // window-equivalence A/B and the sort-free plan shape.
+  def q39_grouped_topk(s: SparkSession, dir: String): DataFrame =
+    graft.plans.GroupedTopK.of(
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      groupCols = Seq("o_custkey"),
+      orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = 3)
+
   val oracle: Map[String, String] = Map(
+    "q39_grouped_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
     "q38_band_join" ->
       """WITH e AS (SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
         |    value, event_type FROM events)
@@ -745,5 +768,6 @@ object CoreQueries {
     "q36_grouping_sets" -> (q36_grouping_sets _),
     "q37_range_frame" -> (q37_range_frame _),
     "q38_band_join" -> (q38_band_join _),
+    "q39_grouped_topk" -> (q39_grouped_topk _),
   )
 }

@@ -14,6 +14,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame — the constructor custom
+    * logical operators (e.g. [[graft.plans.GroupedTopK]]) need;
+    * `Dataset.ofRows` is `private[sql]`, hence this bridge.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** True if `df`'s logical plan is already in the session cache —
     * lets iterative loops reuse a sibling query's materialization
     * instead of re-persisting the same plan ("Asked to cache already
