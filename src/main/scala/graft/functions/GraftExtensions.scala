@@ -51,5 +51,16 @@ object GraftExtensions {
         require(args.length == 2, "graft_floordiv(a, b)")
         FloorDiv(args.head, args(1))
       }),
+    (FunctionIdentifier("graft_bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName, "graft_bitmap_distinct"),
+      (args: Seq[Expression]) => args match {
+        // aggregate builders return the bare AggregateFunction; the
+        // analyzer wraps it in an AggregateExpression at the use site
+        case Seq(id) => BitmapDistinct(id, BitmapDistinct.DefaultMaxDomain)
+        case Seq(id, org.apache.spark.sql.catalyst.expressions.Literal(m: Int, _)) =>
+          BitmapDistinct(id, m)
+        case _ => throw new IllegalArgumentException(
+          "graft_bitmap_distinct(id[, maxDomain literal])")
+      }),
   )
 }

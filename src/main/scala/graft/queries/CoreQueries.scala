@@ -507,7 +507,24 @@ object CoreQueries {
       orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)),
       k = 3)
 
+  // Aggregate-tier custom function: exact distinct customers per order
+  // priority via the BitmapDistinct TypedImperativeAggregate. Stock
+  // count_distinct expands to a first phase keyed on (group, custkey) —
+  // every distinct pair rides the exchange; here partial bitmaps
+  // OR-merge map-side and one ≤(domain/8)-byte buffer per group
+  // crosses, so shuffle cost is bound by the id-domain width, not the
+  // data volume. Oracle-exact (no sketch). BitmapDistinctSpec pins
+  // count_distinct equivalence, merge across partitions, null/range
+  // edges, and the partial-aggregation plan shape.
+  def q40_bitmap_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.BitmapDistinct.of(col("o_custkey")).as("n_custs"))
+
   val oracle: Map[String, String] = Map(
+    "q40_bitmap_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q39_grouped_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -769,5 +786,6 @@ object CoreQueries {
     "q37_range_frame" -> (q37_range_frame _),
     "q38_band_join" -> (q38_band_join _),
     "q39_grouped_topk" -> (q39_grouped_topk _),
+    "q40_bitmap_distinct" -> (q40_bitmap_distinct _),
   )
 }
