@@ -101,7 +101,7 @@ object Bench {
     val cold = results
       .filter { case (n, _, _, _) =>
         n.endsWith("_i10") || n.startsWith("g11") || n.startsWith("g12") ||
-          n.startsWith("g13") }
+          n.startsWith("g13") || n.startsWith("g14") }
       .map { case (k, _, c, _) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // Honest-cost map for the join-eliminated class (see

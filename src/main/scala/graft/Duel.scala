@@ -1,0 +1,133 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A/B harness for the engine's custom-plan operators: each duel runs
+  * the custom operator and its stock-Spark twin on the SAME input and
+  * reports wall time plus total shuffle records/bytes written (task
+  * metrics via listener) — the two numbers the custom tiers exist to
+  * move. Prints one JSON line per duel.
+  *
+  *  - `topk`: [[graft.plans.GroupedTopK]] (partial heaps → ≤k rows per
+  *    group per partition on the exchange → final heaps) vs the
+  *    `row_number().over(window) <= k` plan (full sort of every
+  *    partition on both sides of the exchange).
+  *  - `bitmap`: [[graft.functions.BitmapDistinct]] (one OR-merged
+  *    bitmap buffer per group on the exchange) vs `count_distinct`
+  *    (first phase keyed on (group, value) — a shuffled row per
+  *    distinct pair per partition).
+  *  - `band`: `q38`'s pure band join with
+  *    [[graft.plans.RangeJoinBinning]] on (Expand-to-2-bins equi-join)
+  *    vs off (stock BroadcastNestedLoopJoin). The rule-off side is
+  *    O(n·m): ~2·10^8 predicate evaluations at sf0.01, ~2·10^10 at
+  *    sf0.1 — size the SF (and `SPARK_GRAFT_NSAMPLES=1`) accordingly.
+  *    Below the crossover (sf0.01) the nested loop WINS — binning
+  *    pays two exchanges and an Expand; the duel exists to locate
+  *    that crossover honestly, not to flatter the rule.
+  *
+  * Methodology matches Bench: median of 3 samples (override with
+  * `SPARK_GRAFT_NSAMPLES`), materialization via
+  * `queryExecution.toRdd.count()` so count()-side re-optimization
+  * can't prune either contender's plan, `SPARK_GRAFT_SF_DIR` selects
+  * the data (default sf0.1).
+  */
+object Duel {
+
+  private final class ShuffleTally extends SparkListener {
+    val records = new AtomicLong(0L)
+    val bytes = new AtomicLong(0L)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  /** (median seconds, shuffle records, shuffle bytes) of `n` runs; the
+    * shuffle tally is from the LAST run (identical across runs — the
+    * plan doesn't change — modulo Spark's occasional speculative
+    * no-op task, which writes nothing).
+    */
+  private def measure(spark: SparkSession, df: => DataFrame, n: Int)
+      : (Double, Long, Long) = {
+    var recs = 0L
+    var byts = 0L
+    val times = (1 to n).map { _ =>
+      val tally = new ShuffleTally
+      spark.sparkContext.addSparkListener(tally)
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // task-end events are posted async; drain before reading
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(tally)
+      recs = tally.records.get(); byts = tally.bytes.get()
+      sec
+    }
+    (times.sorted.apply(times.length / 2), recs, byts)
+  }
+
+  private def report(name: String, custom: (Double, Long, Long),
+      stock: (Double, Long, Long), sf: String): Unit = {
+    val (ct, cr, cb) = custom
+    val (st, sr, sb) = stock
+    println(f"""{"duel":"$name","sf":"$sf","custom_sec":$ct%.3f,"stock_sec":$st%.3f,"speedup":${st / ct}%.2f,"custom_shuffle_rows":$cr,"stock_shuffle_rows":$sr,"custom_shuffle_bytes":$cb,"stock_shuffle_bytes":$sb}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
+    val which = if (args.nonEmpty) args.toSet else Set("topk", "bitmap", "band")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT/executor warmup
+
+    if (which("topk")) {
+      def src = Tables(spark, sfDir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
+      val custom = measure(spark, graft.plans.GroupedTopK.of(src,
+        Seq("l_suppkey"), Seq(("l_extendedprice", false), ("l_orderkey", true)),
+        3), n)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc)
+      val stock = measure(spark, src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn"), n)
+      report("topk_heap_vs_window", custom, stock, sfDir)
+    }
+
+    if (which("bitmap")) {
+      def src = Tables(spark, sfDir, "orders")
+      val custom = measure(spark, src.groupBy(col("o_orderpriority"))
+        .agg(graft.functions.BitmapDistinct.of(col("o_custkey")).as("n")), n)
+      val stock = measure(spark, src.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n")), n)
+      report("bitmap_vs_count_distinct", custom, stock, sfDir)
+    }
+
+    if (which("band")) {
+      val custom = measure(spark,
+        SparkEntry.queries("q38_band_join")(spark, sfDir), n)
+      spark.conf.set("spark.graft.rangeJoinBinning", "false")
+      val stock = measure(spark,
+        SparkEntry.queries("q38_band_join")(spark, sfDir), n)
+      spark.conf.set("spark.graft.rangeJoinBinning", "true")
+      report("band_binned_vs_nested_loop", custom, stock, sfDir)
+    }
+
+    spark.stop()
+  }
+}

@@ -204,6 +204,109 @@ object GraphOps {
     out
   }
 
+  /** Converged single-source shortest paths over a symmetrized WEIGHTED
+    * edge relation (`src`, `dst`, `w`: positive long weights) — the
+    * Δ-stepping-style batched relaxation the BFS scaladoc promises for
+    * chain-like diameters (Meyer & Sanders, "Δ-stepping: a
+    * parallelizable shortest path algorithm", J. Algorithms 49(1)).
+    *
+    * With weights, [[bfsFromSym]]'s settled-frontier invariant breaks: a
+    * node's first relaxation is no longer its final distance, so the
+    * iterate carries a `pending` flag instead of the `old` witness —
+    * set when a node's distance improves, cleared when the node is
+    * expanded. Plain changed-frontier Bellman-Ford would expand a node
+    * once per improvement in whatever order improvements land; the
+    * Δ-gate (expand only `pending && dist < threshold`, advance the
+    * threshold a bucket at a time when the gated frontier drains)
+    * prioritizes near-final small distances, so far nodes are expanded
+    * after their distance has (mostly) settled — the re-relaxation
+    * cascades that make unbatched Bellman-Ford O(V·E) at chain
+    * diameters collapse to roughly one expansion per node per bucket.
+    * Δ=1 with unit weights degenerates to exactly [[bfsFromSym]];
+    * Δ=∞ degenerates to changed-frontier Bellman-Ford (equivalence
+    * pinned both ways in GraphOpsSpec).
+    *
+    * Per round the plan is the family's minimal join + min-agg: frontier
+    * rows flow u→v once, each v takes min(dist, min_u(dist(u) + w));
+    * the per-round driver action is one 3-scalar aggregate over the
+    * cached iterate (pending count, gated-frontier count, min pending
+    * distance — the last jumps the threshold straight to the next
+    * non-empty bucket, no idle rounds). Same pin discipline as the CC
+    * family: per-round persists retire, the result is one eager
+    * self-contained `localCheckpoint`. Unreached nodes report −1.
+    * Throws on non-convergence within `maxRounds` rather than returning
+    * partially-relaxed distances.
+    */
+  def ssspFromSym(symW: DataFrame, source: Long, delta: Long = 5L,
+                  maxRounds: Int = 200, checkpointEvery: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(delta > 0, "ssspFromSym: delta must be positive")
+    var dist = symW.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(col("node") === source, 0L).otherwise(BfsInf).as("dist"),
+        (col("node") === source).as("pending"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    var threshold = delta
+    var round = 0
+    var pendingN = 1L
+    while (pendingN > 0 && round < maxRounds) {
+      val stats = dist.agg(
+        sum(col("pending").cast("long")),
+        sum((col("pending") && col("dist") < threshold).cast("long")),
+        min(when(col("pending"), col("dist")))).head()
+      pendingN = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      val frontierN = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      if (pendingN > 0) {
+        if (frontierN == 0) {
+          // gated frontier drained: jump to the bucket holding the
+          // smallest pending distance (no join work this round)
+          threshold = (stats.getLong(2) / delta + 1L) * delta
+        } else {
+          val isFrontier = col("pending") && col("dist") < threshold
+          val nbr = symW.toDF("u", "v", "w")
+            .join(dist.filter(isFrontier)
+              .select(col("node").as("u"), col("dist").as("d")), Seq("u"))
+            .groupBy(col("v").as("node")).agg(min(col("d") + col("w")).as("nd"))
+          var next = dist
+            .select(col("node"), col("dist"),
+              (col("pending") && !isFrontier).as("still"))
+            .join(nbr, Seq("node"), "left_outer")
+            .select(col("node"),
+              least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
+              (coalesce(col("nd"), lit(BfsInf)) < col("dist") || col("still"))
+                .as("pending"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          if ((round + 1) % checkpointEvery == 0) {
+            val pre = next
+            next = next.localCheckpoint(true)
+            pre.unpersist(false)
+          }
+          next.count() // materialize before releasing the predecessor
+          if (prev != null) releaseIterate(prev)
+          prev = dist
+          dist = next
+        }
+      }
+      round += 1
+    }
+    // pendingN is the count BEFORE the last expansion — re-check the
+    // final iterate so converging exactly at the round budget passes
+    if (pendingN > 0 && dist.filter(col("pending")).count() > 0) {
+      if (prev != null) releaseIterate(prev)
+      releaseIterate(dist)
+      throw new IllegalStateException(
+        s"ssspFromSym: not converged after $maxRounds rounds")
+    }
+    val out = dist
+      .select(col("node"),
+        when(col("dist") === BfsInf, -1L).otherwise(col("dist")).as("dist"))
+      .localCheckpoint(true)
+    if (prev != null) releaseIterate(prev)
+    releaseIterate(dist)
+    out
+  }
+
   /** Connected components in O(log n) rounds via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14) — the scale path when graph

@@ -614,6 +614,35 @@ object GraphQueries {
     else graft.graph.GraphOps.bfsFromSym(sym, srcRow.getLong(0))
   }
 
+  /** Converged single-source WEIGHTED shortest paths from the minimum
+    * node id — [[g13_bfs]]'s weighted sibling, delivered by the
+    * Δ-stepping-style batched relaxation
+    * ([[graft.graph.GraphOps.ssspFromSym]]) the BFS design notes point
+    * at for chain-like diameters. Edge weights are data-derived and
+    * symmetric (`1 + (src + dst) % 9` ∈ 1..9 — same value both
+    * directions, same formula on the oracle side), so the query stays
+    * parameter-free; integer distances ⇒ hash-exact against a
+    * recursive-CTE Bellman-Ford closure whose (node, d) state is
+    * bounded by n × the partial-distance cap (200 — an order above the
+    * observed weighted eccentricity at every shipped SF, and the Spark
+    * loop's convergence is cap-independent, so a cap breach would show
+    * as a hash mismatch, not silent agreement). Unreachable nodes
+    * report −1. Memoized like the CC family.
+    */
+  def g14_sssp(s: SparkSession, dir: String): DataFrame =
+    ccMemoized(s, dir, "sssp") {
+      val sym = SharedRelations(s, dir, "graph_sym") {
+        val e = derivedEdges(s, dir)
+        e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
+      }
+      val symW = sym.select(col("src"), col("dst"),
+        (lit(1L) + (col("src") + col("dst")) % 9L).as("w"))
+      val srcRow = sym.agg(min(col("src"))).head()
+      if (srcRow.isNullAt(0))
+        sym.select(col("src").as("node"), lit(-1L).as("dist")).where(lit(false))
+      else graft.graph.GraphOps.ssspFromSym(symW, srcRow.getLong(0))
+    }
+
   /** Recursive-CTE oracle for [[g13_bfs]]: shortest-path closure
     * `bfs(node, d)` from the min node — UNION dedups (node, d) pairs,
     * and the `d < 100` cap bounds recursion state to n × 100 rows on
@@ -635,6 +664,31 @@ object GraphQueries {
       |SELECT n.node, COALESCE(m.d, -1) AS dist
       |FROM (SELECT DISTINCT node FROM nodes) n LEFT JOIN
       |  (SELECT node, MIN(d) AS d FROM bfs GROUP BY 1) m
+      |  ON n.node = m.node""".stripMargin
+
+  /** Recursive-CTE oracle for [[g14_sssp]]: weighted Bellman-Ford
+    * closure `sp(node, d)` from the min node over the symmetric
+    * weighted edges. UNION dedups (node, d) pairs; `d < 200` caps the
+    * partial-distance frontier (weights ≥ 1 ⇒ recursion depth ≤ 200),
+    * an order above the observed weighted eccentricity at every
+    * shipped SF — see the g14 scaladoc for why a breach cannot pass
+    * silently.
+    */
+  private def ssspOracle: String =
+    "WITH RECURSIVE " + EdgesCte.stripPrefix("WITH ") + """,
+      |symw AS MATERIALIZED (
+      |  SELECT src, dst, 1 + (src + dst) % 9 AS w FROM (
+      |    SELECT src, dst FROM edges
+      |    UNION SELECT dst AS src, src AS dst FROM edges)),
+      |src0 AS MATERIALIZED (SELECT MIN(node) AS s FROM nodes),
+      |sp(node, d) AS (
+      |  SELECT s, CAST(0 AS BIGINT) FROM src0
+      |  UNION
+      |  SELECT symw.dst, sp.d + symw.w FROM sp JOIN symw ON sp.node = symw.src
+      |  WHERE sp.d < 200)
+      |SELECT n.node, COALESCE(m.d, -1) AS dist
+      |FROM (SELECT DISTINCT node FROM nodes) n LEFT JOIN
+      |  (SELECT node, MIN(d) AS d FROM sp GROUP BY 1) m
       |  ON n.node = m.node""".stripMargin
 
   /** Recursive-CTE oracle for [[g11_cc_converged]]: BFS closure
@@ -697,6 +751,7 @@ object GraphQueries {
     // transitive closure — one SQL text checks both algorithms
     "g12_cc_logn" -> ccConvergedOracle,
     "g13_bfs" -> bfsOracle,
+    "g14_sssp" -> ssspOracle,
     "g06_triangles" -> (EdgesCte + """,
       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       |        FROM edges)
@@ -724,6 +779,7 @@ object GraphQueries {
     "g11_cc_converged" -> (g11_cc_converged _),
     "g12_cc_logn" -> (g12_cc_logn _),
     "g13_bfs" -> (g13_bfs _),
+    "g14_sssp" -> (g14_sssp _),
     "g06_triangles" -> (g06_triangles _),
     // Flagship GraphX path — iterative double-precision PageRank; not
     // SQL-expressible bit-exactly (float accumulation order), so no

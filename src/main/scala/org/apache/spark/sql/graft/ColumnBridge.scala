@@ -61,6 +61,14 @@ object ColumnBridge {
     org.apache.spark.sql.classic.SparkSession.builder()
       .sparkContext(sc).getOrCreate()
 
+  /** Block until every queued listener event is delivered — lets a
+    * measurement harness read task-metric tallies after an action
+    * (events post async). `listenerBus` is `private[spark]`, hence
+    * this bridge.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Register the graft SQL functions on an ALREADY-BUILT session
     * (sessions built with `GraftExtensions` don't need this). Uses the
     * session's function registry, which is `private[sql]`.
