@@ -147,9 +147,16 @@ case class GroupedTopKExec(
       val heaps =
         mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](cmp))
+        // look up with the projection's reused buffer (UnsafeRow
+        // equality is value-based); copy the key only on first insert
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](cmp)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kB) {
           heap.enqueue(toUnsafe(row).copy())
         } else if (cmp.compare(row, heap.head) < 0) {
