@@ -110,12 +110,24 @@ object Duel {
     }
 
     if (which("bitmap")) {
+      // Domain-BOUNDED case: distinct custkeys per priority. The pair
+      // shuffle is capped by the (fixed) custkey domain, so wall time
+      // converges as data grows and the bitmap's win is shuffle volume.
       def src = Tables(spark, sfDir, "orders")
       val custom = measure(spark, src.groupBy(col("o_orderpriority"))
         .agg(graft.functions.BitmapDistinct.of(col("o_custkey")).as("n")), n)
       val stock = measure(spark, src.groupBy(col("o_orderpriority"))
         .agg(countDistinct(col("o_custkey")).as("n")), n)
       report("bitmap_vs_count_distinct", custom, stock, sfDir)
+      // Domain-GROWING case: distinct orderkeys per returnflag. Here
+      // the distinct-pair cardinality grows WITH the data (the 100 TB
+      // shape), while the bitmap buffer grows only with the id span.
+      def li = Tables(spark, sfDir, "lineitem")
+      val custom2 = measure(spark, li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.BitmapDistinct.of(col("l_orderkey")).as("n")), n)
+      val stock2 = measure(spark, li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n")), n)
+      report("bitmap_vs_count_distinct_growing", custom2, stock2, sfDir)
     }
 
     if (which("band")) {
