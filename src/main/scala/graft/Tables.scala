@@ -15,16 +15,27 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column usable: Spark 4 refuses
-    * nanosecond parquet timestamps unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
-    * builder here), which surfaces `ts` as LONG nanos-since-epoch. This
-    * loader converts to a proper µs TimestampType column (the testdata
-    * carries no sub-µs precision, so the integer division is lossless).
+  /** `events` with `ts` normalised to a µs TimestampType column regardless
+    * of how the parquet file encodes it. The testdata has shipped two
+    * encodings across rounds — TIMESTAMP(NANOS) (surfaced as LONG nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, set in every
+    * session builder here) and TIMESTAMP(µs) (surfaced as TimestampNTZ or
+    * Timestamp depending on inference) — so this loader branches on the
+    * dtype it actually got instead of hard-coding one. Sessions run UTC,
+    * so the NTZ→instant cast is value-preserving and downstream queries
+    * (windows, as-of joins, range frames) keep seeing the TimestampType
+    * they were written against.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    apply(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = apply(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other (expected LONG nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
 }
