@@ -56,8 +56,8 @@ object Bench {
     // pruning — is timed into an "uncounted" map so the artifact
     // carries the honest cost alongside the comparable count() number.
     val uncountedQueries = Set("d12_span_removal", "d06_neardup_clusters",
-      "p04_contamination", "g04_pagerank", "g04_pagerank_i10",
-      "g08_pagerank_compat", "g09_pagerank_personalized")
+      "d13_incremental_neardup", "p04_contamination", "g04_pagerank",
+      "g04_pagerank_i10", "g08_pagerank_compat", "g09_pagerank_personalized")
     var family = ""
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }

@@ -48,9 +48,16 @@ object DedupQueries {
       t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 3)
+        // The IF makes the expression TOTAL, not just filtered:
+        // InferFiltersFromGenerate clones the generator input into an
+        // inferred `size(shs) > 0` predicate and pushes it down beside
+        // the row filter, where it can evaluate on unfiltered rows —
+        // an unguarded element_at(w, i+2) then throws on < 3-word docs
+        // (ANSI). Same hardening on every sequence-window explode.
         .withColumn("shs",
-          expr("array_distinct(transform(sequence(1, size(w) - 2), " +
-            "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))"))
+          expr("IF(size(w) >= 3, array_distinct(transform(sequence(1, size(w) - 2), " +
+            "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))), " +
+            "array())"))
         .select(col("doc_id"), col("lang"),
           size(col("shs")).cast(LongType).as("n"),
           explode(col("shs")).as("sh"))
@@ -103,6 +110,36 @@ object DedupQueries {
     batch.join(seen, Seq("content_key"), "left_anti")
   }
 
+  // Incremental-ingest NEAR-dup gate — [[d09_incremental]]'s exact
+  // digest anti-join generalized to LSH bucket collision: a batch doc
+  // (source = src0) is admitted iff NONE of its 4 minhash band buckets
+  // appears in the already-ingested corpus's bucket index. Output is
+  // the full batch with per-doc observability (n_hit_bands, admitted)
+  // rather than the admitted subset alone — rejections are as
+  // auditable as admissions (the no-silent-rewrites principle).
+  // At 100 TB the seen side IS the maintained index: distinct
+  // (band, bkey) — 4 short rows per ingested doc, deduped — so the
+  // semi-join ships band digests, never signatures or text, and a
+  // bucketed index table co-locates it without an exchange. Docs too
+  // short to shingle (< 3 words) have no bands and admit trivially,
+  // exactly like the streaming twin's no-key pass-through.
+  def d13_incremental_neardup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bands = minhashBands(s, dir)
+    val batch = d.filter(col("source") === IncrementalBatch).select(col("doc_id"))
+    val seenBuckets = bands
+      .join(d.filter(col("source") =!= IncrementalBatch).select(col("doc_id")),
+        Seq("doc_id"))
+      .select(col("band"), col("bkey")).distinct()
+    val hits = bands.join(batch, Seq("doc_id"))
+      .join(seenBuckets, Seq("band", "bkey"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_bands"))
+    batch.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+        (coalesce(col("n_hit_bands"), lit(0L)) === 0L).as("admitted"))
+  }
+
   /** Span length for [[d11_repeated_spans]] — 13 words, the standard
     * exact-substring-dedup span (long enough that natural text never
     * collides; repeats are real copies or boilerplate).
@@ -121,9 +158,11 @@ object DedupQueries {
       t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= SpanN)
+        // IF-guarded for totality (see the shingles note)
         .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(w) - ${SpanN - 1}), " +
-            s"i -> struct(i AS pos, array_join(slice(w, i, $SpanN), ' ') AS g))"))
+          s"IF(size(w) >= $SpanN, transform(sequence(1, size(w) - ${SpanN - 1}), " +
+            s"i -> struct(i AS pos, array_join(slice(w, i, $SpanN), ' ') AS g)), " +
+            s"CAST(array() AS array<struct<pos:int,g:string>>))"))
           .as("t"))
         .select(col("doc_id"), col("t.pos").as("pos"), md5(col("t.g")).as("k"))
     }
@@ -293,12 +332,15 @@ object DedupQueries {
   // MinHash + LSH banding: 8 permutation mins per doc, 4 bands of 2 →
   // band-bucket equi-join yields candidate pairs; n_bands = how many
   // bands collided (≥3 ⇒ near-certain near-dup at this signature size).
-  // The band join is the scale path: signatures are 64 bytes/doc and
-  // candidates ≪ n².
-  def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
-    // Signature relation cached (64 bytes/doc): both sides of the
-    // band self-join read it instead of re-running the
-    // shingle→hash→min aggregation per branch.
+  /** LSH band rows (doc_id, band, bkey) — 4 bands of 2 minhash mins.
+    * The signature relation is cached via SharedRelations (64
+    * bytes/doc): every consumer (d03's self-join branches, d13's
+    * batch/seen split) reads it instead of re-running the
+    * shingle→hash→min aggregation. One posexplode pass generates all
+    * 4 band rows per signature — a union of per-band selects would
+    * recompute the whole pipeline once per band.
+    */
+  private[queries] def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sig = SharedRelations(s, dir, "minhash_sig") {
       val h = shingles(s, dir)
         .select(col("doc_id"), TextQueries.polyHash("sh").as("h"))
@@ -307,14 +349,17 @@ object DedupQueries {
       }
       h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     }
-    // One posexplode pass generates all 4 band rows per signature —
-    // a union of per-band selects would recompute the whole
-    // shingle→hash→min pipeline once per band.
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(bnd =>
           concat_ws("_", col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}"))): _*))
           .as(Seq("band", "bkey")))
       .select(col("doc_id"), col("band").cast("int").as("band"), col("bkey"))
+  }
+
+  // The band join is the scale path: signatures are 64 bytes/doc and
+  // candidates ≪ n².
+  def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
     bands.toDF("ida", "band", "bkey")
       .join(bands.toDF("idb", "band", "bkey"), Seq("band", "bkey"))
       .filter(col("ida") < col("idb"))
@@ -734,6 +779,18 @@ object DedupQueries {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       |GROUP BY 1, 2""".stripMargin),
+    "d13_incremental_neardup" -> (BandsCte + s"""
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_bands,
+      |  COALESCE(h.n, 0) = 0 AS admitted
+      |FROM documents d LEFT JOIN (
+      |  SELECT b.doc_id, COUNT(*) AS n FROM bands b
+      |  WHERE EXISTS (
+      |    SELECT 1 FROM bands sb JOIN documents sd ON sb.doc_id = sd.doc_id
+      |    WHERE sd.source <> '$IncrementalBatch'
+      |      AND sb.band = b.band AND sb.bkey = b.bkey)
+      |  GROUP BY 1) h ON d.doc_id = h.doc_id
+      |WHERE d.source = '$IncrementalBatch'""".stripMargin),
     "d06_neardup_clusters" -> neardupClustersOracle(NeardupRounds),
     "d04_simhash" -> (SimhashCte + "\nSELECT doc_id, simhash FROM sig"),
     "d07_simhash_hamming" -> (SimhashCte + s"""
@@ -772,6 +829,7 @@ object DedupQueries {
     "d07_simhash_hamming" -> (d07_simhash_hamming _),
     "d08_embed_neardup" -> (d08_embed_neardup _),
     "d09_incremental" -> (d09_incremental _),
+    "d13_incremental_neardup" -> (d13_incremental_neardup _),
     "d10_canonical" -> (d10_canonical _),
     "d11_repeated_spans" -> (d11_repeated_spans _),
     "d12_span_removal" -> (d12_span_removal _),

@@ -172,9 +172,11 @@ object PipelineQueries {
       Tables(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= ContamN)
+        // IF-guarded for totality (see DedupQueries.shingles note)
         .select(col("doc_id"),
-          expr(s"array_distinct(transform(sequence(1, size(w) - ${ContamN - 1}), " +
-            s"i -> array_join(slice(w, i, $ContamN), ' ')))").as("gs"))
+          expr(s"IF(size(w) >= $ContamN, " +
+            s"array_distinct(transform(sequence(1, size(w) - ${ContamN - 1}), " +
+            s"i -> array_join(slice(w, i, $ContamN), ' '))), array())").as("gs"))
         .select(col("doc_id"),
           size(col("gs")).cast(org.apache.spark.sql.types.LongType).as("n_ngrams"),
           explode(col("gs")).as("g"))

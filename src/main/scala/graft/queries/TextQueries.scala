@@ -138,12 +138,14 @@ object TextQueries {
     val grams = t(s, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
+      // IF-guarded for totality (see DedupQueries.shingles note)
       .select(col("doc_id"), explode(expr(
-        "concat(" +
+        "IF(size(w) >= 3, concat(" +
           "transform(sequence(1, size(w) - 1), i -> " +
           "  struct(2 AS n, concat_ws(' ', element_at(w, i), element_at(w, i+1)) AS g)), " +
           "transform(sequence(1, size(w) - 2), i -> " +
-          "  struct(3 AS n, concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)) AS g)))"))
+          "  struct(3 AS n, concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)) AS g))), " +
+          "CAST(array() AS array<struct<n:int,g:string>>))"))
         .as("t"))
       .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
     val stats = grams

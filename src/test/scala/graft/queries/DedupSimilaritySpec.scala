@@ -349,4 +349,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(c <= brute(q) + 1e-12, s"LSH beat brute force for q=$q")
     }
   }
+
+  test("incremental near-dup gate: copies rejected, novel and bandless admitted") {
+    import spark.implicits._
+    // Synthetic corpus in a temp dir so the collision structure is
+    // exact, not probabilistic: an identical copy shares the whole
+    // signature (all 4 bands hit), disjoint text shares no shingles
+    // (0 hits), and a < 3-word doc has no bands (admits trivially).
+    val seenText = "the quick brown fox jumps over the lazy dog again today"
+    val tmp = java.nio.file.Files.createTempDirectory("d13").toString
+    Seq(
+      (1L, seenText, "en", "web", seenText.length.toLong),
+      (10L, seenText, "en", "src0", seenText.length.toLong),
+      (11L, "completely different words about maritime navigation charts", "en", "src0", 59L),
+      (12L, "hi there", "en", "src0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DedupQueries.d13_incremental_neardup(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(10L -> ((4L, false)), 11L -> ((0L, true)),
+      12L -> ((0L, true))))
+  }
+
+  test("incremental near-dup gate agrees with the d03 pair graph on testdata") {
+    val d = graft.Tables(spark, dir, "documents")
+    val seenIds = d.filter(col("source") =!= "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = d.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // A batch doc is rejected iff d03's band-collision graph links it
+    // to at least one seen doc (pairs within the batch don't count).
+    val linkedToSeen = DedupQueries.d03_minhash_lsh(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        Seq(a -> b, b -> a)
+      }
+      .collect { case (x, y) if batchIds(x) && seenIds(y) => x }.toSet
+    val out = DedupQueries.d13_incremental_neardup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.keySet === batchIds)
+    out.foreach { case (id, admitted) =>
+      assert(admitted === !linkedToSeen(id),
+        s"doc $id admitted=$admitted but linkedToSeen=${linkedToSeen(id)}")
+    }
+  }
 }

@@ -167,6 +167,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     val expected = Seq(
       "d06_neardup_clusters" -> ((4, 0)),
       "d12_span_removal" -> ((2, 0)),
+      "d13_incremental_neardup" -> ((4, 0)),
       "g04_pagerank" -> ((4, 2)),
       "g04_pagerank_i10" -> ((4, 2)),
       "g08_pagerank_compat" -> ((4, 2)),
