@@ -449,6 +449,70 @@ object GraphOps {
     out
   }
 
+  /** k-core of a symmetrized edge relation: the maximal induced
+    * subgraph in which every node has (undirected) degree ≥ k,
+    * computed by converged peeling — per round, drop every node whose
+    * degree in the CURRENT subgraph is < k, drop edges touching
+    * dropped nodes, repeat until nothing changes (Matula & Beck's
+    * algorithm, the BSP form: each round is one degree aggregate +
+    * two node-keyed semi-joins). Returns (node, deg) for the
+    * surviving nodes, deg being the within-core degree (≥ k).
+    *
+    * Fixpoint structure differs from the label-prop family: the STATE
+    * is the shrinking edge set, referenced three times per round
+    * (degree agg + both semi-join probes), so un-checkpointed plan
+    * size multiplies ~3× per round — like the star-contraction loop
+    * ([[connectedComponentsLogN]]) every round checkpoints, lazily so
+    * the round's counting action materializes cache and checkpoint
+    * blocks in one pass (the g14 pattern). Peeling is idempotent at
+    * fixpoint — extra rounds are no-ops — which is what lets a
+    * fixed-unroll SQL oracle verify the converged loop: any oracle
+    * unroll ≥ the actual round count yields the identical relation,
+    * and an unroll that's too short shows up as a loud hash mismatch,
+    * never silent agreement. Throws on non-convergence within
+    * `maxRounds`.
+    */
+  def kCore(sym: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1, "kCore: k must be at least 1")
+    var cur = sym.select(col("src"), col("dst")).localCheckpoint(true)
+    var curN = cur.count()
+    var prev: DataFrame = null
+    var round = 0
+    var changed = curN > 0
+    while (changed && round < maxRounds) {
+      val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("src").as("keep"))
+      var next = cur
+        .join(keep.select(col("keep").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("keep").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val preCp = next
+      next = next.localCheckpoint(false)
+      val nextN = next.count() // one action: cache + checkpoint + count
+      preCp.unpersist(false)
+      changed = nextN != curN
+      if (prev != null) releaseIterate(prev)
+      prev = cur
+      cur = next
+      curN = nextN
+      round += 1
+    }
+    if (changed) {
+      if (prev != null) releaseIterate(prev)
+      releaseIterate(cur)
+      throw new IllegalStateException(
+        s"kCore: not converged after $maxRounds rounds")
+    }
+    val out = cur.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    if (prev != null) releaseIterate(prev)
+    releaseIterate(cur)
+    out
+  }
+
   def explodeAdjacency(adj: DataFrame): DataFrame =
     adj.select(col("node").as("src"), explode(col("adj")).as("dst"))
 }

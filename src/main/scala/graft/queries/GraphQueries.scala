@@ -643,6 +643,60 @@ object GraphQueries {
       else graft.graph.GraphOps.ssspFromSym(symW, srcRow.getLong(0))
     }
 
+  /** k for [[g15_kcore]] — 3 keeps a nontrivial core on the derived
+    * graph at every shipped SF (mean symmetrized degree ≈ 6.7).
+    */
+  private val KCoreK = 3
+
+  /** Oracle unroll depth for [[g15_kcore]]. Peeling is idempotent at
+    * fixpoint, so any unroll ≥ the loop's actual round count yields
+    * the identical relation; a breach (loop needs > 20 rounds) cannot
+    * pass silently — the oracle would still hold pre-fixpoint rows
+    * and the hash would mismatch.
+    */
+  private val KCoreOracleRounds = 20
+
+  /** k-core decomposition of the symmetrized derived graph
+    * ([[graft.graph.GraphOps.kCore]], k = [[KCoreK]]): surviving
+    * (node, within-core degree) after converged peeling. A third
+    * fixpoint structure next to label-prop (node state) and
+    * star-contraction (edge rewiring): here the edge SET shrinks
+    * monotonically, so every round checkpoints (the iterate is
+    * referenced 3× per round). Memoized like the CC family.
+    */
+  def g15_kcore(s: SparkSession, dir: String): DataFrame =
+    ccMemoized(s, dir, "kcore") {
+      val sym = SharedRelations(s, dir, "graph_sym") {
+        val e = derivedEdges(s, dir)
+        e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
+      }
+      graft.graph.GraphOps.kCore(sym, KCoreK)
+    }
+
+  /** Unrolled-peeling oracle for [[g15_kcore]] — `AS MATERIALIZED`
+    * per round like every iterative oracle here; see
+    * [[KCoreOracleRounds]] for why a fixed unroll verifies a
+    * converged loop.
+    */
+  private def kcoreOracle: String = {
+    val sb = new StringBuilder(EdgesCte)
+    sb.append(""",
+      |e0 AS MATERIALIZED (SELECT src, dst FROM edges
+      |  UNION SELECT dst AS src, src AS dst FROM edges)""".stripMargin)
+    for (i <- 1 to KCoreOracleRounds) {
+      val p = i - 1
+      sb.append(s""",
+        |k$i AS MATERIALIZED (SELECT src FROM e$p
+        |  GROUP BY src HAVING COUNT(*) >= $KCoreK),
+        |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e$p e
+        |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |FROM e$KCoreOracleRounds GROUP BY 1""".stripMargin)
+    sb.toString
+  }
+
   /** Recursive-CTE oracle for [[g13_bfs]]: shortest-path closure
     * `bfs(node, d)` from the min node — UNION dedups (node, d) pairs,
     * and the `d < 100` cap bounds recursion state to n × 100 rows on
@@ -752,6 +806,7 @@ object GraphQueries {
     "g12_cc_logn" -> ccConvergedOracle,
     "g13_bfs" -> bfsOracle,
     "g14_sssp" -> ssspOracle,
+    "g15_kcore" -> kcoreOracle,
     "g06_triangles" -> (EdgesCte + """,
       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       |        FROM edges)
@@ -780,6 +835,7 @@ object GraphQueries {
     "g12_cc_logn" -> (g12_cc_logn _),
     "g13_bfs" -> (g13_bfs _),
     "g14_sssp" -> (g14_sssp _),
+    "g15_kcore" -> (g15_kcore _),
     "g06_triangles" -> (g06_triangles _),
     // Flagship GraphX path — iterative double-precision PageRank; not
     // SQL-expressible bit-exactly (float accumulation order), so no

@@ -134,6 +134,44 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaDf.values.max > 1L) // the fixture graph has real depth
   }
 
+  test("kCore peels pendant structure and keeps exactly the max subgraph of min degree k") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant chain 3-4-5: the 2-core is exactly the
+    // triangle (each within-core degree 2); the 3-core is empty — the
+    // chain must peel in two rounds (5 first, then 4), exercising the
+    // cascade, not just a single-round filter.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val sym = e.union(e.select($"dst", $"src")).toDF("src", "dst").distinct()
+    val core2 = GraphOps.kCore(sym, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(GraphOps.kCore(sym, 3).count() === 0L)
+  }
+
+  test("kCore agrees with driver-side brute-force peeling on the derived graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.queries.GraphQueries.derivedEdges(spark, dir)
+    val sym = e.union(e.select($"dst", $"src")).toDF("src", "dst").distinct()
+    val k = 3
+    val got = GraphOps.kCore(sym, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference implementation: in-memory peeling to fixpoint
+    var es = sym.as[(Long, Long)].collect().toSet
+    var changed = true
+    while (changed) {
+      val deg = es.groupBy(_._1).map { case (n, xs) => n -> xs.size }
+      val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+      val next = es.filter { case (u, v) => keep(u) && keep(v) }
+      changed = next.size != es.size
+      es = next
+    }
+    val want = es.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got === want)
+    assert(got.values.forall(_ >= k))
+  }
+
   test("readEdgesCsv FAILFAST rejects malformed rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("edges").toFile
     val f = new java.io.File(dir, "edges.csv")
