@@ -130,6 +130,32 @@ object StreamOps {
       }
   }
 
+  /** Streaming LSH bucket-novelty gate — the incremental form of
+    * d13's incremental near-dup admission
+    * ([[graft.queries.DedupQueries.d13_incremental_neardup]]): input is
+    * the band relation (doc_id, band, bkey) of a document stream;
+    * state is one entry per DISTINCT bucket ever seen (the maintained
+    * bucket index d13's batch form joins against — here it lives in
+    * the state store, sharded with the shuffle on the bucket key);
+    * each row comes back flagged `first_seen` = this row's doc claimed
+    * the bucket. Within a micro-batch the LOWEST doc_id claims a new
+    * bucket (deterministic regardless of row order); a doc whose every
+    * band is first_seen has no collision with anything earlier —
+    * downstream admission is a per-doc `min(first_seen)` aggregate,
+    * exactly d13's admitted flag against an ever-growing corpus.
+    * Continuous semantics (earlier stream docs are "seen") mirror how
+    * [[dedupWithinWatermark]] relates to d09's closed-corpus form; the
+    * state here deliberately does NOT age out — a bucket index is
+    * corpus lifetime state, bounded by distinct buckets (4/doc),
+    * not by stream length × horizon.
+    */
+  def bucketNovelty(bands: Dataset[BandRow]): Dataset[BandHit] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.bkey))
+      .transformWithState(new BucketNoveltyProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Same running stats on the `transformWithState` API (Spark 4's
     * successor to mapGroupsWithState): explicit named `ValueState`
     * handles, TTL support, timer callbacks — the surface new stateful
@@ -141,6 +167,39 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+}
+
+/** One LSH band row of a streaming document. */
+final case class BandRow(doc_id: Long, band: Int, bkey: String)
+
+/** [[BandRow]] + whether this row's doc claimed the bucket. */
+final case class BandHit(doc_id: Long, band: Int, bkey: String,
+                         first_seen: Boolean)
+
+/** Bucket-ownership state machine for [[StreamOps.bucketNovelty]]: one
+  * ValueState[Long] slot per (band, bkey) holding the claiming doc_id.
+  * An unclaimed bucket is claimed by the micro-batch's minimum doc_id;
+  * every row is emitted with `first_seen` = (bucket was unclaimed ∧
+  * this row is the claimant). State is corpus-lifetime by design (a
+  * bucket index, not a dedup horizon) — see the bucketNovelty note.
+  */
+class BucketNoveltyProcessor
+    extends StatefulProcessor[(Int, String), BandRow, BandHit] {
+  @transient private var owner: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getValueState[Long]("bucketOwner",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, String), rows: Iterator[BandRow],
+                               timerValues: TimerValues): Iterator[BandHit] = {
+    val batch = rows.toSeq
+    val claimed = owner.exists()
+    val claimant = if (claimed) -1L else batch.map(_.doc_id).min
+    if (!claimed) owner.update(claimant)
+    batch.iterator.map(b =>
+      BandHit(b.doc_id, b.band, b.bkey, !claimed && b.doc_id == claimant))
   }
 }
 

@@ -317,4 +317,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("bucketNovelty: buckets are claimed once, lowest doc wins in-batch, state persists across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs the RocksDB provider (multiple column
+    // families); the HDFS-backed default cannot host it.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[BandRow]
+    val q = runAppend("bn", StreamOps.bucketNovelty(in.toDS()).toDF(),
+      OutputMode.Append)
+    try {
+      // batch 1: doc 5 and doc 7 share bucket (0,"a") — the lower id
+      // claims it; doc 5 alone holds (1,"b"); doc 7 alone holds (1,"c")
+      in.addData(BandRow(7L, 0, "a"), BandRow(5L, 0, "a"),
+        BandRow(5L, 1, "b"), BandRow(7L, 1, "c"))
+      q.processAllAvailable()
+      // batch 2: doc 9 collides with the claimed (0,"a"), doc 9 also
+      // opens a new bucket (1,"d"); doc 5 re-sends (1,"b") — claimed
+      in.addData(BandRow(9L, 0, "a"), BandRow(9L, 1, "d"),
+        BandRow(5L, 1, "b"))
+      q.processAllAvailable()
+      val got = spark.table("bn").as[BandHit].collect()
+        .map(h => (h.doc_id, h.band, h.bkey, h.first_seen)).sorted.toSeq
+      assert(got === Seq(
+        (5L, 0, "a", true),   // claimed by 5 (min of {5,7})
+        (5L, 1, "b", false),  // the batch-2 RE-SEND: bucket now held
+        (5L, 1, "b", true),   // the batch-1 claim
+        (7L, 0, "a", false),
+        (7L, 1, "c", true),
+        (9L, 0, "a", false),  // bucket held since batch 1
+        (9L, 1, "d", true)))
+      // per-doc admission = min(first_seen) over the doc's rows:
+      // doc 5 admitted in batch 1 terms ⇔ all its rows true
+      val admitted = spark.table("bn").as[BandHit].collect()
+        .groupBy(_.doc_id).map { case (d, hs) => d -> hs.forall(_.first_seen) }
+      assert(admitted === Map(5L -> false, 7L -> false, 9L -> false))
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
