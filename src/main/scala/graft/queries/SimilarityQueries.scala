@@ -439,6 +439,34 @@ object SimilarityQueries {
     pqAdc(s, dir, cb, "pq_codes_trained")
   }
 
+  /** s01's brute-force cosine top-k re-planned through the custom
+    * [[graft.plans.GroupedTopK]] operator: identical scored relation,
+    * but the per-query top-5 is bounded per-group heaps → a ≤k-rows-
+    * per-group-per-partition exchange → final heaps, instead of the
+    * window plan's full sort of every partition. The residual
+    * `row_number` only ranks the already-k-bounded output (≤ 5·|Q|
+    * rows) for s01-identical columns. At 100 TB this is the duel-
+    * measured q39 win applied where it matters most — brute-force
+    * rescoring fan-outs (|Q|·|corpus| scored rows) are exactly the
+    * shape whose sort the heap pass eliminates. Same oracle as s01;
+    * row-for-row equivalence with s01 additionally pinned in the spec.
+    */
+  def s07_knn_topk_operator(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn"))
+    val scored = q.join(e.toDF("did", "dv", "dn"), col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos"))
+    val top = graft.plans.GroupedTopK.of(scored, Seq("qid"),
+      Seq(("cos", false), ("did", true)), 5)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("did").asc)
+    top.withColumn("rk", row_number().over(w))
+      .select(col("qid"), col("rk").cast(LongType).as("rk"),
+        col("did").as("nn_id"), col("cos"))
+  }
+
   /** Total quantization error Σ_(vec,m) min_c ‖sv−cv‖² under codebook
     * `cb` — the spec pins its non-increase from seed to trained.
     */
@@ -494,6 +522,17 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "s01_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    SQRT(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, d.vec_id AS did,
+         |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
+         |  FROM e q JOIN e d ON q.vec_id < 20 AND q.vec_id <> d.vec_id)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, did AS nn_id, cos FROM (
+         |  SELECT qid, did, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
+         |  FROM p) WHERE rk <= 5""".stripMargin,
+    "s07_knn_topk_operator" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |    SQRT(${dotSql("embedding", "embedding")}) AS nrm
          |  FROM embeddings),
@@ -723,5 +762,6 @@ object SimilarityQueries {
     "s04_knn_ivf_trained" -> (s04_knn_ivf_trained _),
     "s05_knn_pq" -> (s05_knn_pq _),
     "s06_knn_pq_trained" -> (s06_knn_pq_trained _),
+    "s07_knn_topk_operator" -> (s07_knn_topk_operator _),
   )
 }

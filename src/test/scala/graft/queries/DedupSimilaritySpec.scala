@@ -350,6 +350,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s07 (GroupedTopK plan) returns exactly s01's rows via the heap operator") {
+    val a = SimilarityQueries.s01_knn_brute(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = SimilarityQueries.s07_knn_topk_operator(spark, dir)
+    assert(b.collect().map(_.toSeq).toSet === a)
+    // the top-k itself runs on the custom operator: two heap passes
+    // (partial + final), and the only Window is the residual ranking
+    // of the already-k-bounded rows
+    val phys = b.queryExecution.executedPlan.toString
+    assert("GroupedTopK".r.findAllIn(phys).size >= 2, phys.take(2000))
+  }
+
   test("incremental near-dup gate: copies rejected, novel and bandless admitted") {
     import spark.implicits._
     // Synthetic corpus in a temp dir so the collision structure is
