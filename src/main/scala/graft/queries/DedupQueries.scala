@@ -342,8 +342,33 @@ object DedupQueries {
     */
   private[queries] def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sig = SharedRelations(s, dir, "minhash_sig") {
-      val h = shingles(s, dir)
-        .select(col("doc_id"), TextQueries.polyHash("sh").as("h"))
+      // ONE codegen pass, NO intermediate materialization: explode
+      // straight off the documents scan, hash, and let the min
+      // aggregates' map-side partials collapse 50 shingle rows per doc
+      // to one 8-long signature row BEFORE the exchange — the shuffle
+      // ships |docs| rows, never |shingles|. Min over a multiset
+      // equals min over the set, so skipping [[shingles]]'s
+      // array_distinct is bit-identical to the oracle's grouped-min
+      // over distinct shingles. What this deliberately does NOT do is
+      // reuse the CACHED shingle explode ([[shingles]]): the r10 sf10
+      // probe measured that cache's cold build at ~742s (250M rows
+      // materialized through MEMORY_AND_DISK, heavy spill), all
+      // charged to d03/d13's first run, while this whole-stage-codegen
+      // pipeline never stores the exploded rows at all. (A
+      // higher-order-function variant — transform + array_min per
+      // row, zero shuffle — was measured too: 384s, because lambda
+      // evaluation is interpreted per element; the codegen explode +
+      // partial-agg form wins.) The cached exploded relation remains
+      // where its semantics are the point: d02's postings, d04's
+      // distinct-shingle votes.
+      val sh = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(
+          expr("IF(size(w) >= 3, transform(sequence(1, size(w) - 2), " +
+            "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))), " +
+            "array())")).as("sh"))
+      val h = sh.select(col("doc_id"), TextQueries.polyHash("sh").as("h"))
       val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
         min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$i")
       }
