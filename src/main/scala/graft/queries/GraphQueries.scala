@@ -62,6 +62,26 @@ object GraphQueries {
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     }
 
+  /** Symmetrized edge relation, memoized + persisted per (session,
+    * sfDir) — the relation every iterative loop (g05/g11/g13/g14/g15
+    * and the CC family) joins its frontier/labels against on the src
+    * side once per round. Note distinct()'s hash(src, dst)
+    * partitioning satisfies NONE of those joins: at sf ≤ 0.1 that
+    * costs nothing (AQE broadcasts the small frontier, so the graph
+    * side never moves — an r10 A/B measured repartition(src) as
+    * cost-neutral-to-negative here, +3s build for no per-round win),
+    * but on a cluster where the frontier outgrows broadcast, this
+    * relation is the one that must not move per round — write it as a
+    * table BUCKETED BY src once (sources/Bucketing.scala is the
+    * mechanism) and every round's join is exchange-free on the big
+    * side.
+    */
+  private def symEdges(s: SparkSession, dir: String): DataFrame =
+    SharedRelations(s, dir, "graph_sym") {
+      val e = derivedEdges(s, dir)
+      e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
+    }
+
   /** The shared edge-derivation, oracle side (a WITH prefix every graph
     * oracle starts from; callers append their own CTEs after a comma).
     *
@@ -481,10 +501,7 @@ object GraphQueries {
     * converged variant is [[graft.graph]]-side GraphX work.
     */
   def g05_cc_labelprop(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val sym = SharedRelations(s, dir, "graph_sym") {
-      val e = derivedEdges(s, dir)
-      e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
-    }
+    val sym = symEdges(s, dir)
     // Self-loops: one join + min-agg per round, labels referenced once
     // (the least/coalesce form reads them twice and doubles the lazy
     // plan per round — see DedupQueries.d06's identical rewrite; the
@@ -536,10 +553,7 @@ object GraphQueries {
     */
   def g11_cc_converged(s: SparkSession, dir: String): DataFrame =
     ccMemoized(s, dir, "labelprop") {
-      val sym = SharedRelations(s, dir, "graph_sym") {
-        val e = derivedEdges(s, dir)
-        e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
-      }
+      val sym = symEdges(s, dir)
       graft.graph.GraphOps.connectedComponentsFromSym(sym)
     }
 
@@ -595,10 +609,7 @@ object GraphQueries {
     */
   def g13_bfs(s: SparkSession, dir: String): DataFrame =
     ccMemoized(s, dir, "bfs") {
-      val sym = SharedRelations(s, dir, "graph_sym") {
-        val e = derivedEdges(s, dir)
-        e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
-      }
+      val sym = symEdges(s, dir)
       bfsFromMinSource(sym)
     }
 
@@ -631,10 +642,7 @@ object GraphQueries {
     */
   def g14_sssp(s: SparkSession, dir: String): DataFrame =
     ccMemoized(s, dir, "sssp") {
-      val sym = SharedRelations(s, dir, "graph_sym") {
-        val e = derivedEdges(s, dir)
-        e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
-      }
+      val sym = symEdges(s, dir)
       val symW = sym.select(col("src"), col("dst"),
         (lit(1L) + (col("src") + col("dst")) % 9L).as("w"))
       val srcRow = sym.agg(min(col("src"))).head()
@@ -666,10 +674,7 @@ object GraphQueries {
     */
   def g15_kcore(s: SparkSession, dir: String): DataFrame =
     ccMemoized(s, dir, "kcore") {
-      val sym = SharedRelations(s, dir, "graph_sym") {
-        val e = derivedEdges(s, dir)
-        e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
-      }
+      val sym = symEdges(s, dir)
       graft.graph.GraphOps.kCore(sym, KCoreK)
     }
 
