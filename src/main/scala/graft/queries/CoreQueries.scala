@@ -521,7 +521,50 @@ object CoreQueries {
       .groupBy(col("o_orderpriority"))
       .agg(graft.functions.BitmapDistinct.of(col("o_custkey")).as("n_custs"))
 
+  /** Ordered-event funnel view → click → purchase per user: earliest
+    * view, earliest click strictly after it, earliest purchase
+    * strictly after that, plus the reached stage (1–3). Each stage is
+    * one filter + min-agg + equi-join on user_id — three user-keyed
+    * shuffles that share a partitioning at scale, never a per-user
+    * sort or a session collect; partial funnels survive via the
+    * left joins. The sequential-pattern shape (event B only counts
+    * after event A) that lead/lag (q33) and session windows (q24)
+    * don't cover.
+    */
+  def q41_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stage(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("ts"))
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = stage("click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = stage("purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q41_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     "q40_bitmap_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
@@ -787,5 +830,6 @@ object CoreQueries {
     "q38_band_join" -> (q38_band_join _),
     "q39_grouped_topk" -> (q39_grouped_topk _),
     "q40_bitmap_distinct" -> (q40_bitmap_distinct _),
+    "q41_funnel" -> (q41_funnel _),
   )
 }

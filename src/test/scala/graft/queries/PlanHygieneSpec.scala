@@ -172,7 +172,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       "g04_pagerank_i10" -> ((4, 2)),
       "g08_pagerank_compat" -> ((4, 2)),
       "g09_pagerank_personalized" -> ((4, 2)),
-      "p04_contamination" -> ((1, 0)))
+      "p04_contamination" -> ((1, 0)),
+      "q41_funnel" -> ((5, 0)))
     assert(collapsed === expected,
       s"count()-collapse set changed: $collapsed — update Bench.uncountedQueries " +
         "and BENCH_NOTES to keep the artifact honest")
