@@ -67,6 +67,32 @@ class TablesSchemaSpec extends AnyFunSuite {
       "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType))
   }
 
+  test("events loader adapts to a synthetic nanos-as-long encoding (the r9 flip, reversed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2024-01-01 10:00:00 UTC as int64 nanos — the encoding the
+    // testdata carried before the r9 regeneration flipped it to µs.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val nanos = base.getTime * 1000000L
+    val tmp = java.nio.file.Files.createTempDirectory("evnanos").toString
+    Seq((1L, nanos, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val ev = Tables.events(spark, tmp)
+    assert(ev.schema("ts").dataType === TimestampType)
+    assert(ev.select(col("ts")).head().getTimestamp(0) === base)
+  }
+
+  test("events loader fails loudly on an encoding it cannot normalise") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("evbad").toString
+    Seq((1L, "2024-01-01T10:00:00", 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, tmp))
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
   test("documents/embeddings") {
     pin("documents", "doc_id" -> LongType, "text" -> StringType,
       "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType)
