@@ -238,6 +238,43 @@ object PipelineQueries {
       .withColumn("boost", col("weight") / col("share"))
   }
 
+  /** Base sampling rate for [[p07_mixture_sample]]: an average-share
+    * source keeps ~half its documents; `boost` scales that per source
+    * (capped at 1 — no source can admit more than everything).
+    */
+  private val BaseRate = 0.5
+  /** Admission-bucket domain for [[p07_mixture_sample]]. */
+  private val SampleQuant = 1000000L
+
+  /** Deterministic mixture-materializing sampler — the step that turns
+    * [[p05_mixture]]'s per-source weights into an actual sampled
+    * corpus: each document is admitted iff its content-hash bucket
+    * falls below its source's threshold floor(min(1, BaseRate·boost) ×
+    * [[SampleQuant]]). Hashing the CONTENT (not the id) keeps the
+    * decision re-ingest-stable and engine-portable (same discipline as
+    * [[p06_split]]); per-source admission rates then converge to the
+    * mixture weights by uniformity of the hash.
+    *
+    * Scale shape: p05's k-row weight table broadcasts; the corpus side
+    * is one narrow map (hash + compare) — the 100 TB scan never
+    * shuffles. Determinism: boost is p05's order-free fixed-point
+    * ratio; the threshold is two IEEE ops (multiply by the exact 0.5,
+    * multiply by 10⁶) then floor — identical in both engines.
+    */
+  def p07_mixture_sample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val thr = broadcast(p05_mixture(s, dir)
+      .select(col("source"),
+        floor(least(lit(1.0), lit(BaseRate) * col("boost")) * lit(SampleQuant))
+          .cast(LongType).as("thr")))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        pmod(TextQueries.polyHash("text"), lit(SampleQuant)).as("bucket"))
+      .join(thr, Seq("source"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("thr"),
+        (col("bucket") < col("thr")).as("admitted"))
+  }
+
   /** Split fractions for [[p06_split]]: buckets 0–79 train, 80–89
     * val, 90–99 test.
     */
@@ -260,6 +297,26 @@ object PipelineQueries {
         when(col("bucket") < ValLo, "train")
           .when(col("bucket") < TestLo, "val")
           .otherwise("test"))
+
+  /** p05's full oracle query — also spliced as [[p07_mixture_sample]]'s
+    * weight CTE, so the sampler is checked against the same weights.
+    */
+  private val P05Sql: String = s"""
+      |WITH b AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS toks
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot FROM b),
+      |sh AS (SELECT source, n_docs, toks,
+      |    CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+      |    CAST(FLOOR(SQRT(CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE))
+      |      * $MixQuant) AS BIGINT) AS wq
+      |  FROM b, t),
+      |w AS (SELECT CAST(SUM(wq) AS BIGINT) AS ws FROM sh)
+      |SELECT source, n_docs, toks, share,
+      |  CAST(wq AS DOUBLE) / CAST(ws AS DOUBLE) AS weight,
+      |  (CAST(wq AS DOUBLE) / CAST(ws AS DOUBLE)) / share AS boost
+      |FROM sh, w""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "p03_pack" -> s"""
@@ -298,22 +355,19 @@ object PipelineQueries {
       |       WHEN ${TextQueries.polyHashSql("text")} % 100 < $TestLo THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin,
-    "p05_mixture" -> s"""
-      |WITH b AS (SELECT source, COUNT(*) AS n_docs,
-      |    CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS BIGINT)
-      |      AS toks
-      |  FROM documents GROUP BY 1),
-      |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot FROM b),
-      |sh AS (SELECT source, n_docs, toks,
-      |    CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
-      |    CAST(FLOOR(SQRT(CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE))
-      |      * $MixQuant) AS BIGINT) AS wq
-      |  FROM b, t),
-      |w AS (SELECT CAST(SUM(wq) AS BIGINT) AS ws FROM sh)
-      |SELECT source, n_docs, toks, share,
-      |  CAST(wq AS DOUBLE) / CAST(ws AS DOUBLE) AS weight,
-      |  (CAST(wq AS DOUBLE) / CAST(ws AS DOUBLE)) / share AS boost
-      |FROM sh, w""".stripMargin,
+    "p05_mixture" -> P05Sql,
+    // p05's weight table as a CTE, then one hash-and-compare per doc.
+    "p07_mixture_sample" -> s"""
+      |WITH mix AS ($P05Sql),
+      |thr AS (SELECT source,
+      |    CAST(FLOOR(LEAST(1.0, $BaseRate * boost) * $SampleQuant) AS BIGINT)
+      |      AS thr
+      |  FROM mix)
+      |SELECT d.doc_id, d.source,
+      |  ${TextQueries.polyHashSql("d.text")} % $SampleQuant AS bucket,
+      |  thr,
+      |  ${TextQueries.polyHashSql("d.text")} % $SampleQuant < thr AS admitted
+      |FROM documents d JOIN thr USING (source)""".stripMargin,
     "p04_contamination" -> s"""
       |WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
       |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= $ContamN),
@@ -364,5 +418,6 @@ object PipelineQueries {
     "p04_contamination" -> (p04_contamination _),
     "p05_mixture" -> (p05_mixture _),
     "p06_split" -> (p06_split _),
+    "p07_mixture_sample" -> (p07_mixture_sample _),
   )
 }

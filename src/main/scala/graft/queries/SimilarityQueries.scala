@@ -467,6 +467,36 @@ object SimilarityQueries {
         col("did").as("nn_id"), col("cos"))
   }
 
+  // ANN recall audit — the evaluation step an approximate index ships
+  // with: each ANN tier's answer (s02 LSH, s03 IVF) joined against the
+  // exact brute-force top-5 (s01), reporting per query whether the
+  // approximate neighbor IS the true nearest (hit_top1) and where it
+  // ranks in the exact top-5 (−1 = outside). This makes the
+  // recall/probe-budget trade-off of the index a first-class
+  // oracle-checked relation instead of a claim in a doc — the same
+  // no-silent-degradation stance as d02_posting_audit.
+  //
+  // Scale shape: the three inputs are the tiers' own (already
+  // bounded) |Q|-row results, so the audit costs three joins over ~20
+  // rows regardless of corpus size; at 100 TB the expensive part is
+  // the tiers themselves, shared via their memoized relations.
+  def s08_recall_audit(s: SparkSession, dir: String): DataFrame = {
+    val brute = s01_knn_brute(s, dir).select(col("qid"), col("rk"),
+      col("nn_id"))
+    val exact = brute.filter(col("rk") === 1)
+      .select(col("qid"), col("nn_id").as("true_nn"))
+    val ann = s02_knn_lsh(s, dir)
+      .select(col("qid"), lit("lsh").as("method"), col("nn_id").as("ann_id"))
+      .unionByName(s03_knn_ivf(s, dir)
+        .select(col("qid"), lit("ivf").as("method"), col("nn_id").as("ann_id")))
+    ann.join(exact, Seq("qid"))
+      .join(brute.select(col("qid"), col("nn_id").as("ann_id"),
+        col("rk").as("b5rk")), Seq("qid", "ann_id"), "left")
+      .select(col("qid"), col("method"), col("ann_id"),
+        (col("ann_id") === col("true_nn")).as("hit_top1"),
+        coalesce(col("b5rk"), lit(-1L)).as("rank_in_top5"))
+  }
+
   /** Total quantization error Σ_(vec,m) min_c ‖sv−cv‖² under codebook
     * `cb` — the spec pins its non-increase from seed to trained.
     */
@@ -520,47 +550,57 @@ object SimilarityQueries {
 
   private def bucketSql(v: String): String = bucketSqlAt(v, 0)
 
+  /** Oracle twin of [[s02_knn_lsh]] — also s08's LSH CTE. */
+  private lazy val LshOracle: String = {
+    val probeList = ("bucket" +: (0 until NBits).map(p =>
+      s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    SQRT(${dotSql("embedding", "embedding")}) AS nrm,
+       |    ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+       |    bucket AS qbucket, UNNEST($probeList) AS probe
+       |  FROM e WHERE vec_id < 20),
+       |p AS (SELECT q.qid, q.qbucket, d.bucket AS probed, d.vec_id AS did,
+       |    ${dotSql("q.qe", "d.embedding")} / (q.qn * d.nrm) AS cos
+       |  FROM q JOIN e d ON d.bucket = q.probe AND q.qid <> d.vec_id)
+       |SELECT qid, qbucket AS bucket, probed, did AS nn_id, cos FROM (
+       |  SELECT qid, qbucket, probed, did, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
+       |  FROM p) WHERE rk = 1""".stripMargin
+  }
+
+  /** The exact brute-force top-5 oracle — shared by s01, its
+    * GroupedTopK re-plan s07, and (as the ground-truth CTE) s08.
+    */
+  private lazy val BruteOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    SQRT(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, d.vec_id AS did,
+       |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
+       |  FROM e q JOIN e d ON q.vec_id < 20 AND q.vec_id <> d.vec_id)
+       |SELECT qid, CAST(rk AS BIGINT) AS rk, did AS nn_id, cos FROM (
+       |  SELECT qid, did, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
+       |  FROM p) WHERE rk <= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "s01_knn_brute" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    SQRT(${dotSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |p AS (SELECT q.vec_id AS qid, d.vec_id AS did,
-         |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
-         |  FROM e q JOIN e d ON q.vec_id < 20 AND q.vec_id <> d.vec_id)
-         |SELECT qid, CAST(rk AS BIGINT) AS rk, did AS nn_id, cos FROM (
-         |  SELECT qid, did, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
-         |  FROM p) WHERE rk <= 5""".stripMargin,
-    "s07_knn_topk_operator" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    SQRT(${dotSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |p AS (SELECT q.vec_id AS qid, d.vec_id AS did,
-         |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cos
-         |  FROM e q JOIN e d ON q.vec_id < 20 AND q.vec_id <> d.vec_id)
-         |SELECT qid, CAST(rk AS BIGINT) AS rk, did AS nn_id, cos FROM (
-         |  SELECT qid, did, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
-         |  FROM p) WHERE rk <= 5""".stripMargin,
-    "s02_knn_lsh" -> {
-      val probeList = ("bucket" +: (0 until NBits).map(p =>
-        s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    SQRT(${dotSql("embedding", "embedding")}) AS nrm,
-         |    ${bucketSql("embedding")} AS bucket
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
-         |    bucket AS qbucket, UNNEST($probeList) AS probe
-         |  FROM e WHERE vec_id < 20),
-         |p AS (SELECT q.qid, q.qbucket, d.bucket AS probed, d.vec_id AS did,
-         |    ${dotSql("q.qe", "d.embedding")} / (q.qn * d.nrm) AS cos
-         |  FROM q JOIN e d ON d.bucket = q.probe AND q.qid <> d.vec_id)
-         |SELECT qid, qbucket AS bucket, probed, did AS nn_id, cos FROM (
-         |  SELECT qid, qbucket, probed, did, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rk
-         |  FROM p) WHERE rk = 1""".stripMargin
-    },
+    "s01_knn_brute" -> BruteOracle,
+    "s07_knn_topk_operator" -> BruteOracle,
+    "s08_recall_audit" ->
+      s"""WITH b AS ($BruteOracle),
+         |l AS ($LshOracle),
+         |i AS ($IvfOracle),
+         |ann AS (SELECT qid, 'lsh' AS method, nn_id AS ann_id FROM l
+         |  UNION ALL SELECT qid, 'ivf' AS method, nn_id AS ann_id FROM i),
+         |ex AS (SELECT qid, nn_id AS true_nn FROM b WHERE rk = 1)
+         |SELECT ann.qid, ann.method, ann.ann_id,
+         |  ann.ann_id = ex.true_nn AS hit_top1,
+         |  COALESCE(b5.rk, -1) AS rank_in_top5
+         |FROM ann JOIN ex USING (qid)
+         |LEFT JOIN b b5 ON b5.qid = ann.qid AND b5.nn_id = ann.ann_id""".stripMargin,
+    "s02_knn_lsh" -> LshOracle,
     "s03_knn_ivf" -> IvfOracle,
     "s04_knn_ivf_trained" -> TrainedIvfOracle,
     "s05_knn_pq" -> PqOracle,
@@ -763,5 +803,6 @@ object SimilarityQueries {
     "s05_knn_pq" -> (s05_knn_pq _),
     "s06_knn_pq_trained" -> (s06_knn_pq_trained _),
     "s07_knn_topk_operator" -> (s07_knn_topk_operator _),
+    "s08_recall_audit" -> (s08_recall_audit _),
   )
 }

@@ -239,6 +239,71 @@ object TextQueries {
           PhonePat, "<PHONE>"),
         Ipv4Pat, "<IP>").as("clean_text"))
 
+  /** Fixed-point quantum for [[t09_lm_score]]'s per-bigram probability
+    * terms: each smoothed probability is quantized to int64 (floor of
+    * prob × 2³⁰) so the per-doc sum is order-free and engine-exact —
+    * the p05/PQ determinism design. 2³⁰ (not 2⁴⁰) bounds the per-doc
+    * sum at n_bigrams × 2³⁰, safe in int64 up to ~10⁸-token documents.
+    */
+  private val LmQuant = 1L << 30
+
+  // Bigram language-model scoring — the classic statistical-LM quality
+  // filter for training corpora (a perplexity proxy without a neural
+  // model): train add-one-smoothed bigram probabilities on the corpus
+  // itself in one pass, then score each document by its mean bigram
+  // probability P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
+  //
+  // Scale shape: ONE explode of consecutive token pairs feeds a
+  // (doc, w1, w2) pre-aggregation (map-side combine: a doc's bigrams
+  // are co-located in its split, so ~one row per distinct per-doc
+  // bigram crosses the exchange). The bigram dictionary, its w1
+  // marginals, and the scoring join all derive from THAT relation —
+  // the 100 TB corpus is scanned once. The dictionary join keys on
+  // (w1, w2), so both sides co-partition on the same exchange; the
+  // vocabulary scalar V is a 1-row broadcast. No window, no second
+  // scan, no driver loop.
+  //
+  // Determinism: counts are exact int64; each probability term is two
+  // IEEE ops (one division, one multiply) then floored to int64
+  // ([[LmQuant]]), so the per-doc sum is order-free; the final mean is
+  // a fixed two-division sequence on exact integers.
+  def t09_lm_score(s: SparkSession, dir: String): DataFrame = {
+    // (doc_id, w1, w2, occ) — the single corpus pass everything keys off
+    val docGram = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      // IF-guarded for totality (see DedupQueries.shingles note)
+      .select(col("doc_id"), explode(expr(
+        "IF(size(w) >= 2, transform(sequence(1, size(w) - 1), i -> " +
+          "struct(element_at(w, i) AS w1, element_at(w, i+1) AS w2)), " +
+          "CAST(array() AS array<struct<w1:string,w2:string>>))")).as("g"))
+      .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val big = docGram.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("occ")).as("c2"))
+    // w1's history count is the sum of its bigram counts — derived
+    // from the dictionary, not a third corpus pass.
+    val uni = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = broadcast(
+      graft.queries.SharedRelations(s, dir, "doc_tokens") {
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      }.agg(count_distinct(col("w")).as("vocab")))
+    val term = big.join(uni, Seq("w1")).crossJoin(vocab)
+      .select(col("w1"), col("w2"),
+        floor((col("c2") + lit(1L)).cast(DoubleType) /
+          (col("c1") + col("vocab")).cast(DoubleType) * lit(LmQuant))
+          .cast(LongType).as("term_fp"))
+    docGram.join(term, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("term_fp")).as("sum_prob_fp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_prob_fp"),
+        (col("sum_prob_fp").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType) /
+          lit(LmQuant).cast(DoubleType)).as("avg_prob"))
+  }
+
   /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final
     * select) — shared by the t03 oracle and the curation pipeline's
     * ([[PipelineQueries]]) language gate.
@@ -322,6 +387,33 @@ object TextQueries {
          |    '$Ipv4Pat', '<IP>', 'g') AS clean_text
          |FROM documents""".stripMargin,
     "t04_quality" -> s"WITH $QualityBaseCte\n$QualitySelect",
+    // Same training pass re-expressed relationally; the shape needn't
+    // mirror the single-scan Spark plan, only the values.
+    "t09_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+         |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+         |dg AS (SELECT doc_id, g[1] AS w1, g[2] AS w2,
+         |    CAST(COUNT(*) AS BIGINT) AS occ
+         |  FROM (SELECT doc_id,
+         |      UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> [w[i], w[i+1]])) AS g
+         |    FROM w)
+         |  GROUP BY 1, 2, 3),
+         |big AS (SELECT w1, w2, CAST(SUM(occ) AS BIGINT) AS c2
+         |  FROM dg GROUP BY 1, 2),
+         |uni AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1
+         |  FROM big GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+         |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)),
+         |term AS (SELECT w1, w2,
+         |    CAST(FLOOR(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE)
+         |      * $LmQuant) AS BIGINT) AS term_fp
+         |  FROM big JOIN uni USING (w1), v)
+         |SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(occ * term_fp) AS BIGINT) AS sum_prob_fp,
+         |  CAST(SUM(occ * term_fp) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE)
+         |    / CAST($LmQuant AS DOUBLE) AS avg_prob
+         |FROM dg JOIN term USING (w1, w2)
+         |GROUP BY 1""".stripMargin,
     "t05_fingerprint" ->
       s"""SELECT doc_id,
          |  ${polyHashSql("text")} AS fp,
@@ -361,5 +453,6 @@ object TextQueries {
     "t05_fingerprint" -> (t05_fingerprint _),
     "t06_repetition" -> (t06_repetition _),
     "t08_redact" -> (t08_redact _),
+    "t09_lm_score" -> (t09_lm_score _),
   )
 }

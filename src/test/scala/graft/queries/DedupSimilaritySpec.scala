@@ -362,6 +362,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert("GroupedTopK".r.findAllIn(phys).size >= 2, phys.take(2000))
   }
 
+  test("s08 recall audit agrees with the tiers' own answers and ranks") {
+    val brute = SimilarityQueries.s01_knn_brute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // qid, rk, nn_id
+    val top1 = brute.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    val rank = brute.map(r => (r._1, r._3) -> r._2).toMap
+    val lsh = SimilarityQueries.s02_knn_lsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ivf = SimilarityQueries.s03_knn_ivf(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+
+    val got = SimilarityQueries.s08_recall_audit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got.keySet ===
+      lsh.keySet.map(q => (q, "lsh")) ++ ivf.keySet.map(q => (q, "ivf")))
+    got.foreach { case ((qid, m), (annId, hit, rk)) =>
+      assert(annId === (if (m == "lsh") lsh(qid) else ivf(qid)), s"q=$qid $m")
+      assert(hit === (annId == top1(qid)), s"q=$qid $m hit_top1")
+      assert(rk === rank.getOrElse((qid, annId), -1L), s"q=$qid $m rank")
+      assert(hit === (rk == 1L), s"q=$qid $m hit⇔rank1")
+    }
+  }
+
   test("incremental near-dup gate: copies rejected, novel and bandless admitted") {
     import spark.implicits._
     // Synthetic corpus in a temp dir so the collision structure is

@@ -152,4 +152,29 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mixture sampler admits by content hash against the p05 thresholds") {
+    val got = PipelineQueries.p07_mixture_sample(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val boosts = PipelineQueries.p05_mixture(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+    assert(got.size === docs.length)
+    docs.foreach { r =>
+      val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+      val h = text.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+      val bucket = h % 1000000L
+      val thr =
+        math.floor(math.min(1.0, 0.5 * boosts(src)) * 1000000L.toDouble).toLong
+      assert(got(id) === ((src, bucket, thr, bucket < thr)), s"doc $id")
+    }
+    // The gate bites in both directions. (No per-source rate band:
+    // at sf0.001 a source is ~50 docs, and convergence of the hash
+    // admission rate to the target is O(1/√n) — the per-doc exact
+    // check above is the deterministic contract.)
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
 }

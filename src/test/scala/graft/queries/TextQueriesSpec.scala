@@ -42,6 +42,37 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("t09 bigram LM scores match the per-document definition exactly") {
+    val got = TextQueries.t09_lm_score(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val Q = 1L << 30
+    val vocab = docs.flatMap(_._2.split(" ")).distinct.length.toLong
+    val bigrams = docs.toSeq.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      if (w.length >= 2) w.sliding(2).map(p => (id, p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val n = bs.size.toLong
+      // identical op order to the query: one divide, one multiply, floor
+      val sum = bs.iterator.map { case (_, w1, w2) =>
+        math.floor((c2((w1, w2)) + 1).toDouble / (c1(w1) + vocab).toDouble * Q).toLong
+      }.sum
+      id -> ((n, sum, sum.toDouble / n.toDouble / Q.toDouble))
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, want) => assert(got(id) === want, s"doc $id") }
+    // smoothed probabilities are genuine probabilities
+    assert(got.values.forall { case (_, _, p) => p > 0.0 && p < 1.0 })
+  }
+
   test("t08 redaction catches planted PII and is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
