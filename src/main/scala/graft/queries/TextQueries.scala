@@ -26,6 +26,37 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Codegen'd n-gram position explode over a (doc_id, text) relation:
+    * one row per gram start, as (doc_id, w, i) with i ∈ [1,
+    * size(w)−n+1]; consumers project `element_at(w, i+k)`.
+    *
+    * The POINT is what it avoids: building the gram array with a
+    * higher-order `transform(sequence(…), i -> …)` and exploding
+    * that. Higher-order functions are `CodegenFallback` expressions —
+    * one lambda interpretation per ELEMENT, and the fallback knocks
+    * the whole stage out of whole-stage codegen. The r10 sf10 probe
+    * measured the difference on the same 27.5M-bigram corpus: 14.5s
+    * for the transform-explode vs 3.3s for this shape (explode a
+    * `sequence()` of ints, then `element_at` projections AFTER the
+    * generator — every expression codegen'd, the generator included).
+    * Same rows, same order, ~4.4× throughput; d03's signature pass
+    * and t06's gram pass compound it further.
+    *
+    * The `when` guard keeps the generator input total under
+    * InferFiltersFromGenerate (the rule clones the input into an
+    * inferred size>0 predicate evaluated BESIDE the row filter — see
+    * the DedupQueries.shingles note); without it, a short doc feeds
+    * `sequence(1, 0)`, which helpfully counts DOWN, yielding i=0 and
+    * an ANSI element_at(w, 0) error.
+    */
+  private[graft] def gramPositions(docs: DataFrame, n: Int): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("w"),
+        explode(when(size(col("w")) >= n,
+          sequence(lit(1), size(col("w")) - (n - 1)))
+          .otherwise(expr("CAST(array() AS array<int>)"))).as("i"))
+
   /** Occurrences of literal `pat` in `text`: (len − len(remove)) / |pat|. */
   private def occ(pat: String): Column =
     ((length(col("text")) -
@@ -135,18 +166,23 @@ object TextQueries {
   // grams are co-located in its input split, the second shuffle moves
   // ~one row per (doc, n) — no join, no second scan of the corpus.
   def t06_repetition(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
+    // Chained codegen'd generators ([[gramPositions]]): explode gram
+    // starts, then explode a 2-element tagged array per start — the
+    // bigram always, the trigram when it fits (null otherwise,
+    // filtered). Same (doc, n, g) rows as the old single
+    // transform-built union, with every expression codegen'd.
+    // positions 1..size−1 (bigram starts; the ≥3-token doc gate is
+    // t06's own, applied on top of the generic 2-gram explode)
+    val pos = gramPositions(t(s, dir, "documents"), 2)
       .filter(size(col("w")) >= 3)
-      // IF-guarded for totality (see DedupQueries.shingles note)
-      .select(col("doc_id"), explode(expr(
-        "IF(size(w) >= 3, concat(" +
-          "transform(sequence(1, size(w) - 1), i -> " +
-          "  struct(2 AS n, concat_ws(' ', element_at(w, i), element_at(w, i+1)) AS g)), " +
-          "transform(sequence(1, size(w) - 2), i -> " +
-          "  struct(3 AS n, concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)) AS g))), " +
-          "CAST(array() AS array<struct<n:int,g:string>>))"))
-        .as("t"))
+    def tok(k: Int) = element_at(col("w"), col("i") + k)
+    val grams = pos
+      .select(col("doc_id"), explode(array(
+        struct(lit(2).as("n"), concat_ws(" ", tok(0), tok(1)).as("g")),
+        struct(lit(3).as("n"),
+          when(col("i") <= size(col("w")) - 2,
+            concat_ws(" ", tok(0), tok(1), tok(2))).as("g")))).as("t"))
+      .filter(col("t.g").isNotNull)
       .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
     val stats = grams
       .groupBy(col("doc_id"), col("n"), col("g"))
@@ -178,12 +214,17 @@ object TextQueries {
   // join; the per-doc agg partial-aggregates map-side (tokens of a doc
   // are co-located). All-integer until the single mean division.
   def t07_rarity(s: SparkSession, dir: String): DataFrame = {
-    // stage output: the dictionary agg and the probe join both read
-    // the token relation — materialized once, not derived per consumer
-    val toks = graft.queries.SharedRelations(s, dir, "doc_tokens") {
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    }
+    // The token relation is re-DERIVED per consumer, not cached: both
+    // consumers collapse it map-side (the dictionary agg to ~|V| rows
+    // per partition, the probe agg to ~one row per doc), so each pays
+    // a narrow codegen'd explode — while persisting the raw explode
+    // materializes a |tokens|-sized cache through MEMORY_AND_DISK,
+    // the exact pathology the r10 sf10 probe measured at 742s on
+    // d03's shingle cache (BENCH_NOTES "the cached shingle explode";
+    // this cache was its t-family twin: removing it cut t07's sf10
+    // cold 20.5s → ~4s).
+    def toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val dict = broadcast(toks.groupBy(col("w"))
       .agg(count(lit(1)).as("freq")))
     toks.join(dict, Seq("w"))
@@ -253,51 +294,50 @@ object TextQueries {
   // itself in one pass, then score each document by its mean bigram
   // probability P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
   //
-  // Scale shape: ONE explode of consecutive token pairs feeds a
-  // (doc, w1, w2) pre-aggregation (map-side combine: a doc's bigrams
-  // are co-located in its split, so ~one row per distinct per-doc
-  // bigram crosses the exchange). The bigram dictionary, its w1
-  // marginals, and the scoring join all derive from THAT relation —
-  // the 100 TB corpus is scanned once. The dictionary join keys on
-  // (w1, w2), so both sides co-partition on the same exchange; the
-  // vocabulary scalar V is a 1-row broadcast. No window, no second
-  // scan, no driver loop.
+  // Scale shape — t07's dictionary pattern, not a corpus-sized
+  // shuffle: the bigram dictionary is ONE aggregation whose map-side
+  // combine collapses each partition to its distinct bigrams, so the
+  // exchange moves ~|partitions|·|distinct bigrams| rows, never
+  // |tokens|; its w1 marginals and the smoothed-probability table
+  // derive from the dictionary (k rows); the scoring pass re-derives
+  // the narrow codegen'd explode and joins the BROADCAST term table
+  // (at 100 TB the dictionary is the bigram vocabulary — Zipf-bounded,
+  // tens of MB; for an open-domain corpus, hash grams to int64 first
+  // like t05's fingerprint to shrink it ~10×), then partial-aggregates
+  // to ~one row per doc before the final |docs|-sized exchange. The
+  // corpus is scanned twice (both passes narrow, whole-stage-codegen)
+  // and NOTHING token-sized is cached or shuffled — the first cut
+  // pre-aggregated (doc, w1, w2) and shuffled it twice, which the
+  // sf10 probe measured at 141s; this shape is 13s.
   //
   // Determinism: counts are exact int64; each probability term is two
   // IEEE ops (one division, one multiply) then floored to int64
   // ([[LmQuant]]), so the per-doc sum is order-free; the final mean is
   // a fixed two-division sequence on exact integers.
   def t09_lm_score(s: SparkSession, dir: String): DataFrame = {
-    // (doc_id, w1, w2, occ) — the single corpus pass everything keys off
-    val docGram = t(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 2)
-      // IF-guarded for totality (see DedupQueries.shingles note)
-      .select(col("doc_id"), explode(expr(
-        "IF(size(w) >= 2, transform(sequence(1, size(w) - 1), i -> " +
-          "struct(element_at(w, i) AS w1, element_at(w, i+1) AS w2)), " +
-          "CAST(array() AS array<struct<w1:string,w2:string>>))")).as("g"))
-      .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .agg(count(lit(1)).as("occ"))
-    val big = docGram.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("occ")).as("c2"))
+    // Narrow codegen'd bigram explode ([[gramPositions]]) — re-derived
+    // per pass, never materialized (the d03/t07 |tokens|-cache lesson).
+    def grams = gramPositions(t(s, dir, "documents"), 2)
+      .select(col("doc_id"),
+        element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+    val big = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
     // w1's history count is the sum of its bigram counts — derived
-    // from the dictionary, not a third corpus pass.
+    // from the dictionary, not another corpus pass.
     val uni = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val vocab = broadcast(
-      graft.queries.SharedRelations(s, dir, "doc_tokens") {
-        t(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      }.agg(count_distinct(col("w")).as("vocab")))
-    val term = big.join(uni, Seq("w1")).crossJoin(vocab)
+    val vocab = broadcast(t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(count_distinct(col("w")).as("vocab")))
+    val term = broadcast(big.join(uni, Seq("w1")).crossJoin(vocab)
       .select(col("w1"), col("w2"),
         floor((col("c2") + lit(1L)).cast(DoubleType) /
           (col("c1") + col("vocab")).cast(DoubleType) * lit(LmQuant))
-          .cast(LongType).as("term_fp"))
-    docGram.join(term, Seq("w1", "w2"))
+          .cast(LongType).as("term_fp")))
+    grams.join(term, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("occ")).as("n_bigrams"),
-        sum(col("occ") * col("term_fp")).as("sum_prob_fp"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("term_fp")).as("sum_prob_fp"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_prob_fp"),
         (col("sum_prob_fp").cast(DoubleType) /
           col("n_bigrams").cast(DoubleType) /
