@@ -531,9 +531,16 @@ object CoreQueries {
     * after event A) that lead/lag (q33) and session windows (q24)
     * don't cover.
     */
-  def q41_funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+  def q41_funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+
+  /** [[q41_funnel]] on any (user_id, event_type, ts) relation — shared
+    * with the streaming spec, which pins
+    * [[graft.streaming.StreamOps.funnelStages]]' incremental state
+    * machine to this batch definition on the same rows.
+    */
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
     def stage(t: String) =
       ev.filter(col("event_type") === t).select(col("user_id"), col("ts"))
     val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))

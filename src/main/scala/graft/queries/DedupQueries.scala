@@ -400,8 +400,9 @@ object DedupQueries {
 
   /** SimHash signature relation (doc_id, simhash) —
     * [[SimhashBits]]-bit signature from bit votes over the doc's
-    * distinct word-3-gram '''shingles''' ([[shingles]], shared with
-    * d02/d03). Features must be shingles, not unigrams: on a templated
+    * distinct word-3-gram shingle hashes (same 3-gram window as
+    * [[shingles]]; derivation is its own codegen pass, see the body
+    * note). Features must be shingles, not unigrams: on a templated
     * corpus the shared vocabulary dominates unigram votes and the
     * signatures collapse (measured at sf0.1: 93% of docs landed in ONE
     * band bucket and Hamming ≤ 3 held for 4.77M of 12.5M pairs —
@@ -413,8 +414,26 @@ object DedupQueries {
     */
   private[graft] def simhashSigs(s: SparkSession, dir: String): DataFrame =
     SharedRelations(s, dir, "simhash_sig") {
-      val h = shingles(s, dir)
-        .select(col("doc_id"), TextQueries.polyHash("sh").as("h"))
+      // Features are distinct (doc, shingle-HASH) pairs, built from the
+      // codegen position explode (TextQueries.gramPositions) — NOT from
+      // the cached [[shingles]] relation: the r10 sf10 sweep measured
+      // d04 at 720s when it inherited that cache's cold build (250M
+      // string rows through MEMORY_AND_DISK — the d03 pathology; d03's
+      // rewrite had left d04 the first payer). Here the dedup is a
+      // (doc_id, h) aggregate whose map-side partial collapses each
+      // doc's repeats fully (a doc's shingles are co-located), so the
+      // exchange moves |distinct (doc, h)| 16-byte rows and nothing is
+      // cached. Hash-then-distinct vs distinct-then-hash differs only
+      // if two of a doc's shingles collide in polyHash (~50²/2³² per
+      // doc); the oracle applies the same order, so parity is exact.
+      val h = TextQueries.gramPositions(t(s, dir, "documents"), 3)
+        .select(col("doc_id"), graft.functions.GraftExpressions.polyHash(
+          concat_ws(" ",
+            element_at(col("w"), col("i")),
+            element_at(col("w"), col("i") + 1),
+            element_at(col("w"), col("i") + 2))).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("occ"))
+        .select(col("doc_id"), col("h"))
       val votes = (0 until SimhashBits).map { i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
           .as(s"b$i")
@@ -616,8 +635,13 @@ object DedupQueries {
     val fp = (0 until SimhashBits).map(i =>
       s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    ShinglesCte + s""",
-       |h AS (SELECT doc_id, ${TextQueries.polyHashSql("sh")} AS h FROM s),
+    s"""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+       |sh0 AS (SELECT doc_id,
+       |  UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM w),
+       |h AS (SELECT DISTINCT doc_id, ${TextQueries.polyHashSql("sh")} AS h
+       |  FROM sh0),
        |bits AS (SELECT doc_id,
        |  $votes
        |  FROM h GROUP BY doc_id),

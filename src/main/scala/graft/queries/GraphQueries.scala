@@ -766,9 +766,23 @@ object GraphQueries {
       |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
       |SELECT node, MIN(r) AS component FROM reach GROUP BY node""".stripMargin
 
-  /** Global triangle count over the canonicalized undirected graph
-    * (a<b): two self-joins — the standard distributed formulation; at
-    * scale the join key is the node id and AQE handles the skewed hubs.
+  /** Global triangle count via DEGREE-ORDERED orientation (the
+    * Schank–Wagner / compact-forward formulation): each undirected
+    * edge is directed from its lower-(degree, id) endpoint to the
+    * higher, every triangle is enumerated exactly once as a wedge at
+    * its minimum-rank vertex, and the wedge fanout per vertex is its
+    * ORIENTED out-degree — bounded by O(√m) — so total wedge work is
+    * O(m^1.5) regardless of hub skew — the previous id-ordered
+    * formulation (wedges at the lowest node ID) lets one hub with a
+    * small id fan out deg² wedges. Measured honesty note: on the sf10
+    * probe graph (×100 edges on the same node domain ⇒ DEGREE-UNIFORM
+    * dense, avg degree ~670) both orderings generate the same ~8·10⁸
+    * wedges and both run ~80s — the wedge volume is the inherent cost
+    * of exact counting in the dense regime, and orientation's win
+    * materializes on skewed real graphs, which is the 100 TB case the
+    * bound is for. The closing-edge probe stays an (a, b) equi-join
+    * against the canonical edge set, and AQE handles residual skew in
+    * the wedge join.
     */
   def g06_triangles(s: SparkSession, dir: String): DataFrame = {
     val und = SharedRelations(s, dir, "graph_und") {
@@ -777,9 +791,24 @@ object GraphQueries {
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
     }
-    val e1 = und.as("e1"); val e2 = und.as("e2"); val e3 = und.as("e3")
-    e1.join(e2, col("e1.b") === col("e2.a"))
-      .join(e3, col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient: x = lower (degree, id) endpoint, y = higher
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ed = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(lower, col("a")).otherwise(col("b")).as("x"),
+        when(lower, col("b")).otherwise(col("a")).as("y"))
+    // wedges at x over id-ordered out-neighbor pairs; (y1, y2) is then
+    // already canonical (y1 < y2), so the closing probe is an (a, b)
+    // equi-join
+    val w = ed.select(col("x"), col("y").as("y1"))
+      .join(ed.select(col("x"), col("y").as("y2")), Seq("x"))
+      .filter(col("y1") < col("y2"))
+    w.join(und, col("y1") === col("a") && col("y2") === col("b"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 

@@ -157,37 +157,37 @@ object PipelineQueries {
     *
     * Scale shape: the eval side is DISTINCT n-grams of a benchmark
     * suite — megabytes, not terabytes — so it is `broadcast()` and the
-    * train grams never shuffle for the join; the only exchange is the
-    * per-doc count, which partial-aggregates to ~one row per document
-    * map-side because a doc's grams are co-located in its input split.
+    * train grams never shuffle for the join; the train-side exchanges
+    * are the per-doc distinct-gram aggregate (map-side partials
+    * collapse each doc's repeats fully — a doc's grams are co-located
+    * in its input split) and the ~one-row-per-doc count.
     * At larger eval sets, swap the gram string for its 64-bit hash to
     * shrink the broadcast 10× (t05's fingerprint machinery) — kept as
     * strings here so the oracle stays a plain string equi-join.
     */
   def p04_contamination(s: SparkSession, dir: String): DataFrame = {
-    // The gram relation is a materialized stage output (the d-family's
-    // shingles pattern): both the eval- and train-side reads — and the
-    // bench's repeated samples — reuse one explode of the corpus.
-    val ng = SharedRelations(s, dir, "doc_ngrams8") {
-      Tables(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= ContamN)
-        // IF-guarded for totality (see DedupQueries.shingles note)
-        .select(col("doc_id"),
-          expr(s"IF(size(w) >= $ContamN, " +
-            s"array_distinct(transform(sequence(1, size(w) - ${ContamN - 1}), " +
-            s"i -> array_join(slice(w, i, $ContamN), ' '))), array())").as("gs"))
-        .select(col("doc_id"),
-          size(col("gs")).cast(org.apache.spark.sql.types.LongType).as("n_ngrams"),
-          explode(col("gs")).as("g"))
-    }
+    // Codegen'd position explode (TextQueries.gramPositions), distinct
+    // per-doc grams via an aggregate whose map-side partial collapses
+    // each doc's repeats fully (a doc's grams are co-located in its
+    // split) — NOT a cached distinct-array relation: the r10 sf10
+    // sweep measured the `doc_ngrams8` SharedRelations cache at a
+    // 281s median (an interpreted transform lambda feeding a
+    // |grams|-sized MEMORY_AND_DISK materialization, the d03/d04
+    // pathology); this shape re-derives two narrow explodes and runs
+    // 5.9s counted / 39.2s fully materialized at the same scale.
+    // n_ngrams (the per-doc DISTINCT gram count) falls out of the
+    // same aggregate.
+    def ng = TextQueries.gramPositions(Tables(s, dir, "documents"), ContamN)
+      .select(col("doc_id"),
+        array_join(slice(col("w"), col("i"), lit(ContamN)), " ").as("g"))
     val evalGrams = ng.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select(col("g")).distinct()
       .withColumn("hit", lit(1L))
     ng.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("occ"))
       .join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy(col("doc_id"))
-      .agg(max(col("n_ngrams")).as("n_ngrams"),
+      .agg(count(lit(1)).as("n_ngrams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
         (col("n_hit").cast(org.apache.spark.sql.types.DoubleType) /

@@ -168,6 +168,29 @@ object StreamOps {
       .transformWithState(new RunningStatsProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** Streaming funnel — the incremental form of q41's ordered-event
+    * funnel ([[graft.queries.CoreQueries.q41_funnel]]): per-user state
+    * is the strictly-increasing (t_view, t_click, t_purchase) chain,
+    * advanced by a greedy in-ts-order fold over each micro-batch (rows
+    * sorted batch-locally; the state store shards with the user_id
+    * shuffle). On in-order arrival the greedy first-qualifying
+    * transition IS the batch min-chain — a click can only beat the
+    * recorded t_click by arriving before it — which the streaming spec
+    * pins against [[graft.queries.CoreQueries.funnelOf]] on identical
+    * rows. Out-of-order arrival ACROSS batches can miss a retroactive
+    * improvement (an earlier view arriving after a click was already
+    * chained) — the inherent streaming-CEP trade every funnel engine
+    * makes without retraction; bound it operationally by the source
+    * watermark. State is 3 timestamps + a stage per user — O(users),
+    * not O(events).
+    */
+  def funnelStages(events: Dataset[Ev]): Dataset[FunnelStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 }
 
 /** One LSH band row of a streaming document. */
@@ -200,6 +223,44 @@ class BucketNoveltyProcessor
     if (!claimed) owner.update(claimant)
     batch.iterator.map(b =>
       BandHit(b.doc_id, b.band, b.bkey, !claimed && b.doc_id == claimant))
+  }
+}
+
+/** Per-user funnel progress emitted by [[StreamOps.funnelStages]]:
+  * stage ∈ 0..3 (0 = no view yet; 1..3 match q41's batch stages),
+  * sentinel 0 timestamps for unreached stages (epoch 0 predates every
+  * event — Option fields don't survive the state encoder as cleanly).
+  */
+final case class FunnelStat(user_id: Long, stage: Long,
+                            t_view: Long, t_click: Long, t_purchase: Long)
+
+/** Funnel state machine for [[StreamOps.funnelStages]] — one
+  * ValueState[FunnelStat] per user; timestamps held as epoch millis.
+  */
+class FunnelProcessor extends StatefulProcessor[Long, Ev, FunnelStat] {
+  @transient private var state: ValueState[FunnelStat] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[FunnelStat]("funnel",
+      Encoders.product[FunnelStat], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[FunnelStat] = {
+    var cur = Option(state.get()).getOrElse(FunnelStat(key, 0L, 0L, 0L, 0L))
+    rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      e.event_type match {
+        case "view" if cur.stage == 0L =>
+          cur = cur.copy(stage = 1L, t_view = t)
+        case "click" if cur.stage == 1L && t > cur.t_view =>
+          cur = cur.copy(stage = 2L, t_click = t)
+        case "purchase" if cur.stage == 2L && t > cur.t_click =>
+          cur = cur.copy(stage = 3L, t_purchase = t)
+        case _ => ()
+      }
+    }
+    state.update(cur)
+    Iterator.single(cur)
   }
 }
 

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.TestSpark
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -160,6 +161,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last.getLong(1) === 3L)
       assert(last.getDouble(2) === 10.0)
       assert(spark.table("tws").where("user_id = 8").count() === 1)
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("streaming funnel state machine matches q41's batch chain on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // user 7 completes the funnel across two batches (purchase before
+    // its click in batch-arrival order — the in-batch ts sort must fix
+    // it); user 8 stalls at click; user 9's purchase precedes its only
+    // view (chain must NOT fire); user 10 never views (stage 0,
+    // absent from the batch funnel).
+    val b1 = Seq(
+      ev(1, 0, user = 7, typ = "view"),
+      ev(2, 2, user = 7, typ = "click"),
+      ev(3, 1, user = 8, typ = "view"),
+      ev(4, 5, user = 9, typ = "purchase"),
+      ev(5, 4, user = 10, typ = "click"))
+    val b2 = Seq(
+      ev(6, 6, user = 7, typ = "purchase"),
+      ev(7, 3, user = 7, typ = "view"), // late dup view — must not regress
+      ev(8, 7, user = 8, typ = "click"),
+      ev(9, 9, user = 9, typ = "view"))
+    val in = MemoryStream[Ev]
+    val q = StreamOps.funnelStages(in.toDS()).writeStream
+      .format("memory").queryName("funnel").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // last emission per user = final state
+      val got = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.last._2 }
+      val batch = graft.queries.CoreQueries.funnelOf(
+        (b1 ++ b2).toDF().select(col("user_id"), col("event_type"), col("ts")))
+        .collect().map { r =>
+          def t(i: Int) = Option(r.getTimestamp(i)).map(_.getTime).getOrElse(0L)
+          r.getLong(0) -> ((r.getLong(4), t(1), t(2), t(3)))
+        }.toMap
+      // streaming stage>0 users match the batch funnel exactly
+      assert(got.filter(_._2._1 > 0L) === batch)
+      // the never-viewed user is stage 0 in streaming, absent in batch
+      assert(got(10L)._1 === 0L && !batch.contains(10L))
     } finally {
       q.stop()
       prevProv match {
