@@ -52,6 +52,30 @@ object MediaCodecs {
     * recompute every output byte; callers' schema/partitioning/digest
     * plumbing is untouched by swapping in a real resampler.
     */
+  /** Average-hash ("aHash") perceptual signature over the
+    * [[resizeStub]] thumbnail: bit i is set iff thumbnail byte i
+    * (unsigned) exceeds the thumbnail mean — compared as
+    * `len·bᵢ > Σb`, exact integer arithmetic, so the oracle recomputes
+    * every bit from the string side. 64 bits for the 8×8 thumbnail
+    * (bit 63 relies on Long's two's-complement wrap, which DuckDB's
+    * int128 SUM + BIGINT cast reproduces). A real perceptual hash
+    * (DCT pHash) drops in here; the banding/join plumbing around it
+    * stays.
+    */
+  def aHashStub(payload: Array[Byte]): Long = {
+    val t = resizeStub(payload, ThumbEdge, ThumbEdge)
+    var sum = 0L
+    var i = 0
+    while (i < t.length) { sum += (t(i) & 0xff); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < t.length) {
+      if (t.length.toLong * (t(i) & 0xff) > sum) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
     val srcW = ImageRowBytes
     val h = payload.length / srcW

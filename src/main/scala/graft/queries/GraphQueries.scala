@@ -812,6 +812,56 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-vertex triangle participation + local clustering coefficient
+    * (Watts–Strogatz): coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) —
+    * the per-node community-density signal on the symmetrized graph.
+    *
+    * Same degree-ordered oriented wedge plan as [[g06_triangles]]
+    * (each triangle closes exactly once, O(m^1.5) wedge bound under
+    * skew), but instead of a global count the closed triangle's THREE
+    * vertex ids explode and hash-aggregate to per-node counts — the
+    * explode is 3 short rows per triangle, and the count
+    * partial-aggregates map-side, so the extra exchange moves ~one
+    * row per triangle-bearing node. Degrees come from the same shared
+    * `graph_und` relation; nodes without triangles enter via the
+    * degree side of a left join (coeff 0). The coefficient is one
+    * double division of two exact int64 products, so the value is
+    * bit-identical in both engines.
+    */
+  def g16_clustering(s: SparkSession, dir: String): DataFrame = {
+    val und = SharedRelations(s, dir, "graph_und") {
+      derivedEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ed = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(lower, col("a")).otherwise(col("b")).as("x"),
+        when(lower, col("b")).otherwise(col("a")).as("y"))
+    val w = ed.select(col("x"), col("y").as("y1"))
+      .join(ed.select(col("x"), col("y").as("y2")), Seq("x"))
+      .filter(col("y1") < col("y2"))
+    val closed = w.join(und, col("y1") === col("a") && col("y2") === col("b"))
+    val triPerNode = closed
+      .select(explode(array(col("x"), col("y1"), col("y2"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering_coeff",
+        when(col("deg") >= 2,
+          (col("n_tri") * 2L).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   val oracle: Map[String, String] = Map(
     "g01_adjacency" -> (EdgesCte + """
       |SELECT src AS node,
@@ -847,6 +897,28 @@ object GraphQueries {
       |SELECT COUNT(*) AS n_triangles
       |FROM und e1 JOIN und e2 ON e1.b = e2.a
       |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin),
+    // Each triangle appears once as its sorted triple (a<b<c), so the
+    // UNNEST of its three vertices counts every incidence exactly once
+    // — same invariant the Spark side's oriented closure guarantees.
+    "g16_clustering" -> (EdgesCte + """,
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM edges),
+      |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) GROUP BY 1)
+      |SELECT node, deg, n_tri,
+      |  CASE WHEN deg >= 2
+      |    THEN CAST(2 * n_tri AS DOUBLE) / CAST(deg * (deg - 1) AS DOUBLE)
+      |    ELSE 0.0 END AS clustering_coeff
+      |FROM (SELECT deg.n AS node, deg.deg AS deg,
+      |    CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri
+      |  FROM deg LEFT JOIN tn ON deg.n = tn.n)""".stripMargin),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -871,6 +943,7 @@ object GraphQueries {
     "g14_sssp" -> (g14_sssp _),
     "g15_kcore" -> (g15_kcore _),
     "g06_triangles" -> (g06_triangles _),
+    "g16_clustering" -> (g16_clustering _),
     // Flagship GraphX path — iterative double-precision PageRank; not
     // SQL-expressible bit-exactly (float accumulation order), so no
     // oracle: the driver records a rows-only check, and ScalaTest

@@ -167,6 +167,57 @@ object MultimodalQueries {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
 
+  /** Pigeonhole bands for [[m07_phash_neardup]]: 4 × 16-bit bands
+    * over the 64-bit aHash; any pair within Hamming ≤ 3 differs in at
+    * most 3 bits, so at least one band is bit-identical — banding
+    * loses NO pairs (d07's argument, widened to 64 bits).
+    */
+  private val M07Bands = 4
+  private val M07BandBits = 16
+  private val M07MaxHamming = M07Bands - 1
+
+  // Perceptual-hash near-dup detection over image assets — the
+  // multimodal twin of d07: the image corpus (doubled with
+  // re-ingested copies, ids offset by the broadcast max+1 scalar, so
+  // recall on exact-pixel dups is structural) maps per-partition
+  // through decode→thumbnail→aHash ([[MediaCodecs.aHashStub]] — a
+  // real DCT pHash drops into the stub untouched), then pairs come
+  // from a (band, band-value) equi-join on 16-bit signature bands —
+  // candidates bounded by bucket co-occupancy, never O(n²) — verified
+  // by one bit_count(xor) per candidate. The 8-byte signature rides
+  // the band rows, so verification never re-touches payloads; payload
+  // bytes never cross an exchange (the m06 property — at 100 TB the
+  // payload column IS the data, and this plan ships 8-byte hashes).
+  def m07_phash_neardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = media(s, dir)
+    val imgs = m.filter(col("media_type") === "image")
+      .filter(col("n_bytes") >= MediaCodecs.ImageRowBytes)
+    val off = broadcast(m.agg((max(col("doc_id")) + 1L).as("off")))
+    val corpus = imgs.unionByName(imgs.crossJoin(off)
+      .select((col("doc_id") + col("off")).as("doc_id"), col("media_type"),
+        col("payload"), col("n_bytes")))
+    val sigs = corpus.as[MediaRow].mapPartitions { it =>
+      it.map(r => (r.doc_id, MediaCodecs.aHashStub(r.payload)))
+    }.toDF("doc_id", "phash")
+    val bands = sigs.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until M07Bands).map(b =>
+        shiftrightunsigned(col("phash"), M07BandBits * b)
+          .bitwiseAND((1L << M07BandBits) - 1)): _*))
+        .as(Seq("band", "bval")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
+      col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("phash").as("pb"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast(LongType)
+          .as("hamming"))
+      .filter(col("hamming") <= M07MaxHamming)
+      .distinct()
+  }
+
   /** Oracle twin of the media derivation (string side; bytes == chars
     * on this ASCII corpus).
     */
@@ -252,6 +303,40 @@ object MultimodalQueries {
         |  FROM media WHERE media_type = 'image' AND n_bytes >= $stride)
         |SELECT doc_id, src_h, MD5($gather) AS thumb_digest FROM g""".stripMargin
     },
+    "m07_phash_neardup" -> {
+      // px unrolls the thumbnail gather positionally: out bit i reads
+      // src byte ((i//8)·src_h//8)·32 + (i%8)·4 (m05's nearest-neighbor
+      // grid, flattened); the i=63 term is the min-long literal because
+      // DuckDB raises on 1<<63 while the SUM-then-cast reproduces
+      // Java's two's-complement wrap exactly. The oracle is the direct
+      // all-pairs Hamming definition — the Spark plan only ever joins
+      // within buckets, and pigeonhole proves the same pair set.
+      val edge = MediaCodecs.ThumbEdge
+      val stride = MediaCodecs.ImageRowBytes
+      val step = stride / edge
+      MediaCte + s""",
+        |g AS (SELECT doc_id, payload, n_bytes // $stride AS src_h
+        |  FROM media WHERE media_type = 'image' AND n_bytes >= $stride),
+        |off AS (SELECT MAX(doc_id) + 1 AS off FROM media),
+        |corpus AS (SELECT doc_id, payload, src_h FROM g
+        |  UNION ALL SELECT doc_id + off, payload, src_h FROM g, off),
+        |px AS (SELECT doc_id, i,
+        |    ASCII(SUBSTRING(payload,
+        |      (((i // $edge) * src_h) // $edge) * $stride
+        |        + (i % $edge) * $step + 1, 1)) AS b
+        |  FROM corpus, (SELECT UNNEST(RANGE(0, ${edge * edge})) AS i) idx),
+        |st AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS s FROM px GROUP BY 1),
+        |ah AS (SELECT px.doc_id,
+        |    CAST(SUM(CASE WHEN ${edge * edge} * b > s THEN
+        |        CASE WHEN i = 63 THEN -9223372036854775808
+        |             ELSE CAST(1 AS BIGINT) << i END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM px JOIN st USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= $M07MaxHamming""".stripMargin
+    },
     "m03_frame_sample" -> (MediaCte + s""",
       |frames AS (SELECT doc_id, payload,
       |    UNNEST(RANGE(0, ((n_bytes - 1) // 32) + 1)) AS frame_idx
@@ -268,5 +353,6 @@ object MultimodalQueries {
     "m04_media_nn" -> (m04_media_nn _),
     "m05_resize" -> (m05_resize _),
     "m06_payload_dedup" -> (m06_payload_dedup _),
+    "m07_phash_neardup" -> (m07_phash_neardup _),
   )
 }

@@ -344,6 +344,50 @@ object TextQueries {
           lit(LmQuant).cast(DoubleType)).as("avg_prob"))
   }
 
+  /** IDF fixed-point quantum for [[t10_tfidf]]: the inverse document
+    * frequency n_docs/df is kept as ONE int64 floor division
+    * `(n_docs · 2²⁰) div df` — exact in both engines (no log, no
+    * float), ordering-equivalent to the textbook idf for ranking
+    * within a document. 2²⁰ bounds tf·idf_fp under int64 for any
+    * realistic corpus (tf ≤ 10⁸ tokens · 2²⁰·n/df ≤ 2⁴³ at n/df ≤
+    * 10⁷).
+    */
+  private val IdfQuant = 1L << 20
+
+  /** Keywords kept per document by [[t10_tfidf]]. */
+  private val TfidfK = 3
+
+  // TF-IDF keyword extraction — per document, the top-[[TfidfK]] terms
+  // by tf·idf (the classic relevance/keyword signal a curation
+  // pipeline attaches to every doc before topic bucketing). Ranking
+  // runs on the custom GroupedTopK operator ([[graft.plans.GroupedTopK]]):
+  // per-partition bounded heaps keep ≤ k rows per doc, so only
+  // k·|docs| short rows ride the final exchange — the stock
+  // row_number() window plan would sort the full |docs|·|vocab-per-doc|
+  // relation twice.
+  //
+  // Scale shape — t07's dictionary pattern end to end: the (doc, term)
+  // tf aggregation partial-aggregates map-side (a doc's tokens are
+  // co-located in its split), the document-frequency dictionary
+  // derives from tf's OUTPUT (never a second corpus pass) and is
+  // vocabulary-sized, so it BROADCASTS back onto tf; n_docs is a
+  // 1-row broadcast scalar. Nothing token-sized is cached; the score
+  // is exact int64 ([[IdfQuant]]), so top-k membership is
+  // engine-deterministic with the (score desc, term asc) total order.
+  def t10_tfidf(s: SparkSession, dir: String): DataFrame = {
+    def toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+    val nd = broadcast(t(s, dir, "documents").agg(count(lit(1)).as("nd")))
+    val scored = tf.join(dfreq, Seq("w")).crossJoin(nd)
+      .select(col("doc_id"), col("w"), col("tf"), col("df"),
+        (col("tf") * expr(s"(nd * $IdfQuant) DIV df")).as("score_fp"))
+    graft.plans.GroupedTopK.of(scored, Seq("doc_id"),
+      Seq(("score_fp", false), ("w", true)), TfidfK)
+  }
+
   /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final
     * select) — shared by the t03 oracle and the curation pipeline's
     * ([[PipelineQueries]]) language gate.
@@ -454,6 +498,22 @@ object TextQueries {
          |    / CAST($LmQuant AS DOUBLE) AS avg_prob
          |FROM dg JOIN term USING (w1, w2)
          |GROUP BY 1""".stripMargin,
+    // Same scoring re-expressed relationally; `//` is DuckDB's int64
+    // floor division = Spark's DIV on the same exact integers.
+    "t10_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         |scored AS (SELECT doc_id, w, tf, df,
+         |    tf * ((nd * $IdfQuant) // df) AS score_fp
+         |  FROM tf JOIN dfreq USING (w), nd)
+         |SELECT doc_id, w, tf, df, score_fp FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score_fp DESC, w ASC) AS rn
+         |  FROM scored) WHERE rn <= $TfidfK""".stripMargin,
     "t05_fingerprint" ->
       s"""SELECT doc_id,
          |  ${polyHashSql("text")} AS fp,
@@ -494,5 +554,6 @@ object TextQueries {
     "t06_repetition" -> (t06_repetition _),
     "t08_redact" -> (t08_redact _),
     "t09_lm_score" -> (t09_lm_score _),
+    "t10_tfidf" -> (t10_tfidf _),
   )
 }

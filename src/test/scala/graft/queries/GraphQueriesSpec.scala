@@ -114,6 +114,30 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"pinned RDDs survived eviction: $leaked")
   }
 
+  test("clustering coefficients match the brute-force adjacency-set definition") {
+    val got = GraphQueries.g16_clustering(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    val edges = GraphQueries.derivedEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, v) => n -> (v.map(_._2).toSet - n) }
+    val expected = adj.map { case (n, nb) =>
+      val d = nb.size.toLong
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(u, v) => adj(u).contains(v) }.toLong
+      val coeff = if (d >= 2) 2.0 * tri / (d * (d - 1)) else 0.0
+      n -> ((d, tri, coeff))
+    }
+
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (n, want) => assert(got(n) === want, s"node $n") }
+    // the per-node counts reconcile with the global triangle count
+    val total = GraphQueries.g06_triangles(spark, dir).head().getLong(0)
+    assert(got.values.map(_._2).sum === 3 * total)
+  }
+
   test("degrees reconcile with edge count") {
     val e = GraphQueries.derivedEdges(spark, dir)
     val nEdges = e.count()

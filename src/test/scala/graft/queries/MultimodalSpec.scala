@@ -103,4 +103,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(base(keeper) === mt, s"keeper $keeper not from the base corpus")
     }
   }
+
+  test("phash near-dup recovers every re-ingested image copy at hamming 0") {
+    val media = MultimodalQueries.media(spark, dir)
+      .select("doc_id", "media_type", "n_bytes").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val off = media.map(_._1).max + 1
+    val imgs = media.collect { case (id, "image", n)
+      if n >= MediaCodecs.ImageRowBytes => id }.toSet
+    assert(imgs.nonEmpty)
+
+    val pairs = MultimodalQueries.m07_phash_neardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // structural recall: an exact-pixel re-ingest always lands at
+    // hamming 0, and banding is pigeonhole-lossless, so every planted
+    // (base, base+off) pair must be present
+    imgs.foreach { id =>
+      assert(pairs.get((id, id + off)).contains(0L), s"planted pair for $id")
+    }
+    // and nothing reported beyond the hamming bound
+    pairs.values.foreach(h => assert(h >= 0L && h <= 3L))
+  }
 }

@@ -42,6 +42,31 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("t10 tf-idf top-3 matches the brute-force definition exactly") {
+    val got = TextQueries.t10_tfidf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nd = docs.length.toLong
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, o) => (id, w, o.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, v) => w -> v.length.toLong }
+    val expected = tf.toSeq.map { case (id, w, c) =>
+      (id, w, c, df(w), c * ((nd * (1L << 20)) / df(w)))
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, w, _, _, sc) => (-sc, w) }.take(3)
+    }.toSet
+
+    assert(got === expected)
+    // every doc yields exactly 3 keywords on this fixture
+    assert(got.size === nd * 3)
+  }
+
   test("t09 bigram LM scores match the per-document definition exactly") {
     val got = TextQueries.t09_lm_score(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
