@@ -50,6 +50,17 @@ object GraftExpressions {
   def floorDiv(a: Column, b: Column): Column =
     ColumnBridge.column(FloorDiv(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Morton/z-order interleave of two 31-bit keys ([[ZOrder]]):
+    * `a`'s bits land at even positions, `b`'s at odd. Sorting or
+    * range-partitioning by the result clusters rows that are close in
+    * BOTH dimensions — the Delta/Iceberg `ZORDER BY` primitive that
+    * makes parquet min/max row-group pruning effective for
+    * multi-dimensional predicates.
+    */
+  def zorder(a: Column, b: Column): Column =
+    ColumnBridge.column(ZOrder(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 case class PolyHash(child: Expression)
@@ -173,4 +184,62 @@ case class FloorDiv(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloorDiv =
     copy(left = newLeft, right = newRight)
+}
+
+/** Morton (z-order) bit interleave of two non-negative 31-bit longs:
+  * output bit 2i = a's bit i, bit 2i+1 = b's bit i — a 62-bit
+  * space-filling-curve key whose sort order clusters 2-D-close rows.
+  *
+  * Inputs outside [0, 2³¹) RAISE rather than silently truncate (the
+  * BitmapDistinct no-silent-drops stance); callers range-reduce first
+  * (q42 mods its dims down). 31 bits per dim keeps every intermediate
+  * of the magic-mask spread below 2⁶³, so the DuckDB oracle replicates
+  * the exact shift/mask chain without tripping its signed-overflow
+  * checks — the evaluation is the standard 5-step parallel bit spread,
+  * one static call per row under whole-stage codegen.
+  */
+case class ZOrder(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_zorder needs (bigint, bigint), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ZOrder.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder {
+  val MaxKey: Long = (1L << 31) - 1
+
+  /** Spread the low 31 bits of `v` to even bit positions 0,2,…,60. */
+  def spread(v: Long): Long = {
+    var x = v
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleave(a: Long, b: Long): Long = {
+    if (a < 0 || a > MaxKey || b < 0 || b > MaxKey)
+      throw new IllegalArgumentException(
+        s"graft_zorder key out of [0, 2^31): ($a, $b) — range-reduce first")
+    spread(a) | (spread(b) << 1)
+  }
 }

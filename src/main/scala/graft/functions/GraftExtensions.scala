@@ -51,6 +51,12 @@ object GraftExtensions {
         require(args.length == 2, "graft_floordiv(a, b)")
         FloorDiv(args.head, args(1))
       }),
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder].getName, "graft_zorder"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_zorder(a, b)")
+        ZOrder(args.head, args(1))
+      }),
     (FunctionIdentifier("graft_bitmap_distinct"),
       new ExpressionInfo(classOf[BitmapDistinct].getName, "graft_bitmap_distinct"),
       (args: Seq[Expression]) => args match {

@@ -535,6 +535,60 @@ object CoreQueries {
     funnelOf(graft.Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts")))
 
+  /** Z-bucket width for [[q42_zorder]]: zval div 2¹² ⇒ each bucket is
+    * an aligned 2⁶×2⁶ tile of the (part, supp) key plane.
+    */
+  private val ZBucketShift = 12
+
+  // Z-order (Morton) clustering statistics — the layout primitive
+  // behind Delta/Iceberg ZORDER BY: interleave the bits of two join/
+  // filter dimensions ([[graft.functions.ZOrder]], codegen'd, one
+  // static call per row), bucket by the high bits, and report each
+  // bucket's row count + per-dimension min/max envelope. Because a
+  // z-bucket is an aligned square tile of the key plane, BOTH
+  // envelopes are tight (≤ 2⁸ wide here) — the property that makes
+  // parquet min/max row-group pruning effective for 2-D predicates
+  // after a `repartitionByRange(zval).sortWithinPartitions(zval)`
+  // write, where a 1-D layout bounds only its sort dimension. At
+  // 100 TB this query IS the layout audit a table-optimize job emits:
+  // one narrow scan, one partial-aggregating shuffle of ~|buckets|
+  // rows; keys range-reduce (mod 2³¹) before interleaving — the
+  // expression raises on out-of-range keys rather than truncating.
+  def q42_zorder(s: SparkSession, dir: String): DataFrame = {
+    val z = graft.functions.GraftExpressions.zorder(
+      col("l_partkey"), col("l_suppkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
+      .groupBy(graft.functions.GraftExpressions.floorDiv(
+        col("zval"), lit(1L << ZBucketShift)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"),
+        max(col("l_suppkey")).as("max_supp"))
+  }
+
+  /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
+    * (5 shift/mask steps per dimension; decimal mask literals — every
+    * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
+    * signed-overflow check never trips).
+    */
+  private def zorderCte(src: String, a: String, b: String): String = {
+    val masks = Seq(
+      16 -> "281470681808895",        // 0x0000FFFF0000FFFF
+      8 -> "71777214294589695",       // 0x00FF00FF00FF00FF
+      4 -> "1085102592571150095",     // 0x0F0F0F0F0F0F0F0F
+      2 -> "3689348814741910323",     // 0x3333333333333333
+      1 -> "6148914691236517205")     // 0x5555555555555555
+    val steps = masks.zipWithIndex.map { case ((sh, m), i) =>
+      s"zs${i + 1} AS (SELECT *, ((a$i | (a$i << $sh)) & $m) AS a${i + 1}, " +
+        s"((b$i | (b$i << $sh)) & $m) AS b${i + 1} FROM zs$i)"
+    }.mkString(",\n")
+    s"""zs0 AS (SELECT $a AS dim_a, $b AS dim_b, $a AS a0, $b AS b0 FROM $src),
+       |$steps,
+       |zvals AS (SELECT dim_a, dim_b, (a5 | (b5 << 1)) AS zval FROM zs5)""".stripMargin
+  }
+
   /** [[q41_funnel]] on any (user_id, event_type, ts) relation — shared
     * with the streaming spec, which pins
     * [[graft.streaming.StreamOps.funnelStages]]' incremental state
@@ -572,6 +626,13 @@ object CoreQueries {
         |    + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |  LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q42_zorder" ->
+      s"""WITH ${zorderCte("lineitem", "l_partkey", "l_suppkey")}
+         |SELECT zval // ${1L << ZBucketShift} AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(dim_a) AS min_part, MAX(dim_a) AS max_part,
+         |  MIN(dim_b) AS min_supp, MAX(dim_b) AS max_supp
+         |FROM zvals GROUP BY 1""".stripMargin,
     "q40_bitmap_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
@@ -838,5 +899,6 @@ object CoreQueries {
     "q39_grouped_topk" -> (q39_grouped_topk _),
     "q40_bitmap_distinct" -> (q40_bitmap_distinct _),
     "q41_funnel" -> (q41_funnel _),
+    "q42_zorder" -> (q42_zorder _),
   )
 }

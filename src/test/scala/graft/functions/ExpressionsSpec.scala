@@ -48,6 +48,31 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("graft_dot"))
   }
 
+  test("ZOrder matches the per-bit definition and clusters tiles") {
+    import spark.implicits._
+    // brute-force bit interleave as the independent definition
+    def ref(a: Long, b: Long): Long =
+      (0 until 31).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 0L), (0L, 255L),
+      (12345L, 54321L), (ZOrder.MaxKey, ZOrder.MaxKey))
+    val df = cases.toDF("a", "b")
+    val got = df.select(GraftExpressions.zorder(col("a"), col("b")))
+      .as[Long].collect()
+    assert(got.toSeq === cases.map { case (a, b) => ref(a, b) })
+    // locality: keys in one aligned 2^8-tile share zval >> 16
+    assert(ZOrder.interleave(256L, 512L) >> 16 ===
+      ZOrder.interleave(256L + 255L, 512L + 255L) >> 16)
+    // out-of-range raises instead of truncating
+    val err = intercept[Exception] {
+      Seq((ZOrder.MaxKey + 1, 0L)).toDF("a", "b")
+        .select(GraftExpressions.zorder(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.contains("graft_zorder") ||
+      err.getCause != null)
+  }
+
   test("SQL registration exposes graft_polyhash and graft_dot") {
     ColumnBridge.registerGraftFunctions(spark)
     val r = spark.sql(

@@ -172,6 +172,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "g04_pagerank_i10" -> ((4, 2)),
       "g08_pagerank_compat" -> ((4, 2)),
       "g09_pagerank_personalized" -> ((4, 2)),
+      // the wedge chain feeds the left join's aggregated side, so
+      // count() cascades ALL seven joins away — the bench number
+      // would be a deg-side scan-count without the uncounted twin
+      "g16_clustering" -> ((7, 0)),
       "p04_contamination" -> ((1, 0)),
       "q41_funnel" -> ((5, 0)))
     assert(collapsed === expected,
