@@ -568,6 +568,51 @@ object CoreQueries {
         max(col("l_suppkey")).as("max_supp"))
   }
 
+  /** Histogram bin width for [[q43_histogram_quantile]] — a power of
+    * two, so `x / 4096` is IEEE-exact for every double and the floor
+    * is engine-identical.
+    */
+  private val HistW = 4096L
+
+  // Histogram quantiles — the mergeable-sketch percentile path for
+  // 100 TB, where q35's exact `percentile()` cannot go: that
+  // aggregate buffers EVERY value of a group in memory and
+  // single-sorts it, so a hot group OOMs the executor. Here the only
+  // corpus-sized operation is a (group, bin) hash aggregation whose
+  // map-side combine collapses each partition to its occupied bins —
+  // the exchange moves ~|groups|·|bins| short rows, histograms merge
+  // by addition (associative — the sketch property), and the quantile
+  // extraction runs on the k·bins relation: a window cumsum + one
+  // threshold probe per percentile. Rank thresholds are exact int64
+  // ceilings (`(n+3) div 4` etc.), so the reported bin is
+  // deterministic — the answer is the true quantile to ±[[HistW]],
+  // the explicit precision/memory trade a production sketch
+  // (t-digest, KLL) tunes continuously.
+  def q43_histogram_quantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        floor(col("l_extendedprice") / lit(HistW.toDouble))
+          .cast(LongType).as("bin"))
+      .groupBy(col("rf"), col("bin")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("rf")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("c")).over(w))
+    val n = broadcast(h.groupBy(col("rf")).agg(sum(col("c")).as("n")))
+    cum.join(n, Seq("rf"))
+      .groupBy(col("rf"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 3) DIV 4"), col("bin")))
+          .as("p25_bin"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("bin")))
+          .as("p50_bin"),
+        min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("bin")))
+          .as("p75_bin"))
+      .select(col("rf"), col("n"), col("p25_bin"), col("p50_bin"),
+        col("p75_bin"),
+        (col("p50_bin") * HistW).as("p50_lo"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -633,6 +678,22 @@ object CoreQueries {
          |  MIN(dim_a) AS min_part, MAX(dim_a) AS max_part,
          |  MIN(dim_b) AS min_supp, MAX(dim_b) AS max_supp
          |FROM zvals GROUP BY 1""".stripMargin,
+    "q43_histogram_quantile" ->
+      s"""WITH h AS (SELECT l_returnflag AS rf,
+         |    CAST(FLOOR(l_extendedprice / $HistW) AS BIGINT) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |n AS (SELECT rf, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         |cum AS (SELECT rf, bin,
+         |    CAST(SUM(c) OVER (PARTITION BY rf ORDER BY bin) AS BIGINT) AS cum
+         |  FROM h)
+         |SELECT cum.rf, n.n,
+         |  MIN(CASE WHEN cum >= (n + 3) // 4 THEN bin END) AS p25_bin,
+         |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) AS p50_bin,
+         |  MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN bin END) AS p75_bin,
+         |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * $HistW AS p50_lo
+         |FROM cum JOIN n ON cum.rf = n.rf
+         |GROUP BY 1, 2""".stripMargin,
     "q40_bitmap_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
@@ -900,5 +961,6 @@ object CoreQueries {
     "q40_bitmap_distinct" -> (q40_bitmap_distinct _),
     "q41_funnel" -> (q41_funnel _),
     "q42_zorder" -> (q42_zorder _),
+    "q43_histogram_quantile" -> (q43_histogram_quantile _),
   )
 }

@@ -298,6 +298,57 @@ object PipelineQueries {
           .when(col("bucket") < TestLo, "val")
           .otherwise("test"))
 
+  /** Curriculum stages ([[p08_curriculum]]): length-bucket count and
+    * the per-bucket hash-lane fanout. 8 stages × 8 lanes = 64
+    * (bucket, lane) cells; positions are contiguous in (bucket, lane)
+    * order.
+    */
+  private val CurrStages = 8L
+  private val CurrLanes = 8L
+  private val CurrBucketW = 32L
+
+  // Curriculum ordering — the data-ordering step of curriculum
+  // training: every document gets a GLOBAL training position such
+  // that shorter (easier) docs come first, in
+  // [[CurrStages]] length-bucket stages. A naive global
+  // `row_number() OVER (ORDER BY …)` is one task at any scale; this
+  // is the two-level form that parallelizes without losing
+  // determinism: docs land in (bucket, lane) cells (lane =
+  // content-hash mod [[CurrLanes]]), a 64-row cell-count relation
+  // yields broadcast exclusive offsets via one tiny-window cumsum,
+  // and position = cell offset + rank within the cell under the
+  // (hash, doc_id) total order. Each cell ranks independently —
+  // 64 parallel units here, |stages|·|lanes| tunable to the cluster —
+  // and the assignment is invariant to partitioning and cluster size
+  // (the p03/p06 stance: coordinates derive only from content).
+  // Within a stage the inter-lane order is arbitrary-but-deterministic,
+  // which is exactly what a curriculum needs (stages ordered, intra-
+  // stage shuffled).
+  def p08_curriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " "))
+          .cast(org.apache.spark.sql.types.LongType).as("nt"),
+        TextQueries.polyHash("text").as("h"))
+      .select(col("doc_id"), col("h"),
+        least(graft.functions.GraftExpressions.floorDiv(
+          col("nt"), lit(CurrBucketW)), lit(CurrStages - 1)).as("bucket"),
+        pmod(col("h"), lit(CurrLanes)).as("lane"))
+    val cells = d.groupBy(col("bucket"), col("lane"))
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.orderBy(col("bucket"), col("lane"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = broadcast(
+      cells.withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("bucket"), col("lane"), col("off")))
+    val wRank = Window.partitionBy(col("bucket"), col("lane"))
+      .orderBy(col("h"), col("doc_id"))
+    d.join(offs, Seq("bucket", "lane"))
+      .withColumn("pos", col("off") + row_number().over(wRank) - 1)
+      .select(col("doc_id"), col("bucket"), col("lane"), col("pos"))
+  }
+
   /** p05's full oracle query — also spliced as [[p07_mixture_sample]]'s
     * weight CTE, so the sampler is checked against the same weights.
     */
@@ -319,6 +370,26 @@ object PipelineQueries {
       |FROM sh, w""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "p08_curriculum" -> s"""
+      |WITH d AS (SELECT doc_id,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS nt,
+      |    ${TextQueries.polyHashSql("text")} AS h
+      |  FROM documents),
+      |b AS (SELECT doc_id, h,
+      |    LEAST(nt // $CurrBucketW, ${CurrStages - 1}) AS bucket,
+      |    h % $CurrLanes AS lane
+      |  FROM d),
+      |cnt AS (SELECT bucket, lane, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2),
+      |off AS (SELECT bucket, lane,
+      |    CAST(COALESCE(SUM(c) OVER (ORDER BY bucket, lane
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS off
+      |  FROM cnt)
+      |SELECT doc_id, bucket, lane,
+      |  off + ROW_NUMBER() OVER (PARTITION BY bucket, lane
+      |    ORDER BY h, doc_id) - 1 AS pos
+      |FROM b JOIN off USING (bucket, lane)""".stripMargin,
     "p03_pack" -> s"""
       |WITH toks AS (
       |  SELECT doc_id,
@@ -419,5 +490,6 @@ object PipelineQueries {
     "p05_mixture" -> (p05_mixture _),
     "p06_split" -> (p06_split _),
     "p07_mixture_sample" -> (p07_mixture_sample _),
+    "p08_curriculum" -> (p08_curriculum _),
   )
 }

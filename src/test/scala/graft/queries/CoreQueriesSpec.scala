@@ -67,6 +67,32 @@ class CoreQueriesSpec extends AnyFunSuite {
     })
   }
 
+  test("histogram quantiles bracket the exact percentiles within one bin") {
+    val hist = CoreQueries.q43_histogram_quantile(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val W = 4096.0
+    assert(hist.keySet === exact.keySet)
+    hist.foreach { case (rf, (b25, b50, b75)) =>
+      val (e25, e50, e75) = exact(rf)
+      // the sketch's bin contains the true value to within one bin
+      // either side (exact percentiles interpolate between order
+      // statistics, which can straddle a bin edge)
+      assert((b25 - 1) * W <= e25 && e25 < (b25 + 2) * W, s"$rf p25")
+      assert((b50 - 1) * W <= e50 && e50 < (b50 + 2) * W, s"$rf p50")
+      assert((b75 - 1) * W <= e75 && e75 < (b75 + 2) * W, s"$rf p75")
+    }
+  }
+
   test("approx_count_distinct stays within 2% of exact on the fixed fixture") {
     // q30's oracle gate is a loose 8% (rsd=0.02 is a std-dev, not a
     // bound, so the cross-sf hard gate needs headroom); the tight 2%

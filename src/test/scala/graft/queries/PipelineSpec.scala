@@ -153,6 +153,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum positions are a stage-ordered permutation of 0..n-1") {
+    val rows = PipelineQueries.p08_curriculum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = graft.Tables(spark, dir, "documents").count()
+    assert(rows.length === n.toInt)
+    // exactly the positions 0..n-1, each once
+    assert(rows.map(_._4).sorted.toSeq === (0L until n).toSeq)
+    // stages are globally ordered: every doc of bucket b trains
+    // before any doc of bucket b+1
+    val byBucket = rows.groupBy(_._2).view
+      .mapValues(v => (v.map(_._4).min, v.map(_._4).max)).toMap
+    byBucket.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byBucket(a)._2 < byBucket(b)._1, s"$a vs $b")
+      case _ =>
+    }
+    // bucket really is the length stage
+    val nt = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, bucket, _, _) =>
+      assert(bucket === math.min(nt(id) / 32, 7L), s"doc $id")
+    }
+  }
+
   test("mixture sampler admits by content hash against the p05 thresholds") {
     val got = PipelineQueries.p07_mixture_sample(spark, dir).collect()
       .map(r => r.getLong(0) ->
