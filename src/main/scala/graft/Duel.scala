@@ -85,7 +85,8 @@ object Duel {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
-    val which = if (args.nonEmpty) args.toSet else Set("topk", "bitmap", "band")
+    val which = if (args.nonEmpty) args.toSet
+      else Set("topk", "bitmap", "band", "hist")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -128,6 +129,27 @@ object Duel {
       val stock2 = measure(spark, li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("n")), n)
       report("bitmap_vs_count_distinct_growing", custom2, stock2, sfDir)
+    }
+
+    if (which("hist")) {
+      // q43's mergeable (group, bin) histogram vs the exact
+      // `percentile()` aggregate on the same column. The exact
+      // aggregate's partial buffer carries EVERY value of the group
+      // through the exchange (that is what makes it exact — and what
+      // OOMs a hot group at scale); the histogram's partials collapse
+      // map-side to occupied bins, so its shuffle is ~|partitions|·
+      // |bins| short rows regardless of data volume. Wall time at
+      // small SF mostly tracks the scan; shuffle bytes are the
+      // scale-limiting number the duel exists to record.
+      val custom = measure(spark,
+        SparkEntry.queries("q43_histogram_quantile")(spark, sfDir), n)
+      val stock = measure(spark, Tables(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          count(lit(1)).as("n")), n)
+      report("hist_quantile_vs_exact_percentile", custom, stock, sfDir)
     }
 
     if (which("band")) {

@@ -359,12 +359,7 @@ object TextQueries {
 
   // TF-IDF keyword extraction — per document, the top-[[TfidfK]] terms
   // by tf·idf (the classic relevance/keyword signal a curation
-  // pipeline attaches to every doc before topic bucketing). Ranking
-  // runs on the custom GroupedTopK operator ([[graft.plans.GroupedTopK]]):
-  // per-partition bounded heaps keep ≤ k rows per doc, so only
-  // k·|docs| short rows ride the final exchange — the stock
-  // row_number() window plan would sort the full |docs|·|vocab-per-doc|
-  // relation twice.
+  // pipeline attaches to every doc before topic bucketing).
   //
   // Scale shape — t07's dictionary pattern end to end: the (doc, term)
   // tf aggregation partial-aggregates map-side (a doc's tokens are
@@ -374,7 +369,17 @@ object TextQueries {
   // 1-row broadcast scalar. Nothing token-sized is cached; the score
   // is exact int64 ([[IdfQuant]]), so top-k membership is
   // engine-deterministic with the (score desc, term asc) total order.
+  //
+  // Ranking plan — operator selection is REGIME-dependent, measured
+  // at sf10 (SCALE.md "k-per-group crossover"): with |docs| groups
+  // and only ~|vocab-per-doc|/|partitions| ≈ 1–2 rows per group per
+  // partition, the custom GroupedTopK's partial heap pass prunes
+  // nothing and pays a groups-sized hash map per partition (32.7s vs
+  // 23.0s at sf10) — so t10 takes the stock WindowGroupLimit plan,
+  // while s07/q39 (few groups × millions of rows each, the inverse
+  // regime) keep the heap operator that wins there 1.6–2.9×.
   def t10_tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w"))
@@ -384,8 +389,10 @@ object TextQueries {
     val scored = tf.join(dfreq, Seq("w")).crossJoin(nd)
       .select(col("doc_id"), col("w"), col("tf"), col("df"),
         (col("tf") * expr(s"(nd * $IdfQuant) DIV df")).as("score_fp"))
-    graft.plans.GroupedTopK.of(scored, Seq("doc_id"),
-      Seq(("score_fp", false), ("w", true)), TfidfK)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("w").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TfidfK).drop("rn")
   }
 
   /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final
