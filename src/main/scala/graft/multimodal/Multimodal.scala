@@ -52,6 +52,36 @@ object MediaCodecs {
     * recompute every output byte; callers' schema/partitioning/digest
     * plumbing is untouched by swapping in a real resampler.
     */
+  /** Window width (bytes ≙ stub samples) for [[audioWindowsStub]]. */
+  val AudioWinBytes = 64
+
+  /** STUB — PCM decode stand-in: payload bytes as unsigned 8-bit
+    * samples, sliced into full [[AudioWinBytes]] windows (partial
+    * tail dropped), each reduced to (energy = Σ sample², peak = max
+    * sample) — the envelope a silence/clipping detector reads. A real
+    * audio decoder replaces the byte view; the windowing/flatMap
+    * plumbing and exact-int64 reductions stay.
+    */
+  def audioWindowsStub(payload: Array[Byte]): Array[(Long, Long)] = {
+    val nWin = payload.length / AudioWinBytes
+    val out = new Array[(Long, Long)](nWin)
+    var w = 0
+    while (w < nWin) {
+      var energy = 0L
+      var peak = 0L
+      var j = 0
+      while (j < AudioWinBytes) {
+        val v = (payload(w * AudioWinBytes + j) & 0xff).toLong
+        energy += v * v
+        if (v > peak) peak = v
+        j += 1
+      }
+      out(w) = (energy, peak)
+      w += 1
+    }
+    out
+  }
+
   /** Average-hash ("aHash") perceptual signature over the
     * [[resizeStub]] thumbnail: bit i is set iff thumbnail byte i
     * (unsigned) exceeds the thumbnail mean — compared as
@@ -113,3 +143,9 @@ case class MediaThumb(
     doc_id: Long,
     src_h: Long,
     resized: Array[Byte])
+
+case class MediaAudioWin(
+    doc_id: Long,
+    win_idx: Long,
+    energy: Long,
+    peak: Long)

@@ -568,6 +568,37 @@ object CoreQueries {
         max(col("l_suppkey")).as("max_supp"))
   }
 
+  // Cohort retention — the product-analytics matrix behind "day-N
+  // retention": users cohort by their first active day, and each
+  // (cohort, age) cell counts how many came back. Days are epoch-day
+  // int64 (unix_date / DATE subtraction — no timezone arithmetic in
+  // the value), the activity relation dedups to (user, day) with a
+  // map-side-combining distinct, the user→cohort join is co-keyed
+  // with the distinct's own partitioning (no extra exchange at
+  // scale), cohort sizes are a broadcast |cohorts|-row relation, and
+  // retention is ONE double division of two exact counts. The
+  // (cohort, age) aggregation partial-aggregates map-side, so the
+  // final exchange moves ~|cohorts|·|ages| short rows — at 100 TB of
+  // events the only full-data shuffles are the dedup and the
+  // user-keyed join.
+  def q44_retention(s: SparkSession, dir: String): DataFrame = {
+    val act = graft.Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_date(to_date(ts))").cast(LongType).as("day"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = broadcast(first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size")))
+    act.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("age_days"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast(DoubleType) / col("cohort_size").cast(DoubleType))
+          .as("retention"))
+  }
+
   /** Histogram bin width for [[q43_histogram_quantile]] — a power of
     * two, so `x / 4096` is IEEE-exact for every double and the floor
     * is engine-identical.
@@ -678,6 +709,19 @@ object CoreQueries {
          |  MIN(dim_a) AS min_part, MAX(dim_a) AS max_part,
          |  MIN(dim_b) AS min_supp, MAX(dim_b) AS max_supp
          |FROM zvals GROUP BY 1""".stripMargin,
+    "q44_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1),
+        |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY 1),
+        |r AS (SELECT f.cohort_day, act.day - f.cohort_day AS age_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM act JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort_day, r.age_days, r.n_active, sz.cohort_size,
+        |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+        |FROM r JOIN sz USING (cohort_day)""".stripMargin,
     "q43_histogram_quantile" ->
       s"""WITH h AS (SELECT l_returnflag AS rf,
          |    CAST(FLOOR(l_extendedprice / $HistW) AS BIGINT) AS bin,
@@ -962,5 +1006,6 @@ object CoreQueries {
     "q41_funnel" -> (q41_funnel _),
     "q42_zorder" -> (q42_zorder _),
     "q43_histogram_quantile" -> (q43_histogram_quantile _),
+    "q44_retention" -> (q44_retention _),
   )
 }

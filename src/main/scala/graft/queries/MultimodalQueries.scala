@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.multimodal.{MediaCodecs, MediaFeatures, MediaRow, MediaThumb}
+import graft.multimodal.{MediaAudioWin, MediaCodecs, MediaFeatures, MediaRow,
+  MediaThumb}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -167,6 +168,29 @@ object MultimodalQueries {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
 
+  // Audio energy profile — the silence/clipping envelope pass over
+  // audio-typed payloads: the stub PCM view slices each payload into
+  // 64-sample windows and reduces each to exact int64 (energy, peak)
+  // per-partition ([[MediaCodecs.audioWindowsStub]]; a real decoder
+  // drops in untouched). One narrow typed flatMap off the scan — no
+  // shuffle at any scale, output ~n_bytes/64 short rows per asset —
+  // the m03 frame-sampling shape with a reduction instead of a
+  // digest.
+  def m08_audio_energy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).filter(col("media_type") === "audio")
+      .filter(col("n_bytes") >= MediaCodecs.AudioWinBytes)
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          MediaCodecs.audioWindowsStub(r.payload).iterator.zipWithIndex.map {
+            case ((energy, peak), i) =>
+              MediaAudioWin(r.doc_id, i.toLong, energy, peak)
+          }
+        }
+      }.toDF()
+  }
+
   /** Pigeonhole bands for [[m07_phash_neardup]]: 4 × 16-bit bands
     * over the 64-bit aHash; any pair within Hamming ≤ 3 differs in at
     * most 3 bits, so at least one band is bit-identical — banding
@@ -303,6 +327,20 @@ object MultimodalQueries {
         |  FROM media WHERE media_type = 'image' AND n_bytes >= $stride)
         |SELECT doc_id, src_h, MD5($gather) AS thumb_digest FROM g""".stripMargin
     },
+    "m08_audio_energy" -> {
+      val w = MediaCodecs.AudioWinBytes
+      MediaCte + s""",
+        |wins AS (SELECT doc_id, payload,
+        |    UNNEST(RANGE(0, n_bytes // $w)) AS win_idx
+        |  FROM media WHERE media_type = 'audio' AND n_bytes >= $w),
+        |px AS (SELECT doc_id, win_idx,
+        |    ASCII(SUBSTRING(payload, CAST(win_idx * $w + j + 1 AS INT), 1)) AS v
+        |  FROM wins, (SELECT UNNEST(RANGE(0, $w)) AS j) idx)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  CAST(MAX(v) AS BIGINT) AS peak
+        |FROM px GROUP BY 1, 2""".stripMargin
+    },
     "m07_phash_neardup" -> {
       // px unrolls the thumbnail gather positionally: out bit i reads
       // src byte ((i//8)·src_h//8)·32 + (i%8)·4 (m05's nearest-neighbor
@@ -354,5 +392,6 @@ object MultimodalQueries {
     "m05_resize" -> (m05_resize _),
     "m06_payload_dedup" -> (m06_payload_dedup _),
     "m07_phash_neardup" -> (m07_phash_neardup _),
+    "m08_audio_energy" -> (m08_audio_energy _),
   )
 }

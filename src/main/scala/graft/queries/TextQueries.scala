@@ -395,6 +395,47 @@ object TextQueries {
       .filter(col("rn") <= TfidfK).drop("rn")
   }
 
+  /** Collocation-mining knobs ([[t11_collocations]]): margin floors
+    * keep the lift estimate stable (rare-word pairs have huge noisy
+    * lift — the standard PMI pathology), k bounds the report.
+    */
+  private val CollocMin = 50L
+  private val CollocK = 20
+
+  // Collocation mining — the corpus-phrase discovery step (PMI-style
+  // lift): for bigram (w1, w2), lift = P(w1,w2) / (P(w1)·P(w2)) =
+  // c12·N / (c1·c2) > 1 means the pair co-occurs more than its parts
+  // predict; the global top-[[CollocK]] by lift is the phrase
+  // dictionary a tokenizer or n-gram LM bootstraps from.
+  //
+  // Scale shape — t09's dictionary pattern: ONE bigram-dictionary
+  // aggregation (map-side combined, the exchange moves distinct
+  // bigrams, never tokens); both marginals and the total derive from
+  // the dictionary's OUTPUT (no second corpus pass — c1/c2 are
+  // bigram-start/end marginals, the standard bigram-model
+  // convention); the final report is a TakeOrderedAndProject over the
+  // vocab²-bounded scored relation — top-k without a global sort.
+  // Lift is THREE IEEE ops in fixed order (double(c12)·N / c1 / c2)
+  // on exact int64 inputs, so ordering and values are bit-identical
+  // in both engines; ties break on (w1, w2).
+  def t11_collocations(s: SparkSession, dir: String): DataFrame = {
+    def grams = gramPositions(t(s, dir, "documents"), 2)
+      .select(element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+    val big = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uni1 = broadcast(big.groupBy(col("w1")).agg(sum(col("c12")).as("c1")))
+    val uni2 = broadcast(big.groupBy(col("w2")).agg(sum(col("c12")).as("c2")))
+    val tot = broadcast(big.agg(sum(col("c12")).as("n")))
+    big.join(uni1, Seq("w1")).join(uni2, Seq("w2")).crossJoin(tot)
+      .filter(col("c1") >= CollocMin && col("c2") >= CollocMin)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (col("c12").cast(DoubleType) * col("n") / col("c1") / col("c2"))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocK)
+  }
+
   /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final
     * select) — shared by the t03 oracle and the curation pipeline's
     * ([[PipelineQueries]]) language gate.
@@ -505,6 +546,23 @@ object TextQueries {
          |    / CAST($LmQuant AS DOUBLE) AS avg_prob
          |FROM dg JOIN term USING (w1, w2)
          |GROUP BY 1""".stripMargin,
+    "t11_collocations" ->
+      s"""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+         |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+         |dg AS (SELECT g[1] AS w1, g[2] AS w2
+         |  FROM (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+         |      i -> [w[i], w[i+1]])) AS g
+         |    FROM w)),
+         |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM dg GROUP BY 1, 2),
+         |u1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+         |u2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM big GROUP BY 1),
+         |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM big)
+         |SELECT w1, w2, c12, c1, c2,
+         |  CAST(c12 AS DOUBLE) * n / c1 / c2 AS lift
+         |FROM big JOIN u1 USING (w1) JOIN u2 USING (w2), n
+         |WHERE c1 >= $CollocMin AND c2 >= $CollocMin
+         |ORDER BY lift DESC, w1, w2 LIMIT $CollocK""".stripMargin,
     // Same scoring re-expressed relationally; `//` is DuckDB's int64
     // floor division = Spark's DIV on the same exact integers.
     "t10_tfidf" ->
@@ -562,5 +620,6 @@ object TextQueries {
     "t08_redact" -> (t08_redact _),
     "t09_lm_score" -> (t09_lm_score _),
     "t10_tfidf" -> (t10_tfidf _),
+    "t11_collocations" -> (t11_collocations _),
   )
 }

@@ -67,6 +67,27 @@ class CoreQueriesSpec extends AnyFunSuite {
     })
   }
 
+  test("retention matrix matches the brute-force cohort definition") {
+    val got = CoreQueries.q44_retention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+    val act = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_date(to_date(ts))").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val cohort = act.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    val expected = act.groupBy { case (u, d) => (cohort(u), d - cohort(u)) }
+      .map { case ((c, age), v) =>
+        (c, age) -> ((v.size.toLong, sizes(c), v.size.toDouble / sizes(c)))
+      }
+    assert(got === expected)
+    // age-0 cells are complete cohorts (everyone is active on day 0)
+    got.collect { case ((_, 0L), (n, sz, r)) =>
+      assert(n === sz && r === 1.0)
+    }
+  }
+
   test("histogram quantiles bracket the exact percentiles within one bin") {
     val hist = CoreQueries.q43_histogram_quantile(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))

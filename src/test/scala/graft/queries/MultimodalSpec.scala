@@ -104,6 +104,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio energy windows match the per-byte definition") {
+    val got = MultimodalQueries.m08_audio_energy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val audio = MultimodalQueries.media(spark, dir)
+      .filter(col("media_type") === "audio")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    assert(audio.nonEmpty)
+    val W = MediaCodecs.AudioWinBytes
+    val expected = audio.flatMap { case (id, p) =>
+      p.grouped(W).zipWithIndex.collect { case (win, i) if win.length == W =>
+        val vs = win.map(b => (b & 0xff).toLong)
+        (id, i.toLong) -> ((vs.map(v => v * v).sum, vs.max))
+      }
+    }.toMap
+    assert(got === expected)
+  }
+
   test("phash near-dup recovers every re-ingested image copy at hamming 0") {
     val media = MultimodalQueries.media(spark, dir)
       .select("doc_id", "media_type", "n_bytes").collect()

@@ -67,6 +67,33 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got.size === nd * 3)
   }
 
+  test("t11 collocations are the brute-force top-20 by lift") {
+    val got = TextQueries.t11_collocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val bigrams = docs.flatMap { t =>
+      val w = t.split(" ")
+      if (w.length >= 2) w.sliding(2).map(p => (p(0), p(1))).toSeq else Nil
+    }
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val c2 = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.values.sum }
+    val n = c12.values.sum
+    val expected = c12.toSeq
+      .filter { case ((a, b), _) => c1(a) >= 50 && c2(b) >= 50 }
+      .map { case ((a, b), c) =>
+        (a, b, c, c1(a), c2(b), c.toDouble * n / c1(a) / c2(b))
+      }
+      .sortBy { case (a, b, _, _, _, l) => (-l, a, b) }
+      .take(20).toSet
+    assert(got === expected)
+    // lifts are meaningful: every reported pair beats independence
+    got.foreach { case (_, _, _, _, _, l) => assert(l > 1.0) }
+  }
+
   test("t09 bigram LM scores match the per-document definition exactly") {
     val got = TextQueries.t09_lm_score(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
