@@ -191,6 +191,30 @@ object StreamOps {
       .transformWithState(new FunnelProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** Streaming retention — the incremental form of q44's cohort
+    * matrix ([[graft.queries.CoreQueries.q44_retention]]): per-user
+    * state is (cohort day, seen-age bitmask), and each first sighting
+    * of a (user, day) emits ONE (user, cohort, age) cell — downstream
+    * the live matrix is a plain additive aggregation of cells, so
+    * "day-N retention right now" is a streaming counter, not a
+    * nightly batch scan. The 64-bit mask bounds state at 16 bytes per
+    * user with an explicit [[RetentionHorizonDays]] horizon (the
+    * standard product-analytics window); a day arriving BEFORE the
+    * recorded cohort day is the funnel-style no-retraction trade —
+    * bound it by the source watermark. Exactly-once per cell on
+    * in-order arrival, pinned against the batch matrix in the
+    * streaming spec.
+    */
+  def retentionCells(events: Dataset[Ev]): Dataset[RetCell] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Ages tracked per user by [[retentionCells]] (bitmask width). */
+  val RetentionHorizonDays = 64
 }
 
 /** One LSH band row of a streaming document. */
@@ -261,6 +285,47 @@ class FunnelProcessor extends StatefulProcessor[Long, Ev, FunnelStat] {
     }
     state.update(cur)
     Iterator.single(cur)
+  }
+}
+
+/** One first-sighting retention cell ([[StreamOps.retentionCells]]). */
+final case class RetCell(user_id: Long, cohort_day: Long, age_days: Long)
+
+/** Per-user retention state: first-active epoch day + seen-age bits. */
+final case class RetState(cohort_day: Long, seenMask: Long)
+
+/** Retention state machine for [[StreamOps.retentionCells]]: epoch day
+  * = floor(epoch-millis / 86400000) (UTC sessions ⇒ identical to the
+  * batch `unix_date(to_date(ts))`), micro-batch rows folded in ts
+  * order so the first batch's earliest day seeds the cohort.
+  */
+class RetentionProcessor extends StatefulProcessor[Long, Ev, RetCell] {
+  @transient private var state: ValueState[RetState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[RetState]("retention",
+      Encoders.product[RetState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[RetCell] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RetCell]
+    var cur = if (state.exists()) state.get() else null
+    rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val day = e.ts.getTime / 86400000L
+      if (cur == null) {
+        cur = RetState(day, 1L)
+        out += RetCell(key, day, 0L)
+      } else {
+        val age = day - cur.cohort_day
+        if (age >= 0 && age < StreamOps.RetentionHorizonDays &&
+            ((cur.seenMask >> age) & 1L) == 0L) {
+          cur = cur.copy(seenMask = cur.seenMask | (1L << age))
+          out += RetCell(key, cur.cohort_day, age)
+        }
+      }
+    }
+    state.update(cur)
+    out.iterator
   }
 }
 

@@ -417,4 +417,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("streaming retention cells aggregate to q44's batch matrix on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def dts(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    def dev(id: Long, day: Int, hour: Int, user: Long): Ev =
+      Ev(id, dts(day, hour), user, "click", 1.0)
+    // user 1 active days 1,2,4 (day-2 row arrives out of order within
+    // batch 1); user 2 active days 2,2 (dup same day — one cell);
+    // user 3 joins in batch 2 on day 3
+    val b1 = Seq(dev(1, 2, 9, 1), dev(2, 1, 8, 1), dev(3, 2, 10, 2),
+      dev(4, 2, 11, 2))
+    val b2 = Seq(dev(5, 4, 7, 1), dev(6, 3, 12, 3), dev(7, 2, 23, 1))
+    val in = MemoryStream[Ev]
+    val q = StreamOps.retentionCells(in.toDS()).writeStream
+      .format("memory").queryName("ret").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val cells = spark.table("ret").as[RetCell].collect()
+        .map(c => (c.user_id, c.cohort_day, c.age_days)).toSeq
+      // exactly one cell per first-seen (user, day)
+      assert(cells.distinct.size === cells.size)
+      val brute = (b1 ++ b2).map(e => (e.user_id, e.ts.getTime / 86400000L))
+        .distinct
+      val cohort = brute.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+      val expected = brute.map { case (u, d) => (u, cohort(u), d - cohort(u)) }
+      assert(cells.sorted === expected.sorted)
+      // the live matrix (additive cell aggregation) matches the batch
+      // definition's (cohort, age) -> n_active
+      val matrix = cells.groupBy(c => (c._2, c._3)).view.mapValues(_.size).toMap
+      val batchMatrix = expected.groupBy(c => (c._2, c._3)).view
+        .mapValues(_.size).toMap
+      assert(matrix === batchMatrix)
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
