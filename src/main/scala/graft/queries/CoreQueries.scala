@@ -599,6 +599,32 @@ object CoreQueries {
           .as("retention"))
   }
 
+  // Event-transition matrix — the Markov path-analysis pass over a
+  // clickstream: per user, consecutive event pairs under the total
+  // (ts, event_id) order, aggregated to (from, to) counts and the
+  // row-normalized transition probability. The lead() window shuffles
+  // once on user_id (at scale: the events table's natural bucketing
+  // key); the (from, to) aggregation partial-aggregates map-side to
+  // |event_types|² rows; the row totals derive from the matrix itself
+  // (no second pass) and broadcast; probability is one double
+  // division of exact counts.
+  def q45_transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val m = tr.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = broadcast(m.groupBy(col("from_type"))
+      .agg(sum(col("c")).as("total")))
+    m.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("c"), col("total"),
+        (col("c").cast(DoubleType) / col("total").cast(DoubleType)).as("prob"))
+  }
+
   /** Histogram bin width for [[q43_histogram_quantile]] — a power of
     * two, so `x / 4096` is IEEE-exact for every double and the floor
     * is engine-identical.
@@ -709,6 +735,18 @@ object CoreQueries {
          |  MIN(dim_a) AS min_part, MAX(dim_a) AS max_part,
          |  MIN(dim_b) AS min_supp, MAX(dim_b) AS max_supp
          |FROM zvals GROUP BY 1""".stripMargin,
+    "q45_transitions" ->
+      """WITH tr AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(c) AS BIGINT) AS total
+        |  FROM m GROUP BY 1)
+        |SELECT m.from_type, m.to_type, m.c, tot.total,
+        |  CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+        |FROM m JOIN tot USING (from_type)""".stripMargin,
     "q44_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
@@ -1007,5 +1045,6 @@ object CoreQueries {
     "q42_zorder" -> (q42_zorder _),
     "q43_histogram_quantile" -> (q43_histogram_quantile _),
     "q44_retention" -> (q44_retention _),
+    "q45_transitions" -> (q45_transitions _),
   )
 }

@@ -45,23 +45,29 @@ object DedupQueries {
     */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     SharedRelations(s, dir, "doc_shingles") {
-      t(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 3)
-        // The IF makes the expression TOTAL, not just filtered:
-        // InferFiltersFromGenerate clones the generator input into an
-        // inferred `size(shs) > 0` predicate and pushes it down beside
-        // the row filter, where it can evaluate on unfiltered rows —
-        // an unguarded element_at(w, i+2) then throws on < 3-word docs
-        // (ANSI). Same hardening on every sequence-window explode.
-        .withColumn("shs",
-          expr("IF(size(w) >= 3, array_distinct(transform(sequence(1, size(w) - 2), " +
-            "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))), " +
-            "array())"))
-        .select(col("doc_id"), col("lang"),
-          size(col("shs")).cast(LongType).as("n"),
-          explode(col("shs")).as("sh"))
+      shingleRowsOf(t(s, dir, "documents"))
     }
+
+  /** [[shingles]]' derivation on any (doc_id, lang, text) relation —
+    * d14 feeds it a planted excerpt corpus.
+    */
+  private def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      // The IF makes the expression TOTAL, not just filtered:
+      // InferFiltersFromGenerate clones the generator input into an
+      // inferred `size(shs) > 0` predicate and pushes it down beside
+      // the row filter, where it can evaluate on unfiltered rows —
+      // an unguarded element_at(w, i+2) then throws on < 3-word docs
+      // (ANSI). Same hardening on every sequence-window explode.
+      .withColumn("shs",
+        expr("IF(size(w) >= 3, array_distinct(transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))), " +
+          "array())"))
+      .select(col("doc_id"), col("lang"),
+        size(col("shs")).cast(LongType).as("n"),
+        explode(col("shs")).as("sh"))
 
   /** Oracle twin of [[shingles]] — a WITH prefix callers extend. */
   private val ShinglesCte: String =
@@ -267,7 +273,19 @@ object DedupQueries {
     * pin the ceiling's recall trade directly.
     */
   private[graft] def ngramJaccardPairs(sh: DataFrame,
-                                       maxPosting: Int): DataFrame = {
+                                       maxPosting: Int): DataFrame =
+    pairCounts(sh, maxPosting)
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast(DoubleType) /
+          (col("na") + col("nb") - col("c")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+
+  /** Shared inverted-index pair counting under d02 and d14: per
+    * unordered doc pair sharing ≥ 1 shingle posting, the intersection
+    * size `c` and both shingle totals. The final projection decides
+    * the similarity measure (Jaccard vs containment).
+    */
+  private def pairCounts(sh: DataFrame, maxPosting: Int): DataFrame = {
     // Ceiling enforced BEFORE collect_list, via a count-only pre-pass:
     // filtering after collection would still build the over-cap
     // posting array in one aggregation buffer (a 10⁹-doc stop-shingle
@@ -291,10 +309,37 @@ object DedupQueries {
     pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"), max(col("na")).as("na"),
         max(col("nb")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
+  }
+
+  /** Containment threshold for [[d14_containment]] — the excerpt /
+    * quoted-article detector's gate.
+    */
+  private val ContainTau = 0.9
+
+  // Containment dedup — the near-dup mode Jaccard MISSES: a short
+  // excerpt inside a long original has low Jaccard (union is the big
+  // doc) but containment |A∩B| / min(|A|,|B|) ≈ 1 — the
+  // quoted-article / extended-rewrite case every curation pipeline
+  // also gates on. Corpus is documents plus planted half-length
+  // excerpts (ids offset by the broadcast max+1 scalar, d01's
+  // pattern), so recall on true excerpts is structural; the pair
+  // machinery is d02's inverted index (same posting ceiling, same
+  // sparse-join scale shape — never O(n²)), and the measure is one
+  // double division of exact int64 counts.
+  def d14_containment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val off = broadcast(d.agg((max(col("doc_id")) + 1L).as("off")))
+    val exc = d.crossJoin(off)
+      .withColumn("w", split(col("text"), " "))
+      .select((col("doc_id") + col("off")).as("doc_id"), col("lang"),
+        expr("concat_ws(' ', slice(w, 1, greatest(CAST(size(w) / 2 AS INT), 3)))")
+          .as("text"))
+    val corpus = d.unionByName(exc)
+    pairCounts(shingleRowsOf(corpus), DefaultMaxPosting)
+      .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb"),
         (col("c").cast(DoubleType) /
-          (col("na") + col("nb") - col("c")).cast(DoubleType)).as("jaccard"))
-      .filter(col("jaccard") >= 0.05)
+          least(col("na"), col("nb")).cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= ContainTau)
   }
 
   // Runtime observability for d02's posting-size ceiling (the
@@ -813,6 +858,35 @@ object DedupQueries {
       |JOIN n na ON na.doc_id = doc_a
       |JOIN n nb ON nb.doc_id = doc_b
       |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.05""".stripMargin),
+    // the posting ceiling is provably inactive on this corpus
+    // (posting-audit max_psize ≤ 28 with the doubled corpus, cap 64),
+    // so the oracle is the direct uncapped definition — d02's stance
+    "d14_containment" -> s"""
+      |WITH base AS (SELECT doc_id, lang, text FROM documents),
+      |off AS (SELECT MAX(doc_id) + 1 AS off FROM base),
+      |exc AS (SELECT doc_id + off AS doc_id, lang,
+      |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:GREATEST(
+      |      LEN(STRING_SPLIT(text, ' ')) // 2, 3)], ' ') AS text
+      |  FROM base, off),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+      |w AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM corpus),
+      |s AS (SELECT doc_id, lang,
+      |  UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      |  FROM w WHERE LEN(w) >= 3),
+      |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM s a JOIN s b ON a.sh = b.sh AND a.lang = b.lang
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, c, na.n AS na, nb.n AS nb,
+      |  CAST(c AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+      |FROM inter
+      |JOIN n na ON na.doc_id = doc_a
+      |JOIN n nb ON nb.doc_id = doc_b
+      |WHERE CAST(c AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE)
+      |  >= $ContainTau""".stripMargin,
     "d02_posting_audit" -> (ShinglesCte + s""",
       |p AS (SELECT lang, sh, COUNT(*) AS psize FROM s GROUP BY 1, 2)
       |SELECT lang, COUNT(*) AS n_shingles,
@@ -869,6 +943,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact" -> (d01_exact _),
     "d02_ngram_jaccard" -> (d02_ngram_jaccard _),
+    "d14_containment" -> (d14_containment _),
     "d02_posting_audit" -> (d02_posting_audit _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d04_simhash" -> (d04_simhash _),

@@ -497,6 +497,50 @@ object SimilarityQueries {
         coalesce(col("b5rk"), lit(-1L)).as("rank_in_top5"))
   }
 
+  // Scalar-quantized (SQ8) cosine top-k — the THIRD standard ANN
+  // compression tier alongside IVF (s03/s04) and PQ (s05/s06): each
+  // dimension is affinely quantized to an 8-bit code against the
+  // corpus per-dim (min, max), shrinking vectors 4× (float32→int8)
+  // with no codebook to train. The per-dim stats are ONE tiny
+  // aggregation collected driver-side (2·dim scalars — the
+  // planeWeights literal-array pattern), so the encode is a fully
+  // codegen'd narrow map (dim clamp/floor expressions, no
+  // higher-order lambdas); scoring reuses the codegen'd dot product
+  // on the integral code arrays — every product and partial sum is
+  // an exact small integer in double, so ranking is bit-deterministic
+  // and the oracle replicates the identical 3-op quantizer. At scale
+  // the win is memory traffic: the scan and the broadcast query side
+  // move 1-byte codes, not floats.
+  def s09_knn_sq8(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col("embedding"), i + 1).cast(DoubleType)),
+      max(element_at(col("embedding"), i + 1).cast(DoubleType))))
+    val row = emb.agg(aggs.head, aggs.tail: _*).head()
+    val lo = Array.tabulate(dim)(i => row.getDouble(2 * i))
+    val rng = Array.tabulate(dim)(i => row.getDouble(2 * i + 1) - lo(i))
+    def codes(vcol: String) = array((0 until dim).map { i =>
+      val x = element_at(col(vcol), i + 1).cast(DoubleType)
+      if (rng(i) == 0.0) lit(0.0)
+      else least(lit(255.0), greatest(lit(0.0),
+        floor((x - lit(lo(i))) * lit(255.0) / lit(rng(i)))))
+    }: _*)
+    val enc = emb.select(col("vec_id"), codes("embedding").as("cv"))
+      .withColumn("cn", sqrt(dotExpr("cv", "cv")))
+      .filter(col("cn") > 0d)
+    val q = broadcast(enc.filter(col("vec_id") < 20).toDF("qid", "qv", "qn"))
+    val scored = q.join(enc.toDF("did", "dv", "dn"), col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        (dotExpr("qv", "dv") / (col("qn") * col("dn"))).as("cos_sq8"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sq8").desc, col("did").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("qid"), col("rk").cast(LongType).as("rk"),
+        col("did").as("nn_id"), col("cos_sq8"))
+  }
+
   /** Total quantization error Σ_(vec,m) min_c ‖sv−cv‖² under codebook
     * `cb` — the spec pins its non-increase from seed to trained.
     */
@@ -600,6 +644,33 @@ object SimilarityQueries {
          |  COALESCE(b5.rk, -1) AS rank_in_top5
          |FROM ann JOIN ex USING (qid)
          |LEFT JOIN b b5 ON b5.qid = ann.qid AND b5.nn_id = ann.ann_id""".stripMargin,
+    // identical 3-op quantizer ((x − lo)·255 / (hi − lo), floor,
+    // clamp) on identical per-dim stats ⇒ identical codes; products
+    // of ≤255 codes are exact in double, so cos ordering matches bit
+    // for bit
+    "s09_knn_sq8" ->
+      s"""WITH px0 AS (SELECT vec_id, embedding,
+         |    UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+         |  FROM embeddings),
+         |px AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM px0),
+         |mm AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM px GROUP BY 1),
+         |codes AS (SELECT vec_id,
+         |    LIST(CASE WHEN hi = lo THEN 0.0
+         |      ELSE LEAST(255.0, GREATEST(0.0,
+         |        FLOOR((x - lo) * 255.0 / (hi - lo)))) END
+         |      ORDER BY i) AS cv
+         |  FROM px JOIN mm USING (i) GROUP BY vec_id),
+         |e AS (SELECT vec_id, cv, SQRT(${dotSql("cv", "cv")}) AS cn
+         |  FROM codes),
+         |ef AS (SELECT * FROM e WHERE cn > 0),
+         |p AS (SELECT q.vec_id AS qid, d.vec_id AS did,
+         |    ${dotSql("q.cv", "d.cv")} / (q.cn * d.cn) AS cos_sq8
+         |  FROM ef q JOIN ef d ON q.vec_id < 20 AND q.vec_id <> d.vec_id)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, did AS nn_id, cos_sq8 FROM (
+         |  SELECT qid, did, cos_sq8,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sq8 DESC, did ASC) AS rk
+         |  FROM p) WHERE rk <= 5""".stripMargin,
     "s02_knn_lsh" -> LshOracle,
     "s03_knn_ivf" -> IvfOracle,
     "s04_knn_ivf_trained" -> TrainedIvfOracle,
@@ -804,5 +875,6 @@ object SimilarityQueries {
     "s06_knn_pq_trained" -> (s06_knn_pq_trained _),
     "s07_knn_topk_operator" -> (s07_knn_topk_operator _),
     "s08_recall_audit" -> (s08_recall_audit _),
+    "s09_knn_sq8" -> (s09_knn_sq8 _),
   )
 }

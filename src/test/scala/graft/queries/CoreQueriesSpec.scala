@@ -67,6 +67,27 @@ class CoreQueriesSpec extends AnyFunSuite {
     })
   }
 
+  test("transition matrix rows are normalized and counts match brute force") {
+    val got = CoreQueries.q45_transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // per-from probabilities sum to 1 (exact: the terms share one
+    // denominator)
+    got.groupBy(_._1._1).foreach { case (from, cells) =>
+      val tot = cells.head._2._2
+      assert(cells.map(_._2._1).sum === tot, from)
+      assert(math.abs(cells.map(_._2._3).sum - 1.0) < 1e-9, from)
+    }
+    val brute = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        val types = evs.sortBy(e => (e._4.getTime, e._2)).map(_._3)
+        types.zip(types.drop(1))
+      }.groupBy(p => p).map { case (k, v) => k -> v.size.toLong }
+    assert(got.view.mapValues(_._1).toMap === brute)
+  }
+
   test("retention matrix matches the brute-force cohort definition") {
     val got = CoreQueries.q44_retention(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

@@ -429,4 +429,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"doc $id admitted=$admitted but linkedToSeen=${linkedToSeen(id)}")
     }
   }
+
+  test("containment recovers every planted excerpt at exactly 1.0") {
+    val d = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val off = d.map(_._1).max + 1
+    // docs whose half-length excerpt still carries >= 1 shingle
+    val eligible = d.collect { case (id, t) if t.split(" ").length >= 3 => id }
+    assert(eligible.nonEmpty)
+    val pairs = DedupQueries.d14_containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    eligible.foreach { id =>
+      assert(pairs.get((id, id + off)).contains(1.0), s"excerpt of $id")
+    }
+    // Jaccard would MISS these: the excerpt/original pairs sit well
+    // below d02's own similarity regime for long docs (that's the
+    // point of the containment measure)
+    pairs.values.foreach(c => assert(c >= 0.9 && c <= 1.0))
+  }
+
+  test("SQ8 ranking is well-formed and agrees with brute force on top-1 for most queries") {
+    val sq8 = SimilarityQueries.s09_knn_sq8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = sq8.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L), s"q=$q")
+      val byRk = rows.sortBy(_._2).map(_._4)
+      byRk.sliding(2).foreach { case Array(a, b) => assert(a >= b, s"q=$q") }
+      rows.foreach(r => assert(r._4 <= 1.0 + 1e-9 && r._4 >= -1.0 - 1e-9))
+    }
+    // 8-bit quantization keeps most top-1 answers: the standard SQ8
+    // quality bar (loose on purpose — the oracle pins exact values)
+    val exact1 = SimilarityQueries.s01_knn_brute(spark, dir).collect()
+      .collect { case r if r.getLong(1) == 1L => r.getLong(0) -> r.getLong(2) }
+      .toMap
+    val hit = byQ.count { case (q, rows) =>
+      rows.find(_._2 == 1L).map(_._3) == exact1.get(q)
+    }
+    assert(hit >= byQ.size / 2, s"SQ8 top-1 recall $hit/${byQ.size}")
+  }
 }
