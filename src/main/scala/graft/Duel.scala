@@ -41,11 +41,13 @@ object Duel {
   private final class ShuffleTally extends SparkListener {
     val records = new AtomicLong(0L)
     val bytes = new AtomicLong(0L)
+    val inputRecords = new AtomicLong(0L)
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        inputRecords.addAndGet(m.inputMetrics.recordsRead)
       }
     }
   }
@@ -86,7 +88,7 @@ object Duel {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     val which = if (args.nonEmpty) args.toSet
-      else Set("topk", "bitmap", "band", "hist")
+      else Set("topk", "bitmap", "band", "hist", "zorder")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -129,6 +131,80 @@ object Duel {
       val stock2 = measure(spark, li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("n")), n)
       report("bitmap_vs_count_distinct_growing", custom2, stock2, sfDir)
+    }
+
+    if (which("zorder")) {
+      // Layout duel for the ZOrder expression: the SAME lineitem rows
+      // written two ways — z-clustered (range-partitioned + sorted by
+      // the Morton value) vs 1-D-sorted by l_partkey — then probed
+      // with a 2-D box predicate selective on BOTH dims (1/64 of the
+      // key plane). Parquet row-group stats prune by min/max: the 1-D
+      // layout can only prune on its sort dimension (~1/8 of the rows
+      // survive pruning; the suppkey constraint prunes nothing), while
+      // z-clustered files are aligned tiles tight in BOTH dims, so
+      // pruning approaches the box's 1/64 area. `scan_rows` is
+      // inputMetrics.recordsRead — the rows the reader actually
+      // decoded after row-group pruning, the number a 100 TB scan
+      // pays for.
+      import graft.functions.GraftExpressions
+      val li = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      val (pMax, sMax) = {
+        val r = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val zdir = "target/duel_zorder/z"
+      val ldir = "target/duel_zorder/linear"
+      val nFiles = 256
+      // Dims are NORMALIZED to a common 16-bit width before the
+      // interleave — required for z-order to deliver: with raw keys
+      // (15-bit partkey vs 10-bit suppkey) the low-order interleave
+      // exhausts the narrow dim early, so every file's z-extent spans
+      // nearly the whole suppkey domain and the dim-2 prune ratio
+      // measured only 1.73x; normalized, each file is a near-square
+      // tile (SCALE.md "z-order needs bit-balanced dims").
+      def norm(c: org.apache.spark.sql.Column, mx: Long) =
+        GraftExpressions.floorDiv(c * lit(65535L), lit(mx))
+      li.withColumn("zval", GraftExpressions.zorder(
+          norm(col("l_partkey"), pMax), norm(col("l_suppkey"), sMax)))
+        .repartitionByRange(nFiles, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .write.mode("overwrite").parquet(zdir)
+      li.repartitionByRange(nFiles, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(ldir)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      // the 2-D box (1/64 of the key plane) and the second-dim-only
+      // band (1/8) — the latter is where a 1-D layout prunes NOTHING
+      def box(dir: String) = agg(spark.read.parquet(dir)
+        .filter(col("l_partkey").between(pMax / 2, pMax / 2 + pMax / 8) &&
+          col("l_suppkey").between(sMax / 2, sMax / 2 + sMax / 8)))
+      def band(dir: String) = agg(spark.read.parquet(dir)
+        .filter(col("l_suppkey").between(sMax / 2, sMax / 2 + sMax / 8)))
+      def measureScan(df: => org.apache.spark.sql.DataFrame)
+          : (Double, Long) = {
+        var rows = 0L
+        val times = (1 to n).map { _ =>
+          val tally = new ShuffleTally
+          spark.sparkContext.addSparkListener(tally)
+          val t0 = System.nanoTime()
+          df.queryExecution.toRdd.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.graft.ColumnBridge
+            .drainListenerBus(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(tally)
+          rows = tally.inputRecords.get()
+          sec
+        }
+        (times.sorted.apply(times.length / 2), rows)
+      }
+      for ((tag, probe) <- Seq("box2d" -> (box _), "dim2band" -> (band _))) {
+        val (zs, zr) = measureScan(probe(zdir))
+        val (ls, lr) = measureScan(probe(ldir))
+        println(f"""{"duel":"zorder_$tag","sf":"$sfDir","z_sec":$zs%.3f,"linear_sec":$ls%.3f,"z_scan_rows":$zr,"linear_scan_rows":$lr,"prune_ratio":${lr.toDouble / math.max(zr, 1L)}%.2f}""")
+      }
     }
 
     if (which("hist")) {
