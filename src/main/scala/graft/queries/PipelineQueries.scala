@@ -349,6 +349,43 @@ object PipelineQueries {
       .select(col("doc_id"), col("bucket"), col("lane"), col("pos"))
   }
 
+  // Per-source corpus report card — the audit table a data-governance
+  // pass publishes before a source enters the training mix: volume
+  // (docs, tokens), exact-duplicate exposure (docs whose content hash
+  // repeats anywhere in the corpus — cross-source, so a source
+  // re-scraping another's pages is visible), language spread, and the
+  // corpus-level stopword ratio as a quality proxy. Numeric
+  // discipline: every mean/ratio is ONE double division of two exact
+  // int64 sums (never an average of doubles — accumulation order
+  // would diverge between engines). Scale shape: one corpus scan into
+  // a source-keyed aggregation (map-side combined), plus a
+  // digest-keyed dup count whose shuffle moves 16-byte digests — the
+  // d01 discipline.
+  def p09_source_report(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        expr("CAST(size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT)")
+          .as("n_stop"))
+    val dupKeys = d.groupBy(col("h")).agg(count(lit(1)).as("copies"))
+      .filter(col("copies") > 1).select(col("h"))
+    val flagged = d.join(dupKeys, Seq("h"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("toks"),
+        sum(col("n_stop")).as("stop"),
+        count_distinct(col("lang")).as("n_langs"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("toks"), col("n_langs"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        (col("toks").cast("double") / col("n_docs").cast("double"))
+          .as("mean_toks"),
+        (col("stop").cast("double") / col("toks").cast("double"))
+          .as("stop_ratio"))
+  }
+
   /** p05's full oracle query — also spliced as [[p07_mixture_sample]]'s
     * weight CTE, so the sampler is checked against the same weights.
     */
@@ -370,6 +407,25 @@ object PipelineQueries {
       |FROM sh, w""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "p09_source_report" -> """
+      |WITH d AS (SELECT doc_id, source, lang, MD5(text) AS h,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS nt,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+      |      w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+      |  FROM documents),
+      |dk AS (SELECT h FROM d GROUP BY h HAVING COUNT(*) > 1),
+      |fl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS dup_docs
+      |  FROM d WHERE h IN (SELECT h FROM dk) GROUP BY 1),
+      |ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(nt) AS BIGINT) AS toks,
+      |    CAST(SUM(n_stop) AS BIGINT) AS stop,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM d GROUP BY 1)
+      |SELECT ag.source, n_docs, toks, n_langs,
+      |  CAST(COALESCE(fl.dup_docs, 0) AS BIGINT) AS dup_docs,
+      |  CAST(toks AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_toks,
+      |  CAST(stop AS DOUBLE) / CAST(toks AS DOUBLE) AS stop_ratio
+      |FROM ag LEFT JOIN fl ON ag.source = fl.source""".stripMargin,
     "p08_curriculum" -> s"""
       |WITH d AS (SELECT doc_id,
       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS nt,
@@ -491,5 +547,6 @@ object PipelineQueries {
     "p06_split" -> (p06_split _),
     "p07_mixture_sample" -> (p07_mixture_sample _),
     "p08_curriculum" -> (p08_curriculum _),
+    "p09_source_report" -> (p09_source_report _),
   )
 }

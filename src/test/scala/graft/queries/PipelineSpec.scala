@@ -177,6 +177,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("source report reconciles with corpus totals and dup flags") {
+    val rows = PipelineQueries.p09_source_report(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val d = graft.Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.keySet === d.map(_._1).toSet)
+    assert(rows.values.map(_._1).sum === d.length.toLong)
+    assert(rows.values.map(_._2).sum ===
+      d.map(_._2.split(" ").length.toLong).sum)
+    val dupTexts = d.groupBy(_._2).filter(_._2.length > 1).keySet
+    val dupBySource = d.filter(t => dupTexts(t._2)).groupBy(_._1)
+      .map { case (s, v) => s -> v.size.toLong }
+    rows.foreach { case (src, (n, toks, _, dups, meanToks)) =>
+      assert(dups === dupBySource.getOrElse(src, 0L), src)
+      assert(math.abs(meanToks - toks.toDouble / n) < 1e-12, src)
+    }
+  }
+
   test("mixture sampler admits by content hash against the p05 thresholds") {
     val got = PipelineQueries.p07_mixture_sample(spark, dir).collect()
       .map(r => r.getLong(0) ->
