@@ -177,6 +177,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       // would be a deg-side scan-count without the uncounted twin
       "g16_clustering" -> ((7, 0)),
       "p04_contamination" -> ((1, 0)),
+      // the dup-flag semi+left joins are row-preserving on the
+      // aggregated side, so count() measures the group-by alone
+      "p09_source_report" -> ((2, 0)),
       "q41_funnel" -> ((5, 0)))
     assert(collapsed === expected,
       s"count()-collapse set changed: $collapsed — update Bench.uncountedQueries " +
