@@ -316,26 +316,61 @@ object DedupQueries {
     */
   private val ContainTau = 0.9
 
+  /** Excerpt-planting modulus for [[d14_containment]]: one doc in
+    * [[ExcerptMod]] gets a planted half-length excerpt — a sample is
+    * enough for structural recall, and it keeps the audit corpus at
+    * 1.2× instead of 2× (pair volume scales ~quadratically in the
+    * per-posting multiplicity).
+    */
+  private val ExcerptMod = 5L
+
   // Containment dedup — the near-dup mode Jaccard MISSES: a short
   // excerpt inside a long original has low Jaccard (union is the big
   // doc) but containment |A∩B| / min(|A|,|B|) ≈ 1 — the
   // quoted-article / extended-rewrite case every curation pipeline
   // also gates on. Corpus is documents plus planted half-length
-  // excerpts (ids offset by the broadcast max+1 scalar, d01's
-  // pattern), so recall on true excerpts is structural; the pair
-  // machinery is d02's inverted index (same posting ceiling, same
-  // sparse-join scale shape — never O(n²)), and the measure is one
-  // double division of exact int64 counts.
+  // excerpts for every [[ExcerptMod]]-th doc (ids offset by the
+  // broadcast max+1 scalar, d01's pattern), so recall on true
+  // excerpts is structural; the pair machinery is d02's inverted
+  // index (same posting ceiling, same sparse-join scale shape —
+  // never O(n²)) over int64 SHINGLE HASHES — postings carry 8-byte
+  // keys instead of ~20-char gram strings (hash-before-pair differs
+  // from pair-on-strings only on polyHash collisions, ~|shingles|²/2³¹
+  // per doc pair; the oracle applies the identical hash, so parity
+  // is exact — the d04 stance). The measure is one double division
+  // of exact int64 counts.
   def d14_containment(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
     val off = broadcast(d.agg((max(col("doc_id")) + 1L).as("off")))
-    val exc = d.crossJoin(off)
+    val exc = d.filter(col("doc_id") % ExcerptMod === 0L).crossJoin(off)
       .withColumn("w", split(col("text"), " "))
       .select((col("doc_id") + col("off")).as("doc_id"), col("lang"),
         expr("concat_ws(' ', slice(w, 1, greatest(CAST(size(w) / 2 AS INT), 3)))")
           .as("text"))
     val corpus = d.unionByName(exc)
-    pairCounts(shingleRowsOf(corpus), DefaultMaxPosting)
+    // Codegen'd position explode (TextQueries.gramPositions), NOT the
+    // transform-lambda shingle build: the excerpt text is a nested
+    // slice/concat expression, and inside an interpreted HOF every
+    // element_at(w, ·) re-inlines that whole chain per element (the
+    // r10 sf10 lesson) — measured 9.7s per derivation at sf0.1 vs
+    // ~1s for this shape. Hash-dedup per doc is d04's pattern: the
+    // exchange moves distinct (doc, hash) 16-byte rows.
+    def shRel = {
+      val hashed = TextQueries.gramPositions(
+          corpus.select(col("doc_id"), col("text")), 3)
+        .select(col("doc_id"),
+          graft.functions.GraftExpressions.polyHash(concat_ws(" ",
+            element_at(col("w"), col("i")),
+            element_at(col("w"), col("i") + 1),
+            element_at(col("w"), col("i") + 2))).as("sh"))
+        .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("occ"))
+        .select(col("doc_id"), col("sh"))
+      val n = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      hashed.join(n, Seq("doc_id"))
+        .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n"), col("sh"))
+    }
+    pairCounts(shRel, DefaultMaxPosting)
       .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb"),
         (col("c").cast(DoubleType) /
           least(col("na"), col("nb")).cast(DoubleType)).as("containment"))
@@ -867,17 +902,19 @@ object DedupQueries {
       |exc AS (SELECT doc_id + off AS doc_id, lang,
       |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:GREATEST(
       |      LEN(STRING_SPLIT(text, ' ')) // 2, 3)], ' ') AS text
-      |  FROM base, off),
+      |  FROM base, off WHERE doc_id % $ExcerptMod = 0),
       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
       |w AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM corpus),
       |s AS (SELECT doc_id, lang,
       |  UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
       |  FROM w WHERE LEN(w) >= 3),
-      |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+      |s2 AS (SELECT DISTINCT doc_id, lang, ${TextQueries.polyHashSql("sh")} AS sh
+      |  FROM s),
+      |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s2 GROUP BY 1),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(COUNT(*) AS BIGINT) AS c
-      |  FROM s a JOIN s b ON a.sh = b.sh AND a.lang = b.lang
+      |  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.lang = b.lang
       |    AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, c, na.n AS na, nb.n AS nb,

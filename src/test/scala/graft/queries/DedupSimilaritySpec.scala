@@ -435,8 +435,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val off = d.map(_._1).max + 1
-    // docs whose half-length excerpt still carries >= 1 shingle
-    val eligible = d.collect { case (id, t) if t.split(" ").length >= 3 => id }
+    // sampled docs whose half-length excerpt still carries >= 1 shingle
+    val eligible = d.collect {
+      case (id, t) if t.split(" ").length >= 3 && id % 5 == 0 => id
+    }
     assert(eligible.nonEmpty)
     val pairs = DedupQueries.d14_containment(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
