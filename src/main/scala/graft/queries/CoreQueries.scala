@@ -568,6 +568,24 @@ object CoreQueries {
         max(col("l_suppkey")).as("max_supp"))
   }
 
+  // Ranking-function completion: percent_rank / ntile / cume_dist
+  // under one total order — the three distribution-rank functions the
+  // q06/q07/q33/q37 window set didn't yet exercise. One window
+  // shuffle on the partition key; every output is either an integer
+  // (decile) or a single exact-integer division (percent_rank =
+  // (rank−1)/(n−1), cume_dist = peers≤/n), so cross-engine parity is
+  // bit-exact under the (price desc, key asc) total order.
+  def q46_ranks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
   // Cohort retention — the product-analytics matrix behind "day-N
   // retention": users cohort by their first active day, and each
   // (cohort, age) cell counts how many came back. Days are epoch-day
@@ -735,6 +753,14 @@ object CoreQueries {
          |  MIN(dim_a) AS min_part, MAX(dim_a) AS max_part,
          |  MIN(dim_b) AS min_supp, MAX(dim_b) AS max_supp
          |FROM zvals GROUP BY 1""".stripMargin,
+    "q46_ranks" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "q45_transitions" ->
       """WITH tr AS (SELECT event_type AS from_type,
         |    LEAD(event_type) OVER (PARTITION BY user_id
@@ -1046,5 +1072,6 @@ object CoreQueries {
     "q43_histogram_quantile" -> (q43_histogram_quantile _),
     "q44_retention" -> (q44_retention _),
     "q45_transitions" -> (q45_transitions _),
+    "q46_ranks" -> (q46_ranks _),
   )
 }

@@ -820,6 +820,34 @@ object DedupQueries {
   /** Rounds the registered d06 query runs (and p01 inherits). */
   private[queries] val NeardupRounds = 3
 
+  // Quality-aware cluster keeper — what production dedup actually
+  // retains: d06 keeps the MIN-ID doc per near-dup cluster (stable,
+  // arbitrary); this variant keeps the LONGEST doc (ties → min id),
+  // the "best representative" policy curation pipelines apply so the
+  // kept corpus doesn't systematically prefer whichever copy was
+  // crawled first. Composes d06's converged labels (shared persisted
+  // relations — no re-derivation) with a doc-keyed token-count join;
+  // the per-cluster argmax is a window under a TOTAL order, so the
+  // keeper is deterministic and the whole policy is one oracle-checked
+  // relation.
+  def d15_quality_keeper(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = d06_neardup_clusters(s, dir)
+      .select(col("doc_id"), col("cluster"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val wc = Window.partitionBy(col("cluster"))
+    lab.join(toks, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keeper"),
+        col("n_tokens").as("keeper_tokens"), col("n_members"))
+  }
+
   private def neardupClustersOracle(rounds: Int): String =
     neardupLabelsCte(rounds) + s"""
       |SELECT d.doc_id, COALESCE(l$rounds.cluster, d.doc_id) AS cluster,
@@ -896,6 +924,20 @@ object DedupQueries {
     // the posting ceiling is provably inactive on this corpus
     // (posting-audit max_psize ≤ 28 with the doubled corpus, cap 64),
     // so the oracle is the direct uncapped definition — d02's stance
+    "d15_quality_keeper" -> (neardupLabelsCte(NeardupRounds) + s""",
+      |lab AS (SELECT d.doc_id,
+      |    COALESCE(l$NeardupRounds.cluster, d.doc_id) AS cluster,
+      |    CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents d
+      |  LEFT JOIN l$NeardupRounds ON d.doc_id = l$NeardupRounds.doc_id),
+      |r AS (SELECT cluster, doc_id, n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster
+      |      ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+      |  FROM lab)
+      |SELECT cluster, doc_id AS keeper, n_tokens AS keeper_tokens,
+      |  n_members
+      |FROM r WHERE rn = 1""".stripMargin),
     "d14_containment" -> s"""
       |WITH base AS (SELECT doc_id, lang, text FROM documents),
       |off AS (SELECT MAX(doc_id) + 1 AS off FROM base),
@@ -981,6 +1023,7 @@ object DedupQueries {
     "d01_exact" -> (d01_exact _),
     "d02_ngram_jaccard" -> (d02_ngram_jaccard _),
     "d14_containment" -> (d14_containment _),
+    "d15_quality_keeper" -> (d15_quality_keeper _),
     "d02_posting_audit" -> (d02_posting_audit _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d04_simhash" -> (d04_simhash _),

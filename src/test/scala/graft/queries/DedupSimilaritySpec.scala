@@ -451,6 +451,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     pairs.values.foreach(c => assert(c >= 0.9 && c <= 1.0))
   }
 
+  test("quality keeper picks each cluster's longest member (ties -> min id)") {
+    val clusters = DedupQueries.d06_neardup_clusters(spark, dir)
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val toks = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (c, members) =>
+      val best = members.map(_._1).minBy(id => (-toks(id), id))
+      c -> ((best, toks(best), members.length.toLong))
+    }
+    val got = DedupQueries.d15_quality_keeper(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    // the policy differs from d06's min-id keeper somewhere on this
+    // corpus (otherwise the query proves nothing)
+    val minId = clusters.groupBy(_._2).map { case (c, m) => c -> m.map(_._1).min }
+    assert(got.exists { case (c, (k, _, _)) => k != minId(c) })
+  }
+
   test("SQ8 ranking is well-formed and agrees with brute force on top-1 for most queries") {
     val sq8 = SimilarityQueries.s09_knn_sq8(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
