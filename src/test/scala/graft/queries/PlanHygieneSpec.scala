@@ -186,6 +186,51 @@ class PlanHygieneSpec extends AnyFunSuite {
         "and BENCH_NOTES to keep the artifact honest")
   }
 
+  test("t10: ranking takes the WindowGroupLimit plan; dictionaries broadcast") {
+    val p = plan("t10_tfidf")
+    // the measured k-per-group crossover decision (SCALE.md): thin
+    // rows-per-group ⇒ window pushdown, NOT the heap operator
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("GroupedTopK"), "t10 regressed to the heap operator")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q42: z-order audit is one narrow scan + one aggregation exchange") {
+    val p = plan("q42_zorder")
+    assert(p.contains("graft_zorder") || p.contains("ZOrder"), p)
+    // exactly one exchange: the (bucket) hash aggregation's
+    assert(p.split("Exchange").length - 1 === 1, p)
+    assert(!p.contains("l_comment"), "scan not pruned")
+  }
+
+  test("q43: histogram quantile broadcasts group totals; bins partial-aggregate") {
+    val p = plan("q43_histogram_quantile")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // partial + final hash agg for the (rf, bin) histogram
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q44/q45: the tiny side relations broadcast") {
+    for (q <- Seq("q44_retention", "q45_transitions")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
+  test("m07/m08: payload columns never reach an exchange") {
+    for (q <- Seq("m07_phash_neardup", "m08_audio_energy")) {
+      val p = plan(q)
+      // every exchange in these plans ships signatures/metadata rows;
+      // the binary payload stays inside the per-partition map stage
+      val exchanges = p.split("Exchange hashpartitioning").drop(1)
+      exchanges.foreach { e =>
+        val head = e.takeWhile(_ != '\n')
+        assert(!head.contains("payload"), s"$q shuffles payload: $head")
+      }
+    }
+  }
+
   test("t07: the frequency dictionary broadcasts; token side never shuffles for the join") {
     val p = plan("t07_rarity")
     assert(p.contains("BroadcastHashJoin"), p)
