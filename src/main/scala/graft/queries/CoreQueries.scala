@@ -552,11 +552,15 @@ object CoreQueries {
   // write, where a 1-D layout bounds only its sort dimension. At
   // 100 TB this query IS the layout audit a table-optimize job emits:
   // one narrow scan, one partial-aggregating shuffle of ~|buckets|
-  // rows; keys range-reduce (mod 2³¹) before interleaving — the
-  // expression raises on out-of-range keys rather than truncating.
+  // rows; keys range-reduce (pmod 2³¹) before interleaving because
+  // the expression raises on out-of-range keys rather than silently
+  // truncating — past ~SF 10.7k l_partkey exceeds 2³¹, and the
+  // reduced key still tiles the plane (envelopes stay tight; only
+  // bucket identity wraps, which the audit tolerates).
   def q42_zorder(s: SparkSession, dir: String): DataFrame = {
     val z = graft.functions.GraftExpressions.zorder(
-      col("l_partkey"), col("l_suppkey"))
+      pmod(col("l_partkey"), lit(1L << 31)),
+      pmod(col("l_suppkey"), lit(1L << 31)))
     t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
       .groupBy(graft.functions.GraftExpressions.floorDiv(
@@ -704,7 +708,8 @@ object CoreQueries {
       s"zs${i + 1} AS (SELECT *, ((a$i | (a$i << $sh)) & $m) AS a${i + 1}, " +
         s"((b$i | (b$i << $sh)) & $m) AS b${i + 1} FROM zs$i)"
     }.mkString(",\n")
-    s"""zs0 AS (SELECT $a AS dim_a, $b AS dim_b, $a AS a0, $b AS b0 FROM $src),
+    s"""zs0 AS (SELECT $a AS dim_a, $b AS dim_b,
+       |  $a % 2147483648 AS a0, $b % 2147483648 AS b0 FROM $src),
        |$steps,
        |zvals AS (SELECT dim_a, dim_b, (a5 | (b5 << 1)) AS zval FROM zs5)""".stripMargin
   }

@@ -922,8 +922,13 @@ object DedupQueries {
       |JOIN n nb ON nb.doc_id = doc_b
       |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.05""".stripMargin),
     // the posting ceiling is provably inactive on this corpus
-    // (posting-audit max_psize ≤ 28 with the doubled corpus, cap 64),
-    // so the oracle is the direct uncapped definition — d02's stance
+    // (posting-audit max_psize ≤ 28 with the doubled corpus, cap
+    // DefaultMaxPosting = 1000), so the oracle is the direct uncapped
+    // definition — d02's stance. Oracle parity for the capped Spark
+    // side (d02/d14/d15) holds ONLY on corpora where the posting
+    // audit confirms n_over_cap = 0; past that (e.g. sf10, where
+    // postings exceed the cap) the uncapped oracle diverges by
+    // design and the drop audit is the contract instead.
     "d15_quality_keeper" -> (neardupLabelsCte(NeardupRounds) + s""",
       |lab AS (SELECT d.doc_id,
       |    COALESCE(l$NeardupRounds.cluster, d.doc_id) AS cluster,

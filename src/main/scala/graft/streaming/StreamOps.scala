@@ -311,7 +311,7 @@ class RetentionProcessor extends StatefulProcessor[Long, Ev, RetCell] {
     val out = scala.collection.mutable.ArrayBuffer.empty[RetCell]
     var cur = if (state.exists()) state.get() else null
     rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-      val day = e.ts.getTime / 86400000L
+      val day = Math.floorDiv(e.ts.getTime, 86400000L)
       if (cur == null) {
         cur = RetState(day, 1L)
         out += RetCell(key, day, 0L)

@@ -220,13 +220,30 @@ class PlanHygieneSpec extends AnyFunSuite {
 
   test("m07/m08: payload columns never reach an exchange") {
     for (q <- Seq("m07_phash_neardup", "m08_audio_energy")) {
-      val p = plan(q)
       // every exchange in these plans ships signatures/metadata rows;
-      // the binary payload stays inside the per-partition map stage
-      val exchanges = p.split("Exchange hashpartitioning").drop(1)
+      // the binary payload stays inside the per-partition map stage.
+      // Inspect each Exchange node's FULL output schema (not the plan
+      // text's first line — a payload attribute later in the node's
+      // output would slip past a string check).
+      val exec = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan
+      // AdaptiveSparkPlanExec is a leaf to collect(); recurse into it
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val exchanges = flatten(exec).collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      // m08 is deliberately zero-shuffle; m07's band join must shuffle
+      if (q == "m07_phash_neardup")
+        assert(exchanges.nonEmpty, s"$q: expected at least one exchange")
       exchanges.foreach { e =>
-        val head = e.takeWhile(_ != '\n')
-        assert(!head.contains("payload"), s"$q shuffles payload: $head")
+        val shipped = e.output.map(_.name)
+        assert(!shipped.exists(_.toLowerCase.contains("payload")),
+          s"$q shuffles payload: exchange output = ${shipped.mkString(",")}")
       }
     }
   }
