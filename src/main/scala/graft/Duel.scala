@@ -88,7 +88,7 @@ object Duel {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     val which = if (args.nonEmpty) args.toSet
-      else Set("topk", "bitmap", "band", "hist", "zorder")
+      else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -226,6 +226,57 @@ object Duel {
           expr("percentile(l_extendedprice, 0.75)").as("p75"),
           count(lit(1)).as("n")), n)
       report("hist_quantile_vs_exact_percentile", custom, stock, sfDir)
+    }
+
+    if (which("bucketedsym")) {
+      // The iterative g-family's layout duel: converged connected
+      // components with the symmetrized edge relation read from a
+      // src-BUCKETED table vs the in-memory distinct. Broadcast is
+      // disabled — the at-scale regime where the frontier outgrows
+      // the driver — so the plain side must shuffle the EDGE table's
+      // rows into every round's join, while the bucketed side reads
+      // co-located bucket files and only the frontier moves
+      // (GraphBucketedSpec pins the plan; this records the traffic).
+      import graft.queries.GraphQueries
+      import org.apache.spark.storage.StorageLevel
+      val e = GraphQueries.derivedEdges(spark, sfDir)
+      val sym = e.union(e.select(col("dst"), col("src")))
+        .toDF("src", "dst").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      val bsym = graft.sources.Bucketing.bucketedTable(
+        spark, sym, "duel_sym_bucketed", cpus.toInt, "src")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def measureCc(symRel: org.apache.spark.sql.DataFrame)
+          : (Double, Long, Long) = {
+        var recs = 0L
+        var byts = 0L
+        val times = (1 to n).map { _ =>
+          val tally = new ShuffleTally
+          spark.sparkContext.addSparkListener(tally)
+          val t0 = System.nanoTime()
+          val out = graft.graph.GraphOps.connectedComponentsFromSym(symRel)
+          out.queryExecution.toRdd.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.graft.ColumnBridge
+            .drainListenerBus(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(tally)
+          org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(out)
+          recs = tally.records.get(); byts = tally.bytes.get()
+          sec
+        }
+        (times.sorted.apply(times.length / 2), recs, byts)
+      }
+      try {
+        val custom = measureCc(bsym)
+        val stock = measureCc(sym)
+        report("cc_bucketed_vs_inmemory_sym", custom, stock, sfDir)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        sym.unpersist(false)
+        spark.sql("DROP TABLE IF EXISTS duel_sym_bucketed")
+      }
     }
 
     if (which("band")) {

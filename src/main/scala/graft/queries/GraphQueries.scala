@@ -74,13 +74,47 @@ object GraphQueries {
     * relation is the one that must not move per round — write it as a
     * table BUCKETED BY src once (sources/Bucketing.scala is the
     * mechanism) and every round's join is exchange-free on the big
-    * side.
+    * side. That path is OPT-IN here: set spark conf
+    * `graft.bucketedSym` (or env `GRAFT_BUCKETED_SYM`) to a bucket
+    * count and every FromSym loop (g11/g13/g14/g15, g05's base) reads
+    * a src-bucketed catalog table instead of the in-memory distinct —
+    * identical rows (results stay oracle-exact; the loops are
+    * layout-agnostic), but each round's edge-side join subtree plans
+    * ZERO exchanges ([[graft.graph.GraphBucketedSpec]] pins exactly
+    * that on the executed plan).
     */
-  private def symEdges(s: SparkSession, dir: String): DataFrame =
-    SharedRelations(s, dir, "graph_sym") {
-      val e = derivedEdges(s, dir)
-      e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
+  private def symEdges(s: SparkSession, dir: String): DataFrame = {
+    val buckets = s.conf.getOption("graft.bucketedSym")
+      .orElse(sys.env.get("GRAFT_BUCKETED_SYM")).map(_.toInt)
+    buckets match {
+      case Some(n) => symEdgesBucketed(s, dir, n)
+      case None =>
+        SharedRelations(s, dir, "graph_sym") {
+          val e = derivedEdges(s, dir)
+          e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
+        }
     }
+  }
+
+  private val symBucketMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Bucketed materialization of [[symEdges]]: one write (the
+    * once-per-layout cost), then the returned catalog-table relation
+    * is hash-partitioned on `src` ON DISK — no SharedRelations persist
+    * (the files ARE the materialization; pinning an on-disk bucketed
+    * table in executor memory would just shadow the layout).
+    */
+  private def symEdgesBucketed(s: SparkSession, dir: String,
+                               buckets: Int): DataFrame =
+    symBucketMemo.getOrElseUpdate((s, dir, buckets), {
+      val e = derivedEdges(s, dir)
+      val sym =
+        e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
+      val table = "graft_sym_b" + buckets + "_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.Bucketing.bucketedTable(s, sym, table, buckets, "src")
+    })
 
   /** The shared edge-derivation, oracle side (a WITH prefix every graph
     * oracle starts from; callers append their own CTEs after a comma).

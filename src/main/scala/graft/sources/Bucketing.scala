@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table support — the storage-layout half of the engine's
   * shuffle discipline (SCALE.md): a table bucketed on its join/agg key
@@ -33,4 +34,24 @@ object Bucketing {
       .bucketBy(buckets, key, moreKeys: _*)
       .sortBy(key, moreKeys: _*)
       .saveAsTable(table)
+
+  /** [[writeBucketed]] + read-back, with a `repartition(buckets, key)`
+    * first so each write task holds exactly one bucket (Spark's
+    * repartition hash IS the bucketing hash) → ONE file per bucket,
+    * which lets the scan report the in-bucket sort order and
+    * downstream sort-merge joins skip their sort on this side. The
+    * returned relation scans the bucketed layout: its
+    * `outputPartitioning` is `HashPartitioning(key, buckets)`, so
+    * every join/agg keyed on `key` plans NO exchange above it — the
+    * iterative-graph contract ([[graft.queries.GraphQueries]]
+    * `graph_sym`): at 100 TB the per-round frontier join must not
+    * move the edge table, and this layout is what guarantees it at
+    * any executor count ([[graft.graph.GraphBucketedSpec]] pins the
+    * plan; the `bucketedsym` duel measures the shuffle delta).
+    */
+  def bucketedTable(s: SparkSession, df: DataFrame, table: String,
+                    buckets: Int, key: String): DataFrame = {
+    writeBucketed(df.repartition(buckets, col(key)), table, buckets, key)
+    s.table(table)
+  }
 }
