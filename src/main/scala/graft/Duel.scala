@@ -146,7 +146,6 @@ object Duel {
       // inputMetrics.recordsRead — the rows the reader actually
       // decoded after row-group pruning, the number a 100 TB scan
       // pays for.
-      import graft.functions.GraftExpressions
       val li = Tables(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_extendedprice"))
@@ -157,20 +156,10 @@ object Duel {
       val zdir = "target/duel_zorder/z"
       val ldir = "target/duel_zorder/linear"
       val nFiles = 256
-      // Dims are NORMALIZED to a common 16-bit width before the
-      // interleave — required for z-order to deliver: with raw keys
-      // (15-bit partkey vs 10-bit suppkey) the low-order interleave
-      // exhausts the narrow dim early, so every file's z-extent spans
-      // nearly the whole suppkey domain and the dim-2 prune ratio
-      // measured only 1.73x; normalized, each file is a near-square
-      // tile (SCALE.md "z-order needs bit-balanced dims").
-      def norm(c: org.apache.spark.sql.Column, mx: Long) =
-        GraftExpressions.floorDiv(c * lit(65535L), lit(mx))
-      li.withColumn("zval", GraftExpressions.zorder(
-          norm(col("l_partkey"), pMax), norm(col("l_suppkey"), sMax)))
-        .repartitionByRange(nFiles, col("zval"))
-        .sortWithinPartitions(col("zval"))
-        .write.mode("overwrite").parquet(zdir)
+      // The z side is the first-class operator (normalization — the
+      // "z-order needs bit-balanced dims" rule — lives inside it).
+      graft.sources.ZOrderedWrite.write(spark, li,
+        "l_partkey", "l_suppkey", nFiles, zdir)
       li.repartitionByRange(nFiles, col("l_partkey"))
         .sortWithinPartitions(col("l_partkey"))
         .write.mode("overwrite").parquet(ldir)

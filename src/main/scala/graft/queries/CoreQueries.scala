@@ -540,6 +540,19 @@ object CoreQueries {
     */
   private val ZBucketShift = 12
 
+  /** lineitem re-written z-clustered on (l_partkey, l_suppkey) via
+    * [[graft.sources.ZOrderedWrite]], memoized per (session, sfDir):
+    * the one-time layout job whose output [[q42_zorder]] audits. Same
+    * rows as the source table (plus the `zval` cluster key), so every
+    * lineitem oracle still holds over it.
+    */
+  private def zorderedLineitem(s: SparkSession, dir: String): DataFrame =
+    SharedRelations(s, dir, "zordered_lineitem") {
+      graft.sources.ZOrderedWrite.write(s, t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", 32,
+        "target/zorder_li_" + java.lang.Integer.toHexString(dir.hashCode))
+    }
+
   // Z-order (Morton) clustering statistics — the layout primitive
   // behind Delta/Iceberg ZORDER BY: interleave the bits of two join/
   // filter dimensions ([[graft.functions.ZOrder]], codegen'd, one
@@ -556,12 +569,18 @@ object CoreQueries {
   // the expression raises on out-of-range keys rather than silently
   // truncating — past ~SF 10.7k l_partkey exceeds 2³¹, and the
   // reduced key still tiles the plane (envelopes stay tight; only
-  // bucket identity wraps, which the audit tolerates).
+  // bucket identity wraps, which the audit tolerates). The audited
+  // table is the OUTPUT of the first-class layout operator
+  // ([[zorderedLineitem]] — graft.sources.ZOrderedWrite, written once
+  // per session/SF): the audit runs over the layout a table-optimize
+  // job actually produced, exactly as it would at 100 TB. The result
+  // is layout-independent (buckets derive from key VALUES), so the
+  // lineitem oracle is unchanged.
   def q42_zorder(s: SparkSession, dir: String): DataFrame = {
     val z = graft.functions.GraftExpressions.zorder(
       pmod(col("l_partkey"), lit(1L << 31)),
       pmod(col("l_suppkey"), lit(1L << 31)))
-    t(s, dir, "lineitem")
+    zorderedLineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
       .groupBy(graft.functions.GraftExpressions.floorDiv(
         col("zval"), lit(1L << ZBucketShift)).as("bucket"))

@@ -339,7 +339,29 @@ object DedupQueries {
   // per doc pair; the oracle applies the identical hash, so parity
   // is exact — the d04 stance). The measure is one double division
   // of exact int64 counts.
-  def d14_containment(s: SparkSession, dir: String): DataFrame = {
+  def d14_containment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(containmentShingles(s, dir), DefaultMaxPosting)
+
+  /** The containment projection shared by [[d14_containment]] and its
+    * sharded twin [[d16_containment_sharded]] — one double division of
+    * exact int64 counts over a pair-count relation.
+    */
+  private def containmentOf(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb"),
+        (col("c").cast(DoubleType) /
+          least(col("na"), col("nb")).cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= ContainTau)
+
+  private def containmentOf(sh: DataFrame, maxPosting: Int): DataFrame =
+    containmentOf(pairCounts(sh, maxPosting))
+
+  /** d14's audit corpus shingle relation (doc_id, lang, n, sh):
+    * documents plus planted half-length excerpts, position-exploded
+    * 3-gram int64 hashes, deduped per doc, with the per-doc total
+    * riding along.
+    */
+  private def containmentShingles(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
     val off = broadcast(d.agg((max(col("doc_id")) + 1L).as("off")))
     val exc = d.filter(col("doc_id") % ExcerptMod === 0L).crossJoin(off)
@@ -370,11 +392,58 @@ object DedupQueries {
         .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n"), col("sh"))
     }
-    pairCounts(shRel, DefaultMaxPosting)
-      .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb"),
-        (col("c").cast(DoubleType) /
-          least(col("na"), col("nb")).cast(DoubleType)).as("containment"))
-      .filter(col("containment") >= ContainTau)
+    shRel
+  }
+
+  /** Shard count for [[d16_containment_sharded]] at the oracle SFs —
+    * small enough that the S× re-scan overhead stays visible-but-modest
+    * in the bench; the sf10 envelope run uses a larger S via
+    * [[containmentSharded]] directly.
+    */
+  private val D16Shards = 4
+
+  /** The SHARDED exact containment audit — the runnable form of the
+    * "run the exact audit per-shard at scale" posture d02/d14 document
+    * (the r10 verdict's missing piece #3). Exactness: the pair
+    * machinery generates pairs per (lang, sh) posting group and sums
+    * intersection counts per pair afterwards, so partitioning the
+    * SHINGLE-HASH space into S shards keeps every posting group whole
+    * (shard key = pmod(sh, S)); per-shard pair counts then sum to
+    * exactly the unsharded counts (`na`/`nb` ride along identically in
+    * every shard). Each shard is materialized EAGERLY and sequentially
+    * (localCheckpoint) before the next starts, so peak memory/spill is
+    * ~1/S of d14's — the bounded envelope that completes at sf10 where
+    * the one-shot audit OOMs. The trade, recorded: S sequential scans
+    * of the shingle relation (it is persisted across shards here, so
+    * in practice one derivation + S cached passes). Result is
+    * row-identical to [[d14_containment]] — same oracle SQL, and the
+    * same cap-parity caveat (oracle is uncapped; parity needs the
+    * posting audit to confirm the ceiling inactive).
+    */
+  def d16_containment_sharded(s: SparkSession, dir: String): DataFrame =
+    containmentSharded(containmentShingles(s, dir), DefaultMaxPosting,
+      D16Shards)
+
+  private[graft] def containmentSharded(sh: DataFrame, maxPosting: Int,
+                                        shards: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pinned = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    // sequential eager materialization — one shard's pair volume in
+    // flight at a time; each checkpoint is |pairs-in-shard|-sized
+    val parts = (0 until shards).map { i =>
+      pairCounts(pinned.filter(pmod(col("sh"), lit(shards.toLong)) === i),
+        maxPosting).localCheckpoint(true)
+    }
+    // cross-shard reduce: a pair sharing shingles in k shards appears
+    // ≤ k times; c sums exactly, the doc totals are constants per doc
+    val out = parts.reduce(_ unionByName _)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("c")).as("c"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
+    val result = containmentOf(out).localCheckpoint(true)
+    pinned.unpersist(false)
+    parts.foreach(org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint)
+    result
   }
 
   // Runtime observability for d02's posting-size ceiling (the
@@ -854,6 +923,38 @@ object DedupQueries {
       |  d.doc_id = COALESCE(l$rounds.cluster, d.doc_id) AS is_keeper
       |FROM documents d LEFT JOIN l$rounds ON d.doc_id = l$rounds.doc_id""".stripMargin
 
+  /** The uncapped containment-audit oracle shared by d14 and d16 —
+    * the direct pair definition over the excerpt-planted corpus.
+    */
+  private lazy val ContainmentOracleSql: String = s"""
+    |WITH base AS (SELECT doc_id, lang, text FROM documents),
+    |off AS (SELECT MAX(doc_id) + 1 AS off FROM base),
+    |exc AS (SELECT doc_id + off AS doc_id, lang,
+    |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:GREATEST(
+    |      LEN(STRING_SPLIT(text, ' ')) // 2, 3)], ' ') AS text
+    |  FROM base, off WHERE doc_id % $ExcerptMod = 0),
+    |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+    |w AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM corpus),
+    |s AS (SELECT doc_id, lang,
+    |  UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+    |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+    |  FROM w WHERE LEN(w) >= 3),
+    |s2 AS (SELECT DISTINCT doc_id, lang, ${TextQueries.polyHashSql("sh")} AS sh
+    |  FROM s),
+    |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s2 GROUP BY 1),
+    |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    |    CAST(COUNT(*) AS BIGINT) AS c
+    |  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.lang = b.lang
+    |    AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2)
+    |SELECT doc_a, doc_b, c, na.n AS na, nb.n AS nb,
+    |  CAST(c AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+    |FROM inter
+    |JOIN n na ON na.doc_id = doc_a
+    |JOIN n nb ON nb.doc_id = doc_b
+    |WHERE CAST(c AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE)
+    |  >= $ContainTau""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d09_incremental" -> s"""
       |SELECT MD5(d.text) AS content_key, d.doc_id
@@ -943,34 +1044,12 @@ object DedupQueries {
       |SELECT cluster, doc_id AS keeper, n_tokens AS keeper_tokens,
       |  n_members
       |FROM r WHERE rn = 1""".stripMargin),
-    "d14_containment" -> s"""
-      |WITH base AS (SELECT doc_id, lang, text FROM documents),
-      |off AS (SELECT MAX(doc_id) + 1 AS off FROM base),
-      |exc AS (SELECT doc_id + off AS doc_id, lang,
-      |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:GREATEST(
-      |      LEN(STRING_SPLIT(text, ' ')) // 2, 3)], ' ') AS text
-      |  FROM base, off WHERE doc_id % $ExcerptMod = 0),
-      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
-      |w AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM corpus),
-      |s AS (SELECT doc_id, lang,
-      |  UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
-      |  FROM w WHERE LEN(w) >= 3),
-      |s2 AS (SELECT DISTINCT doc_id, lang, ${TextQueries.polyHashSql("sh")} AS sh
-      |  FROM s),
-      |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s2 GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(COUNT(*) AS BIGINT) AS c
-      |  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.lang = b.lang
-      |    AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, c, na.n AS na, nb.n AS nb,
-      |  CAST(c AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
-      |FROM inter
-      |JOIN n na ON na.doc_id = doc_a
-      |JOIN n nb ON nb.doc_id = doc_b
-      |WHERE CAST(c AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE)
-      |  >= $ContainTau""".stripMargin,
+    "d14_containment" -> ContainmentOracleSql,
+    // the sharded audit computes the IDENTICAL relation (sharding the
+    // shingle-hash space keeps posting groups whole; per-shard counts
+    // sum exactly), so one SQL text checks both implementations — the
+    // g11/g12 stance
+    "d16_containment_sharded" -> ContainmentOracleSql,
     "d02_posting_audit" -> (ShinglesCte + s""",
       |p AS (SELECT lang, sh, COUNT(*) AS psize FROM s GROUP BY 1, 2)
       |SELECT lang, COUNT(*) AS n_shingles,
@@ -1028,6 +1107,7 @@ object DedupQueries {
     "d01_exact" -> (d01_exact _),
     "d02_ngram_jaccard" -> (d02_ngram_jaccard _),
     "d14_containment" -> (d14_containment _),
+    "d16_containment_sharded" -> (d16_containment_sharded _),
     "d15_quality_keeper" -> (d15_quality_keeper _),
     "d02_posting_audit" -> (d02_posting_audit _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
