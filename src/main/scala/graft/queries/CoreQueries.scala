@@ -57,7 +57,9 @@ object CoreQueries {
         count(lit(1)).as("n_orders"))
 
   // O21 at fact⋈fact scale: both sides large → sort-merge join on the
-  // shuffle key; AQE handles skew. No broadcast hint on purpose.
+  // shuffle key; AQE handles skew (executed, not assumed: SkewJoinSpec
+  // pins `skew=true` on a hot-key fixture with this query's exact
+  // shape — join key ≠ grouping key). No broadcast hint on purpose.
   def q05_join_sortmerge(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))

@@ -395,12 +395,15 @@ object DedupQueries {
     shRel
   }
 
-  /** Shard count for [[d16_containment_sharded]] at the oracle SFs —
-    * small enough that the S× re-scan overhead stays visible-but-modest
-    * in the bench; the sf10 envelope run uses a larger S via
-    * [[containmentSharded]] directly.
+  /** Shard count for [[d16_containment_sharded]]: default 4 at the
+    * oracle SFs (the S× re-scan overhead stays visible-but-modest in
+    * the bench); `GRAFT_D16_SHARDS` raises it for envelope runs at
+    * large SF (the sf10 proof ran S=16). The result is
+    * shard-count-invariant — only the peak in-flight pair volume
+    * (~1/S) changes.
     */
-  private val D16Shards = 4
+  private val D16Shards =
+    sys.env.get("GRAFT_D16_SHARDS").map(_.toInt).getOrElse(4)
 
   /** The SHARDED exact containment audit — the runnable form of the
     * "run the exact audit per-shard at scale" posture d02/d14 document
@@ -427,23 +430,30 @@ object DedupQueries {
   private[graft] def containmentSharded(sh: DataFrame, maxPosting: Int,
                                         shards: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = sh.sparkSession
     val pinned = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    // sequential eager materialization — one shard's pair volume in
-    // flight at a time; each checkpoint is |pairs-in-shard|-sized
-    val parts = (0 until shards).map { i =>
+    // Sequential shard jobs, each SPILLED TO STORAGE before the next
+    // starts — the production per-shard recipe verbatim: shard outputs
+    // land in the object store, the merge is a separate job. Peak
+    // executor memory is ONE shard's pair volume (the r11 first cut
+    // held every shard's result as an in-memory checkpoint and OOM'd
+    // at sf10 exactly like the audit it replaces — S × |pairs| rows
+    // pinned; disk is where the cross-shard working set belongs).
+    val base = s"target/d16_shards_${shards}_" +
+      java.lang.Integer.toHexString(System.identityHashCode(spark))
+    (0 until shards).foreach { i =>
       pairCounts(pinned.filter(pmod(col("sh"), lit(shards.toLong)) === i),
-        maxPosting).localCheckpoint(true)
+        maxPosting)
+        .write.mode("overwrite").parquet(s"$base/shard_$i")
     }
+    pinned.unpersist(false)
     // cross-shard reduce: a pair sharing shingles in k shards appears
     // ≤ k times; c sums exactly, the doc totals are constants per doc
-    val out = parts.reduce(_ unionByName _)
+    val out = spark.read.parquet((0 until shards).map(i => s"$base/shard_$i"): _*)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("c")).as("c"), max(col("na")).as("na"),
         max(col("nb")).as("nb"))
-    val result = containmentOf(out).localCheckpoint(true)
-    pinned.unpersist(false)
-    parts.foreach(org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint)
-    result
+    containmentOf(out)
   }
 
   // Runtime observability for d02's posting-size ceiling (the
