@@ -938,7 +938,85 @@ object GraphQueries {
           .otherwise(lit(0.0)))
   }
 
+  /** Edge-sampling modulus for [[g17_clustering_approx]]: keep a
+    * canonical edge iff (127a + 31b) mod [[G17Mod]] = 0 — rate 1/4,
+    * so wedge work shrinks ×16. Deterministic (both engines evaluate
+    * the same gate on the same int64s), which is what keeps an
+    * APPROXIMATE query hash-exact: the estimator's randomness is a
+    * fixed hash, not an RNG.
+    */
+  private val G17Mod = 4L
+
+  /** Approximate global clustering coefficient by DOULION-style edge
+    * sparsification (Tsourakakis et al., KDD'09) — the production
+    * tier for the regime where [[g16_clustering]]'s exact wedge
+    * enumeration explodes (the ×100 probe's degree-uniform dense
+    * replica graph: ~8·10⁸ wedges, 296s — orientation can't help when
+    * degrees are uniform). Sample canonical edges at rate 1/R with
+    * the deterministic gate, enumerate wedges over SAMPLED edge pairs
+    * only (work scales ×1/R²), close each sampled wedge EXACTLY
+    * against the full edge set, and scale: a triangle's two wedge
+    * edges survive with probability 1/R², so
+    * `tri_est = closed · R²` is unbiased; the total wedge count needs
+    * no sampling at all (Σ d(d−1)/2 off the degree relation — one
+    * cheap aggregate). Output is one row of exact int64 tallies plus
+    * `est_coeff = 3·tri_est / wedges_total` as a single double
+    * division — hash-exact against the identical SQL derivation.
+    * Estimator variance falls out of closed-count magnitude (report
+    * closed_wedges so a user sees the support); R is the
+    * accuracy-vs-cost dial at 100 TB.
+    */
+  def g17_clustering_approx(s: SparkSession, dir: String): DataFrame = {
+    val und = SharedRelations(s, dir, "graph_und") {
+      derivedEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
+    val se = und.filter(pmod(col("a") * 127L + col("b") * 31L,
+      lit(G17Mod)) === 0L)
+    val w = se.select(col("a").as("x"), col("b").as("y1"))
+      .join(se.select(col("a").as("x"), col("b").as("y2")), Seq("x"))
+      .filter(col("y1") < col("y2"))
+    val closed = broadcast(
+      w.join(und, col("y1") === col("a") && col("y2") === col("b"))
+        .agg(count(lit(1)).as("closed_wedges")))
+    val sampled = broadcast(w.agg(count(lit(1)).as("sampled_wedges")))
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    deg.agg((sum(col("deg") * (col("deg") - 1L)) / lit(2L))
+        .cast("long").as("wedges_total"))
+      .crossJoin(sampled).crossJoin(closed)
+      .select(col("sampled_wedges"), col("closed_wedges"),
+        col("wedges_total"),
+        when(col("wedges_total") > 0L,
+          (col("closed_wedges") * lit(3L * G17Mod * G17Mod)).cast("double") /
+            col("wedges_total").cast("double"))
+          .otherwise(lit(0.0)).as("est_coeff"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "g17_clustering_approx" -> (EdgesCte + s""",
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM edges),
+      |se AS (SELECT a, b FROM und WHERE (127 * a + 31 * b) % $G17Mod = 0),
+      |w AS (SELECT e1.a AS x, e1.b AS y1, e2.b AS y2
+      |  FROM se e1 JOIN se e2 ON e1.a = e2.a AND e1.b < e2.b),
+      |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS closed_wedges
+      |  FROM w JOIN und ON w.y1 = und.a AND w.y2 = und.b),
+      |sw AS (SELECT CAST(COUNT(*) AS BIGINT) AS sampled_wedges FROM w),
+      |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+      |wt AS (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT)
+      |    AS wedges_total FROM deg)
+      |SELECT sampled_wedges, closed_wedges, wedges_total,
+      |  CASE WHEN wedges_total > 0
+      |    THEN CAST(closed_wedges * ${3L * G17Mod * G17Mod} AS DOUBLE)
+      |      / CAST(wedges_total AS DOUBLE)
+      |    ELSE 0.0 END AS est_coeff
+      |FROM sw, cl, wt""".stripMargin),
     "g01_adjacency" -> (EdgesCte + """
       |SELECT src AS node,
       |  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT dst)), '-') AS adj
@@ -1024,6 +1102,7 @@ object GraphQueries {
     "g15_kcore" -> (g15_kcore _),
     "g06_triangles" -> (g06_triangles _),
     "g16_clustering" -> (g16_clustering _),
+    "g17_clustering_approx" -> (g17_clustering_approx _),
     // Flagship GraphX path — iterative double-precision PageRank,
     // surfaced as the per-node tolerance witness against the
     // fixed-point unroll so the driver hash-checks it like every
