@@ -434,7 +434,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // user 3 joins in batch 2 on day 3
     val b1 = Seq(dev(1, 2, 9, 1), dev(2, 1, 8, 1), dev(3, 2, 10, 2),
       dev(4, 2, 11, 2))
-    val b2 = Seq(dev(5, 4, 7, 1), dev(6, 3, 12, 3), dev(7, 2, 23, 1))
+    // user 4: pre-epoch cohort — pins the floorDiv day derivation
+    // (truncation toward zero would collapse the two 1969 days onto
+    // day 0 and break age arithmetic; floor keeps them -184/-182)
+    val b2 = Seq(dev(5, 4, 7, 1), dev(6, 3, 12, 3), dev(7, 2, 23, 1),
+      Ev(8, Timestamp.valueOf("1969-06-30 06:00:00"), 4, "click", 1.0),
+      Ev(9, Timestamp.valueOf("1969-07-02 06:00:00"), 4, "click", 1.0))
     val in = MemoryStream[Ev]
     val q = StreamOps.retentionCells(in.toDS()).writeStream
       .format("memory").queryName("ret").outputMode(OutputMode.Append).start()
@@ -445,7 +450,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(c => (c.user_id, c.cohort_day, c.age_days)).toSeq
       // exactly one cell per first-seen (user, day)
       assert(cells.distinct.size === cells.size)
-      val brute = (b1 ++ b2).map(e => (e.user_id, e.ts.getTime / 86400000L))
+      val brute = (b1 ++ b2)
+        .map(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L)))
         .distinct
       val cohort = brute.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
       val expected = brute.map { case (u, d) => (u, cohort(u), d - cohort(u)) }
