@@ -57,8 +57,9 @@ object Bench {
     // carries the honest cost alongside the comparable count() number.
     val uncountedQueries = Set("d12_span_removal", "d06_neardup_clusters",
       "d13_incremental_neardup", "p04_contamination", "g04_pagerank",
-      "g04_pagerank_i10", "g08_pagerank_compat", "g09_pagerank_personalized",
-      "q41_funnel", "g16_clustering", "p09_source_report")
+      "g04_pagerank_i10", "g07_pagerank_graphx", "g08_pagerank_compat",
+      "g09_pagerank_personalized", "q41_funnel", "g16_clustering",
+      "p09_source_report")
     var family = ""
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }

@@ -170,6 +170,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "d13_incremental_neardup" -> ((4, 0)),
       "g04_pagerank" -> ((4, 2)),
       "g04_pagerank_i10" -> ((4, 2)),
+      // the tolerance witness joins GraphX ranks to the fp loop: the
+      // fp loop's two scalar joins survive count() but the witness
+      // join itself is row-preserving on (node) and collapses
+      "g07_pagerank_graphx" -> ((5, 3)),
       "g08_pagerank_compat" -> ((4, 2)),
       "g09_pagerank_personalized" -> ((4, 2)),
       // the wedge chain feeds the left join's aggregated side, so
