@@ -425,10 +425,10 @@ object DedupQueries {
     */
   def d16_containment_sharded(s: SparkSession, dir: String): DataFrame =
     containmentSharded(containmentShingles(s, dir), DefaultMaxPosting,
-      D16Shards)
+      D16Shards, java.lang.Integer.toHexString(dir.hashCode))
 
   private[graft] def containmentSharded(sh: DataFrame, maxPosting: Int,
-                                        shards: Int): DataFrame = {
+                                        shards: Int, tag: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = sh.sparkSession
     val pinned = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -439,21 +439,49 @@ object DedupQueries {
     // held every shard's result as an in-memory checkpoint and OOM'd
     // at sf10 exactly like the audit it replaces — S × |pairs| rows
     // pinned; disk is where the cross-shard working set belongs).
-    val base = s"target/d16_shards_${shards}_" +
-      java.lang.Integer.toHexString(System.identityHashCode(spark))
+    // Two further sf10-measured disciplines: (1) shard outputs carry
+    // ONLY (doc_a, doc_b, c) — na/nb are functionally dependent on
+    // the doc id, and shipping them through the S-fold-duplicated
+    // shard relation and the merge shuffle cost ~40% extra bytes (the
+    // |docs|-sized doc-total table below rejoins them after the merge
+    // agg); (2) a GC nudge after each shard job lets the
+    // ContextCleaner release that job's shuffle files — in one
+    // long-lived JVM, S shard jobs' un-collected shuffles otherwise
+    // accumulate ~the whole pair volume on local disk (the Bench
+    // family-boundary lesson applied per shard). Path keyed by
+    // (shard count, input tag): a later call on another SF must not
+    // overwrite files an earlier call's LAZY result still reads.
+    val base = s"target/d16_shards_${shards}_$tag"
     (0 until shards).foreach { i =>
       pairCounts(pinned.filter(pmod(col("sh"), lit(shards.toLong)) === i),
         maxPosting)
+        .select(col("doc_a"), col("doc_b"), col("c"))
         .write.mode("overwrite").parquet(s"$base/shard_$i")
+      // the GC nudge costs ~1s a pop — only worth it in the
+      // many-shard envelope regime where stale shuffles actually
+      // threaten the disk budget
+      if (shards > 4) System.gc()
     }
+    // per-doc shingle totals (|docs| rows) — written next to the
+    // shards so the returned lazy relation never re-derives the
+    // shingle explode
+    pinned.select(col("doc_id"), col("n")).distinct()
+      .write.mode("overwrite").parquet(s"$base/docn")
     pinned.unpersist(false)
     // cross-shard reduce: a pair sharing shingles in k shards appears
-    // ≤ k times; c sums exactly, the doc totals are constants per doc
-    val out = spark.read.parquet((0 until shards).map(i => s"$base/shard_$i"): _*)
+    // ≤ k times and c sums exactly; doc totals rejoin post-agg (AQE
+    // broadcasts the |docs|-sized side when it fits)
+    val merged = spark.read
+      .parquet((0 until shards).map(i => s"$base/shard_$i"): _*)
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("c")).as("c"), max(col("na")).as("na"),
-        max(col("nb")).as("nb"))
-    containmentOf(out)
+      .agg(sum(col("c")).as("c"))
+    val docN = spark.read.parquet(s"$base/docn")
+    containmentOf(merged
+      .join(docN.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(docN.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb")))
   }
 
   // Runtime observability for d02's posting-size ceiling (the
