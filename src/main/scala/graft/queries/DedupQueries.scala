@@ -451,15 +451,32 @@ object DedupQueries {
     // family-boundary lesson applied per shard). Path keyed by
     // (shard count, input tag): a later call on another SF must not
     // overwrite files an earlier call's LAZY result still reads.
+    // The MERGE is envelope-bounded the same way (the second sf10
+    // lesson): 16 shards at sf10 hold 4.2·10⁹ partial pair rows —
+    // a single cross-shard groupBy would shuffle all of them at once
+    // (~40+ GB of spill, over the local disk budget even though each
+    // phase-1 job fit). So shard outputs are additionally
+    // PARTITIONED BY a pair-slice key (pmod(doc_a, J)), and phase 2
+    // runs J sequential slice-merges, each reading only its slice
+    // directories and shuffling ~1/J of the pair volume. Peak disk =
+    // shards + ONE slice's shuffle. J = shards/2 (1 at the oracle
+    // SFs, where the in-flight merge is cheap and skipping phase 2's
+    // extra write keeps the small-SF cost honest).
+    val slices = math.max(1, shards / 2)
     val base = s"target/d16_shards_${shards}_$tag"
     (0 until shards).foreach { i =>
-      pairCounts(pinned.filter(pmod(col("sh"), lit(shards.toLong)) === i),
-        maxPosting)
+      val pc = pairCounts(
+        pinned.filter(pmod(col("sh"), lit(shards.toLong)) === i), maxPosting)
         .select(col("doc_a"), col("doc_b"), col("c"))
-        .write.mode("overwrite").parquet(s"$base/shard_$i")
+      if (slices > 1)
+        pc.withColumn("slice", pmod(col("doc_a"), lit(slices.toLong)))
+          .write.mode("overwrite").partitionBy("slice")
+          .parquet(s"$base/shard_$i")
+      else pc.write.mode("overwrite").parquet(s"$base/shard_$i")
       // the GC nudge costs ~1s a pop — only worth it in the
       // many-shard envelope regime where stale shuffles actually
-      // threaten the disk budget
+      // threaten the disk budget (ContextCleaner frees a shard job's
+      // shuffle files only after its objects are collected)
       if (shards > 4) System.gc()
     }
     // per-doc shingle totals (|docs| rows) — written next to the
@@ -469,12 +486,23 @@ object DedupQueries {
       .write.mode("overwrite").parquet(s"$base/docn")
     pinned.unpersist(false)
     // cross-shard reduce: a pair sharing shingles in k shards appears
-    // ≤ k times and c sums exactly; doc totals rejoin post-agg (AQE
-    // broadcasts the |docs|-sized side when it fits)
-    val merged = spark.read
-      .parquet((0 until shards).map(i => s"$base/shard_$i"): _*)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("c")).as("c"))
+    // ≤ k times and c sums exactly
+    def mergeOf(paths: Seq[String]) =
+      spark.read.parquet(paths: _*)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("c")).as("c"))
+    val merged =
+      if (slices > 1) {
+        (0 until slices).foreach { j =>
+          mergeOf((0 until shards).map(i => s"$base/shard_$i/slice=$j"))
+            .write.mode("overwrite").parquet(s"$base/merged/slice_$j")
+          System.gc()
+        }
+        spark.read.parquet(
+          (0 until slices).map(j => s"$base/merged/slice_$j"): _*)
+      } else mergeOf((0 until shards).map(i => s"$base/shard_$i"))
+    // doc totals rejoin post-agg (AQE broadcasts the |docs|-sized
+    // side when it fits)
     val docN = spark.read.parquet(s"$base/docn")
     containmentOf(merged
       .join(docN.select(col("doc_id").as("doc_a"), col("n").as("na")),
