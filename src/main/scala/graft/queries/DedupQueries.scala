@@ -361,7 +361,7 @@ object DedupQueries {
     * 3-gram int64 hashes, deduped per doc, with the per-doc total
     * riding along.
     */
-  private def containmentShingles(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def containmentShingles(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
     val off = broadcast(d.agg((max(col("doc_id")) + 1L).as("off")))
     val exc = d.filter(col("doc_id") % ExcerptMod === 0L).crossJoin(off)

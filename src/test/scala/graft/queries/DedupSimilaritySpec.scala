@@ -451,6 +451,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     pairs.values.foreach(c => assert(c >= 0.9 && c <= 1.0))
   }
 
+  test("sharded containment audit is row-identical to the one-shot audit") {
+    // shard-count invariance is the design claim: partitioning the
+    // shingle-hash space keeps posting groups whole, so per-shard
+    // pair counts SUM exactly — and the sliced merge (slices =
+    // shards/2 kicks in at 16) re-partitions only the OUTPUT key
+    // space. 16 shards exercises both envelope phases.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    val oneShot = DedupQueries.d14_containment(spark, dir)
+      .collect().map(key).sortBy(_.toString)
+    val sharded = DedupQueries.containmentSharded(
+        DedupQueries.containmentShingles(spark, dir),
+        DedupQueries.DefaultMaxPosting, 16, "spec16")
+      .collect().map(key).sortBy(_.toString)
+    assert(sharded === oneShot)
+    // and the registered (4-shard, lazy-merge) form too
+    val registered = DedupQueries.d16_containment_sharded(spark, dir)
+      .collect().map(key).sortBy(_.toString)
+    assert(registered === oneShot)
+  }
+
   test("quality keeper picks each cluster's longest member (ties -> min id)") {
     val clusters = DedupQueries.d06_neardup_clusters(spark, dir)
       .select("doc_id", "cluster").collect()
