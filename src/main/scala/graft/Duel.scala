@@ -237,11 +237,14 @@ object Duel {
         spark, sym, "duel_sym_bucketed", cpus.toInt, "src")
       val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Unlike `measure` (fixed plan ⇒ identical tallies every run),
+      // a converged-CC run's traffic can shift between samples (AQE
+      // decisions, cache state), so each sample keeps ITS tally and
+      // the reported records/bytes are the median-time sample's — the
+      // same run the reported seconds come from.
       def measureCc(symRel: org.apache.spark.sql.DataFrame)
           : (Double, Long, Long) = {
-        var recs = 0L
-        var byts = 0L
-        val times = (1 to n).map { _ =>
+        val samples = (1 to n).map { _ =>
           val tally = new ShuffleTally
           spark.sparkContext.addSparkListener(tally)
           val t0 = System.nanoTime()
@@ -252,10 +255,9 @@ object Duel {
             .drainListenerBus(spark.sparkContext)
           spark.sparkContext.removeSparkListener(tally)
           org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(out)
-          recs = tally.records.get(); byts = tally.bytes.get()
-          sec
+          (sec, tally.records.get(), tally.bytes.get())
         }
-        (times.sorted.apply(times.length / 2), recs, byts)
+        samples.sortBy(_._1).apply(samples.length / 2)
       }
       try {
         val custom = measureCc(bsym)

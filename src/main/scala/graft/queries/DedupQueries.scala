@@ -405,6 +405,26 @@ object DedupQueries {
   private val D16Shards =
     sys.env.get("GRAFT_D16_SHARDS").map(_.toInt).getOrElse(4)
 
+  /** Spill root for [[d16_containment_sharded]]'s shard/merge files —
+    * spark conf `graft.d16.root`, else env `GRAFT_D16_ROOT`, else
+    * `target`. At cluster scale point this at an object-store URI
+    * (the paths go through Hadoop's FileSystem API, so any scheme the
+    * cluster mounts works); the default keeps local runs self-contained.
+    */
+  private def d16Root(s: SparkSession): String =
+    s.conf.getOption("graft.d16.root")
+      .orElse(sys.env.get("GRAFT_D16_ROOT")).getOrElse("target")
+
+  /** Filesystem-safe tag for a spill directory: the SF dir path with
+    * every non-portable char collapsed to `_` — readable and unique
+    * per path, where the previous `dir.hashCode` hex was neither
+    * (32-bit hash collisions silently shared spill dirs between
+    * different inputs).
+    */
+  private def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("_+", "_")
+      .stripPrefix("_")
+
   /** The SHARDED exact containment audit — the runnable form of the
     * "run the exact audit per-shard at scale" posture d02/d14 document
     * (the r10 verdict's missing piece #3). Exactness: the pair
@@ -425,10 +445,11 @@ object DedupQueries {
     */
   def d16_containment_sharded(s: SparkSession, dir: String): DataFrame =
     containmentSharded(containmentShingles(s, dir), DefaultMaxPosting,
-      D16Shards, java.lang.Integer.toHexString(dir.hashCode))
+      D16Shards, dirTag(dir), d16Root(s))
 
   private[graft] def containmentSharded(sh: DataFrame, maxPosting: Int,
-                                        shards: Int, tag: String): DataFrame = {
+                                        shards: Int, tag: String,
+                                        root: String = "target"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = sh.sparkSession
     val pinned = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -459,11 +480,22 @@ object DedupQueries {
     // PARTITIONED BY a pair-slice key (pmod(doc_a, J)), and phase 2
     // runs J sequential slice-merges, each reading only its slice
     // directories and shuffling ~1/J of the pair volume. Peak disk =
-    // shards + ONE slice's shuffle. J = shards/2 (1 at the oracle
-    // SFs, where the in-flight merge is cheap and skipping phase 2's
-    // extra write keeps the small-SF cost honest).
-    val slices = math.max(1, shards / 2)
-    val base = s"target/d16_shards_${shards}_$tag"
+    // shards + ONE slice's shuffle. Slicing engages in the ENVELOPE
+    // regime only (J = shards/2 at shards ≥ 16, J = 1 below): at the
+    // oracle SFs the in-flight merge is cheap, and skipping phase 2's
+    // extra write + the per-slice GC nudge keeps the small-SF cost
+    // honest.
+    val slices = if (shards >= 16) shards / 2 else 1
+    val base = s"$root/d16_shards_${shards}_$tag"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    def delete(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
     (0 until shards).foreach { i =>
       val pc = pairCounts(
         pinned.filter(pmod(col("sh"), lit(shards.toLong)) === i), maxPosting)
@@ -493,14 +525,39 @@ object DedupQueries {
         .agg(sum(col("c")).as("c"))
     val merged =
       if (slices > 1) {
-        (0 until slices).foreach { j =>
-          mergeOf((0 until shards).map(i => s"$base/shard_$i/slice=$j"))
-            .write.mode("overwrite").parquet(s"$base/merged/slice_$j")
-          System.gc()
+        // partitionBy only creates directories for slice values that
+        // actually OCCUR in a shard's output — on a sparse/skewed
+        // corpus a shard can emit no pairs for some slice (or none at
+        // all), so each slice-merge reads only the shard/slice dirs
+        // that exist (a blind read of an absent path would throw).
+        val mergedSlices = (0 until slices).flatMap { j =>
+          val ins = (0 until shards).map(i => s"$base/shard_$i/slice=$j")
+            .filter(exists)
+          if (ins.isEmpty) None
+          else {
+            mergeOf(ins)
+              .write.mode("overwrite").parquet(s"$base/merged/slice_$j")
+            System.gc()
+            Some(s"$base/merged/slice_$j")
+          }
         }
-        spark.read.parquet(
-          (0 until slices).map(j => s"$base/merged/slice_$j"): _*)
-      } else mergeOf((0 until shards).map(i => s"$base/shard_$i"))
+        // merged slices now hold the whole pair volume — drop the
+        // shard files so peak disk really is shards + one slice's
+        // shuffle, not shards + merged accumulating until a manual
+        // cleanup between runs
+        (0 until shards).foreach(i => delete(s"$base/shard_$i"))
+        if (mergedSlices.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType),
+              StructField("c", LongType))))
+        else spark.read.parquet(mergedSlices: _*)
+      } else
+        // lazy single-phase merge: the relation reads the shard dirs
+        // directly (an empty non-partitioned write still carries its
+        // schema, so no existence filter is needed), which means the
+        // shard files must outlive this call — fine at the oracle SFs
+        // this branch serves, where the whole pair volume is small
+        mergeOf((0 until shards).map(i => s"$base/shard_$i"))
     // doc totals rejoin post-agg (AQE broadcasts the |docs|-sized
     // side when it fits)
     val docN = spark.read.parquet(s"$base/docn")

@@ -407,12 +407,20 @@ object GraphQueries {
   /** Tolerance for [[g07_pagerank_graphx]]'s double-vs-fixed-point
     * witness. The fixed-point recurrence truncates once per edge
     * contribution and twice per node per pass (each ≤ 1/Scale =
-    * 10⁻¹²), so after [[G07Iters]] damped passes the gap to exact
-    * double arithmetic is bounded well under 10⁻⁹ at any shipped SF
-    * (mean in-degree ≈ 6.7 independent of SF); 10⁻⁸ leaves an order
-    * of margin while sitting five orders below the smallest rank
-    * (β/n). A GraphX regression past the tolerance flips `rank_ok`
-    * rows to false and the driver's hash compare fails.
+    * 10⁻¹²), and truncation error is one-sided and accumulates with
+    * the receiving node's IN-degree — so the per-node bound must use
+    * the MAX in-degree, not the mean (a hub with in-degree ≳10⁴ could
+    * breach 10⁻⁸ in a single pass): per pass ≤ (dmax + 2)/Scale, and
+    * with 0.85 damping the [[G07Iters]]-pass total is
+    * < (dmax + 2) · 10⁻¹² · Σ₀⁴ 0.85^k ≈ 3.7·(dmax + 2)·10⁻¹².
+    * On the derived graph dmax is MEASURED = 4 at sf0.001/0.01/0.1
+    * (dst = 1 + o_orderkey % mx is near-uniform, so in-degree stays
+    * O(orders/custkeys), SF-independent) → bound ≈ 2.3·10⁻¹¹, five
+    * hundred-fold under 10⁻⁸, which itself sits five orders below the
+    * smallest rank (β/n). On a graph with genuine hubs (dmax ≥ 10³)
+    * this ε must widen by dmax/10³ — the bound above is the dial. A
+    * GraphX regression past the tolerance flips `rank_ok` rows to
+    * false and the driver's hash compare fails.
     */
   private val G07Eps = 1e-8
 
@@ -985,8 +993,13 @@ object GraphQueries {
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    deg.agg((sum(col("deg") * (col("deg") - 1L)) / lit(2L))
-        .cast("long").as("wedges_total"))
+    // Integral division (matching the oracle's `//`): the double-divide
+    // form is exact only below 2^53, and the dense regime this tier
+    // exists for (deep ×N replica probes) is exactly where Σ d(d−1)
+    // could pass it — a few-ulp engine disagreement would break hash
+    // parity. `div` on the long sum is exact at any magnitude (the sum
+    // is even, so floor-div == true division here).
+    deg.agg(expr("sum(deg * (deg - 1)) div 2").as("wedges_total"))
       .crossJoin(sampled).crossJoin(closed)
       .select(col("sampled_wedges"), col("closed_wedges"),
         col("wedges_total"),

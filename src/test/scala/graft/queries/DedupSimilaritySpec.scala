@@ -473,6 +473,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(registered === oneShot)
   }
 
+  test("sharded audit survives a sparse corpus (absent shard/slice dirs) and honors a custom root") {
+    import spark.implicits._
+    // Adversarial layout for the envelope path: every shingle hash
+    // ≡ 0 (mod 16) so 15 of 16 shards emit NO pairs (partitionBy
+    // writes no slice dirs at all there), and every doc id ≡ 0
+    // (mod 8) so only slice 0 of 8 ever occurs — a blind
+    // shard_i/slice=j read would throw AnalysisException on both
+    // kinds of hole. Docs: 8 ⊇ 16 (c=4, containment 4/4 = 1.0);
+    // 24 disjoint (no pair).
+    val sh = Seq(
+      (8L, "en", 5L, 0L), (8L, "en", 5L, 16L), (8L, "en", 5L, 32L),
+      (8L, "en", 5L, 48L), (8L, "en", 5L, 64L),
+      (16L, "en", 4L, 0L), (16L, "en", 4L, 16L), (16L, "en", 4L, 32L),
+      (16L, "en", 4L, 48L),
+      (24L, "en", 2L, 160L), (24L, "en", 2L, 176L))
+      .toDF("doc_id", "lang", "n", "sh")
+    val root = java.nio.file.Files
+      .createTempDirectory("d16root").toString
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    val sliced = DedupQueries.containmentSharded(
+        sh, DedupQueries.DefaultMaxPosting, 16, "sparse16", root)
+      .collect().map(key).toSeq
+    assert(sliced === Seq((8L, 16L, 4L, 5L, 4L, 1.0)))
+    // same rows through the lazy single-phase branch
+    val lazyMerge = DedupQueries.containmentSharded(
+        sh, DedupQueries.DefaultMaxPosting, 2, "sparse2", root)
+      .collect().map(key).toSeq
+    assert(lazyMerge === sliced)
+    // the spill landed under the custom root, and the sliced path
+    // deleted its shard dirs once the merged slices were written
+    val base = new java.io.File(s"$root/d16_shards_16_sparse16")
+    assert(base.isDirectory, "custom spill root was not used")
+    assert(!base.listFiles.exists(_.getName.startsWith("shard_")),
+      "sliced path must delete shard dirs after the merge")
+    assert(new java.io.File(base, "merged/slice_0").isDirectory)
+  }
+
   test("quality keeper picks each cluster's longest member (ties -> min id)") {
     val clusters = DedupQueries.d06_neardup_clusters(spark, dir)
       .select("doc_id", "cluster").collect()
