@@ -60,11 +60,23 @@ object Bench {
       "g04_pagerank_i10", "g07_pagerank_graphx", "g08_pagerank_compat",
       "g09_pagerank_personalized", "q41_funnel", "g16_clustering",
       "p09_source_report")
+    // Family prefix = the leading letters (not one char): the st
+    // streaming entries are their own family, not part of s-similarity.
+    def famOf(name: String): String = name.takeWhile(!_.isDigit)
+    // Co-tenancy annotation (r11 hygiene item): both rounds' driver
+    // artifacts needed a BENCH_NOTES cross-reference to interpret cold
+    // outliers — record the host 1-min load average at start and end
+    // IN the artifact so a co-tenant run is visible from the JSON.
+    def loadAvg: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg
     var family = ""
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     val results = all.map { case (name, fn) =>
-      if (family.nonEmpty && name.take(1) != family) {
+      if (family.nonEmpty && famOf(name) != family) {
         graft.queries.SharedRelations.evict(spark)
         // The evict drops block-manager entries but their heap garbage
         // lingers until the next major GC — measured shading g04/g08
@@ -72,7 +84,7 @@ object Bench {
         // family boundary (7/run) keeps each family's samples clean.
         System.gc()
       }
-      family = name.take(1)
+      family = famOf(name)
       // A failed materialization must NOT masquerade as a fast query
       // (the r9 artifact recorded seven instant analysis failures as
       // 0.07-0.10s entries): any sample that throws marks the query
@@ -108,7 +120,7 @@ object Bench {
       .mkString("{", ",", "}")
     // Per-family subtotals: regression triage is one look at this map
     // instead of a 59-entry diff.
-    val fams = timed.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
+    val fams = timed.groupBy(r => famOf(r._1)).toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + n3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
     // Cold map: queries whose later samples resume from a memo (the
@@ -143,7 +155,7 @@ object Bench {
       .map { case (k, _, _, _, Some(e)) => s"\"" + k + "\":" + jq(e.take(300)) }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    val line = s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"families":$fams,"cold":$cold,"uncounted":$unc,"err":$errMap,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"families":$fams,"cold":$cold,"uncounted":$unc,"err":$errMap,"cpus":$cpus,"load_avg_start":${n3(loadStart)},"load_avg_end":${n3(loadAvg)},"sf":"$sfDir"}"""
     println(line)
     // Self-contained evidence: the driver's artifact keeps only an
     // output tail, so also drop the full line where a later session

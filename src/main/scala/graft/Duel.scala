@@ -88,7 +88,8 @@ object Duel {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     val which = if (args.nonEmpty) args.toSet
-      else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym")
+      else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym",
+        "bucketededges")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -267,6 +268,66 @@ object Duel {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
         sym.unpersist(false)
         spark.sql("DROP TABLE IF EXISTS duel_sym_bucketed")
+      }
+    }
+
+    if (which("bucketededges")) {
+      // The FLAGSHIP family's layout duel: a 3-pass fixed-point
+      // PageRank with the directed edge relation read from a
+      // src-bucketed table vs the in-memory relation. Broadcast is
+      // disabled (minus the 1-row scalar hints) — the regime where
+      // ranks outgrow the driver — so the plain side must shuffle the
+      // edge table into every round's contribution join, while the
+      // bucketed side reads co-located bucket files and only the
+      // node-sized rank relation moves (GraphBucketedSpec pins the
+      // plan; this records the traffic). Both sides drive the REAL
+      // round builder (GraphQueries.pagerankRound), memo-free.
+      import graft.queries.GraphQueries
+      import org.apache.spark.storage.StorageLevel
+      val e = GraphQueries.derivedEdges(spark, sfDir)
+      val nodes = GraphQueries.derivedNodes(spark, sfDir)
+      val deg = GraphQueries.outDeg(spark, sfDir)
+      val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
+      // settle the shared persisted relations OUTSIDE the timed region
+      e.queryExecution.toRdd.count()
+      nodes.queryExecution.toRdd.count()
+      deg.queryExecution.toRdd.count()
+      val be = graft.sources.Bucketing.bucketedTable(
+        spark, e, "duel_edges_bucketed", cpus.toInt, "src")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def measurePr(eRel: org.apache.spark.sql.DataFrame)
+          : (Double, Long, Long) = {
+        val samples = (1 to n).map { _ =>
+          val tally = new ShuffleTally
+          spark.sparkContext.addSparkListener(tally)
+          val t0 = System.nanoTime()
+          var pins = List.empty[org.apache.spark.sql.DataFrame]
+          var r = GraphQueries.pagerankInit(nodes, nn)
+          (1 to 3).foreach { _ =>
+            val withDeg = r.join(deg, Seq("node"), "left_outer")
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            pins ::= withDeg
+            r = GraphQueries.pagerankRound(eRel, nodes, withDeg, nn,
+              divideByOutdeg = true)
+          }
+          r.queryExecution.toRdd.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.graft.ColumnBridge
+            .drainListenerBus(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(tally)
+          pins.foreach(_.unpersist(false))
+          (sec, tally.records.get(), tally.bytes.get())
+        }
+        samples.sortBy(_._1).apply(samples.length / 2)
+      }
+      try {
+        val custom = measurePr(be)
+        val stock = measurePr(e)
+        report("pagerank_bucketed_vs_inmemory_edges", custom, stock, sfDir)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.sql("DROP TABLE IF EXISTS duel_edges_bucketed")
       }
     }
 

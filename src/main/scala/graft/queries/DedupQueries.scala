@@ -971,7 +971,7 @@ object DedupQueries {
   /** Shingle→minhash-signature→band CTE prefix shared by the d03 and
     * d06 oracles.
     */
-  private lazy val BandsCte: String = ShinglesCte + s""",
+  private[queries] lazy val BandsCte: String = ShinglesCte + s""",
     |h AS (SELECT doc_id, ${TextQueries.polyHashSql("sh")} AS h FROM s),
     |sig AS (SELECT doc_id, ${(0 until 8).map(permMinSql).mkString(", ")}
     |  FROM h GROUP BY doc_id),

@@ -99,6 +99,15 @@ object GraphQueries {
   private val symBucketMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), DataFrame]
 
+  /** Catalog-safe table-name tag for a bucketed layout: the SF dir
+    * path with non-identifier chars collapsed — unique per path where
+    * a 32-bit `dir.hashCode` hex could collide and silently share a
+    * layout between different inputs.
+    */
+  private def tableTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9_]", "_").replaceAll("_+", "_")
+      .stripPrefix("_")
+
   /** Bucketed materialization of [[symEdges]]: one write (the
     * once-per-layout cost), then the returned catalog-table relation
     * is hash-partitioned on `src` ON DISK — no SharedRelations persist
@@ -111,9 +120,48 @@ object GraphQueries {
       val e = derivedEdges(s, dir)
       val sym =
         e.union(e.select(col("dst"), col("src"))).toDF("src", "dst").distinct()
-      val table = "graft_sym_b" + buckets + "_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val table = "graft_sym_b" + buckets + "_" + tableTag(dir)
       graft.sources.Bucketing.bucketedTable(s, sym, table, buckets, "src")
+    })
+
+  /** The DIRECTED edge relation the PageRank-family loops
+    * ([[pagerankLoop]], [[g09_pagerank_personalized]]) join their rank
+    * iterate against on the src side once per round — the flagship's
+    * twin of [[symEdges]]' layout opt-in. Default is the in-memory
+    * [[derivedEdges]] (at sf ≤ 0.1 AQE broadcasts the rank side, so
+    * the edge side never moves anyway); set spark conf
+    * `graft.bucketedEdges` (or env `GRAFT_BUCKETED_EDGES`) to a bucket
+    * count and every round's contribution join instead reads a
+    * src-bucketed catalog table — identical rows (the loops are
+    * layout-agnostic and all-integer, so results stay oracle-exact;
+    * GraphBucketedSpec re-verifies g04/g08/g09 through this path),
+    * but on a cluster where ranks outgrow broadcast the edge-side
+    * join subtree plans ZERO exchanges: per round only the
+    * node-sized rank relation shuffles, never the edge table
+    * (GraphBucketedSpec pins exactly that on the executed round
+    * plan; the `bucketededges` duel records the traffic delta).
+    */
+  private def loopEdges(s: SparkSession, dir: String): DataFrame = {
+    val buckets = s.conf.getOption("graft.bucketedEdges")
+      .orElse(sys.env.get("GRAFT_BUCKETED_EDGES")).map(_.toInt)
+    buckets match {
+      case Some(n) => edgesBucketed(s, dir, n)
+      case None => derivedEdges(s, dir)
+    }
+  }
+
+  private val edgeBucketMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Bucketed materialization of [[derivedEdges]] — [[symEdgesBucketed]]'s
+    * directed twin, same once-per-layout write discipline.
+    */
+  private def edgesBucketed(s: SparkSession, dir: String,
+                            buckets: Int): DataFrame =
+    edgeBucketMemo.getOrElseUpdate((s, dir, buckets), {
+      val table = "graft_edges_b" + buckets + "_" + tableTag(dir)
+      graft.sources.Bucketing.bucketedTable(s, derivedEdges(s, dir),
+        table, buckets, "src")
     })
 
   /** The shared edge-derivation, oracle side (a WITH prefix every graph
@@ -272,7 +320,7 @@ object GraphQueries {
     * resume path makes plan size depend on whatever memo an EARLIER
     * caller left behind (round-6 ADVICE on GraphQueriesSpec).
     */
-  private[queries] def clearCheckpointMemos(s: SparkSession): Unit =
+  private[graft] def clearCheckpointMemos(s: SparkSession): Unit =
     releaseMemos(s)
 
   private def releaseMemos(s: SparkSession): Unit = {
@@ -305,16 +353,48 @@ object GraphQueries {
       graft.graph.PageRankGraphX.fromEdges(derivedEdges(s, dir))
     })
 
+  /** r0 = Scale div n — the loop's init projection, shared with the
+    * `bucketededges` duel and the bucketed-round spec so they measure
+    * the REAL loop's plans, not a reconstruction.
+    */
+  private[graft] def pagerankInit(nodes: DataFrame, nn: DataFrame): DataFrame =
+    nodes.crossJoin(nn)
+      .select(col("node"), expr(s"${Scale}L div nn").as("r"))
+
+  /** ONE fixed-point pass — the exact per-round plan [[pagerankLoop]]
+    * builds, factored out so the duel/spec drive the identical round:
+    * dangling mass as a 1-row broadcast aggregate, the contribution
+    * join keyed on the EDGE side's `src` (this is the join the
+    * [[loopEdges]] bucketed layout makes exchange-free on the edge
+    * side), map-side-combined per-dst sums, and the all-integer rank
+    * update.
+    */
+  private[graft] def pagerankRound(e: DataFrame, nodes: DataFrame,
+                                   withDeg: DataFrame, nn: DataFrame,
+                                   divideByOutdeg: Boolean): DataFrame = {
+    val contribExpr = if (divideByOutdeg) "r div outdeg" else "r"
+    val dm = broadcast(withDeg.filter(col("outdeg").isNull)
+      .agg(coalesce(sum(col("r")), lit(0L)).as("dm")))
+    val contribs = e
+      .join(withDeg.filter(col("outdeg").isNotNull), e("src") === col("node"))
+      .select(col("dst").as("node"), expr(contribExpr).as("c"))
+      .groupBy("node").agg(sum(col("c")).as("c"))
+    nodes.join(contribs, Seq("node"), "left_outer")
+      .crossJoin(dm).crossJoin(nn)
+      .select(col("node"),
+        expr(s"(${BetaNum * Scale / 100}L div nn) + " +
+          s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + dm div nn)) div 100")
+          .as("r"))
+  }
+
   private def pagerankLoop(s: SparkSession, dir: String, iters: Int,
                            divideByOutdeg: Boolean,
                            checkpointEvery: Int = 2): DataFrame = {
-    val e = derivedEdges(s, dir)
+    val e = loopEdges(s, dir)
     val nodes = derivedNodes(s, dir)
     val deg = outDeg(s, dir)
     val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
-    var r = nodes.crossJoin(nn)
-      .select(col("node"), expr(s"${Scale}L div nn").as("r"))
-    val contribExpr = if (divideByOutdeg) "r div outdeg" else "r"
+    var r = pagerankInit(nodes, nn)
     // Per-pass caches pinned until a checkpoint materializes their
     // downstream; the tail's pins are parked in [[carriedPins]].
     var pending = List.empty[DataFrame]
@@ -343,18 +423,7 @@ object GraphQueries {
           pending ::= p
           p
         }
-      val dm = broadcast(withDeg.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dm")))
-      val contribs = e
-        .join(withDeg.filter(col("outdeg").isNotNull), e("src") === col("node"))
-        .select(col("dst").as("node"), expr(contribExpr).as("c"))
-        .groupBy("node").agg(sum(col("c")).as("c"))
-      r = nodes.join(contribs, Seq("node"), "left_outer")
-        .crossJoin(dm).crossJoin(nn)
-        .select(col("node"),
-          expr(s"(${BetaNum * Scale / 100}L div nn) + " +
-            s"(${100 - BetaNum} * (coalesce(c, CAST(0 AS BIGINT)) + dm div nn)) div 100")
-            .as("r"))
+      r = pagerankRound(e, nodes, withDeg, nn, divideByOutdeg)
       i += 1
       // Mid-loop only when ≥ checkpointEvery more passes follow; the
       // tail stays lazy (see the lineage-discipline scaladoc above).
@@ -499,7 +568,7 @@ object GraphQueries {
   def g09_pagerank_personalized(s: SparkSession, dir: String,
                                 iters: Int = 3,
                                 checkpointEvery: Int = 2): DataFrame = {
-    val e = derivedEdges(s, dir)
+    val e = loopEdges(s, dir)
     val nodes = derivedNodes(s, dir)
     val deg = outDeg(s, dir)
     val ss = broadcast(nodes.filter(col("node") % 10 === 1)
@@ -1009,7 +1078,52 @@ object GraphQueries {
           .otherwise(lit(0.0)).as("est_coeff"))
   }
 
+  /** Accuracy audit for [[g17_clustering_approx]] — the s08 pattern
+    * (estimator quality as an ORACLE-CHECKED relation, not a bench
+    * note): one row joining the DOULION triangle estimate
+    * `tri_est = closed_wedges · R²` against [[g06_triangles]]' exact
+    * count, with the relative error as a column. Both tallies are
+    * exact int64 (the sampling gate is a deterministic hash, so the
+    * estimate itself is engine-exact); rel_err is one IEEE division
+    * of those tallies, identical in both engines — hash-exact at any
+    * SF. At sf0.1 the sampled-wedge support is in the thousands, so
+    * the recorded error is a real measurement of the estimator, and a
+    * sampling-gate regression (the silent failure mode of a hashed
+    * sampler) breaks the driver compare instead of drifting unnoticed.
+    */
+  def g18_clustering_audit(s: SparkSession, dir: String): DataFrame = {
+    val est = g17_clustering_approx(s, dir)
+    val exact = broadcast(g06_triangles(s, dir))
+    est.crossJoin(exact)
+      .select(col("n_triangles"),
+        (col("closed_wedges") * lit(G17Mod * G17Mod)).as("tri_est"),
+        when(col("n_triangles") > 0L,
+          abs(col("closed_wedges") * lit(G17Mod * G17Mod) - col("n_triangles"))
+            .cast("double") / col("n_triangles").cast("double"))
+          .otherwise((col("closed_wedges") * lit(G17Mod * G17Mod))
+            .cast("double")).as("rel_err"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "g18_clustering_audit" -> (EdgesCte + s""",
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM edges),
+      |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |se AS (SELECT a, b FROM und WHERE (127 * a + 31 * b) % $G17Mod = 0),
+      |w AS (SELECT e1.a AS x, e1.b AS y1, e2.b AS y2
+      |  FROM se e1 JOIN se e2 ON e1.a = e2.a AND e1.b < e2.b),
+      |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS closed_wedges
+      |  FROM w JOIN und ON w.y1 = und.a AND w.y2 = und.b)
+      |SELECT n_triangles,
+      |  closed_wedges * ${G17Mod * G17Mod} AS tri_est,
+      |  CASE WHEN n_triangles > 0
+      |    THEN CAST(ABS(closed_wedges * ${G17Mod * G17Mod} - n_triangles) AS DOUBLE)
+      |      / CAST(n_triangles AS DOUBLE)
+      |    ELSE CAST(closed_wedges * ${G17Mod * G17Mod} AS DOUBLE) END AS rel_err
+      |FROM tri, cl""".stripMargin),
     "g17_clustering_approx" -> (EdgesCte + s""",
       |und AS MATERIALIZED (
       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -1116,6 +1230,7 @@ object GraphQueries {
     "g06_triangles" -> (g06_triangles _),
     "g16_clustering" -> (g16_clustering _),
     "g17_clustering_approx" -> (g17_clustering_approx _),
+    "g18_clustering_audit" -> (g18_clustering_audit _),
     // Flagship GraphX path — iterative double-precision PageRank,
     // surfaced as the per-node tolerance witness against the
     // fixed-point unroll so the driver hash-checks it like every

@@ -49,14 +49,35 @@ object ZOrderedWrite {
   private def norm(c: org.apache.spark.sql.Column, mx: Long) =
     GraftExpressions.floorDiv(c * lit(NormMax), lit(math.max(mx, 1L)))
 
-  /** Write `df` z-clustered on `(dimA, dimB)` (non-negative integral
-    * columns) into `path` as `nFiles` parquet files; returns the
-    * written row count's source relation re-read from disk.
+  /** Write `df` z-clustered on `(dimA, dimB)` into `path` as `nFiles`
+    * parquet files; returns the written relation re-read from disk.
+    *
+    * Input contract (enforced): both dims must be NON-NEGATIVE
+    * integral columns — the normalize-then-interleave treats values
+    * as unsigned bit patterns, so a negative key would z-sort AFTER
+    * every positive one and silently wreck locality; the one-pass
+    * min/max probe below rejects that loudly instead. Degenerate
+    * domains are fine: a dim whose max is 0 (all zeros) or an empty
+    * input normalizes to the constant-0 lane — the layout collapses
+    * to a 1-D sort on the other dim, which is the correct limit.
+    * Exactly TWO dims by signature: 16 normalized bits per dim is
+    * the 2-D sweet spot (31 interleaved bits stay in a positive
+    * int); a 3-dim request should re-derive the width (10 bits/dim),
+    * not reuse this.
     */
   def write(spark: SparkSession, df: DataFrame, dimA: String, dimB: String,
             nFiles: Int, path: String): DataFrame = {
-    val r = df.agg(max(col(dimA)), max(col(dimB))).head()
-    val (mxA, mxB) = (r.getLong(0), r.getLong(1))
+    val r = df.agg(max(col(dimA)), max(col(dimB)),
+      min(col(dimA)), min(col(dimB))).head()
+    // empty input: nulls from the aggregate — write the (empty)
+    // frame with a constant z-value rather than NPE on getLong
+    val (mxA, mxB) = (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+    Seq((dimA, 2), (dimB, 3)).foreach { case (d, i) =>
+      require(r.isNullAt(i) || r.getLong(i) >= 0L,
+        s"z-order dim '$d' has negative values (min=${r.getLong(i)}): " +
+          "the interleave treats keys as unsigned — shift or clamp first")
+    }
     df.withColumn("zval", GraftExpressions.zorder(
         norm(col(dimA), mxA), norm(col(dimB), mxB)))
       .repartitionByRange(nFiles, col("zval"))

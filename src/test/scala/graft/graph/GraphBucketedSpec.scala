@@ -104,6 +104,93 @@ class GraphBucketedSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS b_graph_sym")
   }
 
+  test("a pagerank round's contribution join over the bucketed edge table plans zero exchanges on the edge side") {
+    import graft.queries.GraphQueries
+    val edges = GraphQueries.derivedEdges(spark, dir)
+    val bedges = Bucketing.bucketedTable(spark, edges, "b_graph_edges", 8, "src")
+    try withNoBroadcast {
+      // the REAL round builder (pagerankRound is the exact plan
+      // pagerankLoop emits per pass), fed the bucketed edge relation —
+      // the flagship family's at-scale shape: ranks outgrow broadcast,
+      // so the contribution join must not move the edge table.
+      val nodes = GraphQueries.derivedNodes(spark, dir)
+      val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
+      val deg = graft.queries.GraphQueries.outDeg(spark, dir)
+      val withDeg = GraphQueries.pagerankInit(nodes, nn)
+        .join(deg, Seq("node"), "left_outer")
+      val round = GraphQueries.pagerankRound(bedges, nodes, withDeg, nn,
+        divideByOutdeg = true)
+      round.collect() // settle AQE so executedPlan is final
+      val flat = flatten(round.queryExecution.executedPlan)
+      // the 1-row dm/nn scalars stay broadcast by explicit hint; the
+      // DATA joins must not be (threshold is -1)
+      val joins = flat.filter(p => p.nodeName.contains("Join") &&
+        !p.nodeName.contains("BroadcastNestedLoop"))
+      assert(joins.nonEmpty, "no join in the round plan")
+      def hasBucketScan(p: SparkPlan): Boolean = flatten(p).exists {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == "b_graph_edges")
+        case _ => false
+      }
+      // The pin applies to the INNERMOST join over the scan — the
+      // contribution join whose edge child is the bucketed table
+      // directly. Outer joins (nodes ⋈ contribs) also contain the
+      // scan deep in a child, but that child's node-keyed aggregate
+      // exchange is exactly the frontier-sized traffic the layout
+      // leaves behind, not edge-table movement.
+      def edgeChild(j: SparkPlan) = j.children.filter(c =>
+        hasBucketScan(c) && !flatten(c).exists(_.nodeName.contains("Join")))
+      val contribJoins = joins.filter(j => edgeChild(j).nonEmpty)
+      assert(contribJoins.nonEmpty, "no join directly over the bucketed edge table")
+      contribJoins.foreach { j =>
+        assert(!j.nodeName.contains("Broadcast"),
+          s"contribution join broadcast despite threshold -1:\n$j")
+        edgeChild(j).foreach { side =>
+          val shuffled = flatten(side).collect { case e: Exchange => e }
+          assert(shuffled.isEmpty,
+            s"bucketed edge side shuffled:\n${round.queryExecution.executedPlan}")
+        }
+      }
+      val scans = flat.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == "b_graph_edges") => f
+      }
+      assert(scans.nonEmpty, "no bucketed scan in the plan")
+      assert(scans.forall(_.bucketedScan), "scan did not use the bucket layout")
+    } finally spark.sql("DROP TABLE IF EXISTS b_graph_edges")
+  }
+
+  test("the pagerank family through the bucketed-edges opt-in equals the plain path") {
+    import graft.queries.GraphQueries
+    def sorted(df: DataFrame) = df.collect().map(_.toSeq).sortBy(_.toString)
+    // Memos cleared before EACH side: the fixed-point state is layout-
+    // independent, so a bucketed run resuming from the plain run's
+    // pass-8 checkpoint would be correct — but then only the tail
+    // passes would exercise the bucketed join and the test would
+    // prove nothing. (The default checkpoint cadence stays ON — a
+    // cadence-0 i10 run doubles the lazy plan per pass and OOMs on
+    // AQE's plan-string rendering alone.)
+    def family() = {
+      GraphQueries.clearCheckpointMemos(spark)
+      Map(
+        "g04" -> sorted(GraphQueries.g04_pagerank(spark, dir)),
+        "g04_i10" -> sorted(GraphQueries.g04_pagerank(spark, dir, iters = 10)),
+        "g08" -> sorted(GraphQueries.g08_pagerank_compat(spark, dir)),
+        "g09" -> sorted(GraphQueries.g09_pagerank_personalized(spark, dir)))
+    }
+    val plain = family()
+    spark.conf.set("graft.bucketedEdges", "8")
+    try {
+      val bucketed = family()
+      plain.foreach { case (k, v) =>
+        assert(bucketed(k) === v, s"$k diverged through the bucketed path")
+      }
+    } finally {
+      spark.conf.unset("graft.bucketedEdges")
+      GraphQueries.clearCheckpointMemos(spark)
+    }
+  }
+
   test("converged CC/BFS/SSSP over the bucketed table equal the in-memory path") {
     val sym = symDf.persist()
     val bsym = Bucketing.bucketedTable(spark, symDf, "b_graph_sym2", 8, "src")

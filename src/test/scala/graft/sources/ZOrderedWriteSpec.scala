@@ -64,4 +64,32 @@ class ZOrderedWriteSpec extends AnyFunSuite {
     assert(zB * 4 <= lB,
       f"z dim-2 envelope $zB%.3f not 4x tighter than linear $lB%.3f")
   }
+
+  test("degenerate max=0 dim collapses to a 1-D sort; negative keys are rejected loudly") {
+    import spark.implicits._
+    // all-zero dim B: norm(B) ≡ 0, so zval interleaves only dim A's
+    // bits — the write must succeed and order by A
+    val flat = (0L until 100L).map(i => (i, 0L)).toDF("a", "b")
+    val out = ZOrderedWrite.write(spark, flat, "a", "b", 4,
+      "target/test_zorder/degenerate")
+    assert(out.count() === 100L)
+    // zval monotone in a when b is constant ⇒ per-file a-ranges are
+    // disjoint, the 1-D-sort limit
+    val ranges = out.groupBy(input_file_name())
+      .agg(min(col("a")).as("lo"), max(col("a")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"file a-ranges overlap in the degenerate layout: $ranges")
+      case _ => ()
+    }
+    // a negative key would z-sort after every positive one (unsigned
+    // interleave) — the contract is a loud reject, not silent chaos
+    val neg = Seq((-1L, 5L), (3L, 7L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      ZOrderedWrite.write(spark, neg, "a", "b", 2,
+        "target/test_zorder/neg")
+    }
+    assert(ex.getMessage.contains("negative"))
+  }
 }
