@@ -55,10 +55,16 @@ object GraphQueries {
         .union(e.select(col("dst"))).distinct()
     }
 
-  /** Out-degree per source node, memoized like [[derivedEdges]]. */
+  /** Out-degree per source node, memoized like [[derivedEdges]].
+    * Reads [[loopEdges]] so the one-time derivation also rides the
+    * bucketed layout when `graft.bucketedEdges` is on: the src-keyed
+    * aggregate's distribution is satisfied by the bucketed scan, so
+    * even this build plans no exchange (values are layout-independent
+    * either way; the memo stores whichever built first).
+    */
   def outDeg(s: SparkSession, dir: String): DataFrame =
     SharedRelations(s, dir, "graph_outdeg") {
-      derivedEdges(s, dir)
+      loopEdges(s, dir)
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     }
 

@@ -100,7 +100,31 @@ object StreamQueries {
     runOneBatch[BandRow, graft.streaming.BandHit](s, bands, StreamOps.bucketNovelty)
   }
 
+  /** The stream–stream INTERVAL self-join ([[StreamOps.errorFollowJoin]])
+    * run for real — the third streaming state machinery in the
+    * registry after transformWithState (st01/st02): a symmetric JOIN
+    * state store holding both sides' rows inside the watermark+bound
+    * horizon. One micro-batch of `events`; inner stream-stream joins
+    * emit matches eagerly, so the single-batch output is exactly the
+    * batch pair relation (q29's un-aggregated form) and hash-checks
+    * against the plain SQL join.
+    */
+  def st03_error_follow_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    runOneBatch[Ev, org.apache.spark.sql.Row](s, evs,
+      ds => StreamOps.errorFollowJoin(ds.toDF()))
+  }
+
   val oracle: Map[String, String] = Map(
+    "st03_error_follow_stream" ->
+      """SELECT r.event_id AS err_id, e.event_id AS follow_id,
+        |  e.user_id, e.ts, e.value
+        |FROM events r JOIN events e
+        |  ON r.event_type = 'error' AND e.user_id = r.user_id
+        |  AND e.ts > r.ts AND e.ts <= r.ts + INTERVAL '10 minutes'""".stripMargin,
     "st01_retention_stream" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
@@ -143,5 +167,6 @@ object StreamQueries {
     "q24_sessions" -> (q24_sessions _),
     "st01_retention_stream" -> (st01_retention_stream _),
     "st02_novelty_stream" -> (st02_novelty_stream _),
+    "st03_error_follow_stream" -> (st03_error_follow_stream _),
   )
 }
