@@ -46,6 +46,14 @@ object StreamQueries {
     * table. Single-batch feed keeps the output deterministic (both
     * registered processors fold a batch in a data-defined order), so
     * the driver's hash compare applies to a STREAMING execution.
+    *
+    * Measured adapter envelope: fine through sf1 (1M events ≈ 120 MB
+    * collected); at sf10 the 10M-event driver-held feed plus the
+    * single-batch streaming shuffle OOMs a 24 GB heap — the sf10
+    * sweep excludes the st family for exactly this documented reason
+    * (the TRANSFORMS' scale behavior is measured via their batch
+    * twins q23/q24/q44/d13, which share the plans; only the feed
+    * mechanism is small-SF).
     */
   private def runOneBatch[T: Encoder, O](s: SparkSession, rows: Seq[T],
       transform: Dataset[T] => Dataset[O]): DataFrame = {
