@@ -416,14 +416,14 @@ object DedupQueries {
       .orElse(sys.env.get("GRAFT_D16_ROOT")).getOrElse("target")
 
   /** Filesystem-safe tag for a spill directory: the SF dir path with
-    * every non-portable char collapsed to `_` — readable and unique
-    * per path, where the previous `dir.hashCode` hex was neither
-    * (32-bit hash collisions silently shared spill dirs between
-    * different inputs).
+    * every non-portable char collapsed to `_` — readable — plus an
+    * 8-hex SHA-256 digest of the raw path, because the sanitization
+    * alone is lossy (`sf0.1` vs `sf0_1` collapse together) and a
+    * shared spill dir between distinct inputs corrupts the audit.
     */
   private def dirTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("_+", "_")
-      .stripPrefix("_")
+      .stripPrefix("_") + "_" + graft.sources.Bucketing.pathDigest(dir)
 
   /** The SHARDED exact containment audit — the runnable form of the
     * "run the exact audit per-shard at scale" posture d02/d14 document

@@ -106,13 +106,16 @@ object GraphQueries {
     .empty[(SparkSession, String, Int), DataFrame]
 
   /** Catalog-safe table-name tag for a bucketed layout: the SF dir
-    * path with non-identifier chars collapsed — unique per path where
-    * a 32-bit `dir.hashCode` hex could collide and silently share a
-    * layout between different inputs.
+    * path with non-identifier chars collapsed — readable — PLUS the
+    * first 8 hex chars of the raw path's SHA-256 — collision-free.
+    * The sanitization alone is lossy (`data/sf0.1` and `data/sf0_1`
+    * collapse to the same identifier), so without the digest two
+    * distinct inputs could silently share a bucketed table — the
+    * exact failure mode the earlier 32-bit `hashCode` tag had.
     */
   private def tableTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9_]", "_").replaceAll("_+", "_")
-      .stripPrefix("_")
+      .stripPrefix("_") + "_" + graft.sources.Bucketing.pathDigest(dir)
 
   /** Bucketed materialization of [[symEdges]]: one write (the
     * once-per-layout cost), then the returned catalog-table relation

@@ -2,16 +2,17 @@ package graft.queries
 
 import graft.Tables
 import graft.streaming.{BandRow, Ev, StreamOps}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min, unix_millis}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Batch twins of the streaming operators
-  * ([[graft.streaming.StreamOps]]) over the `events` table, PLUS two
-  * registry entries (st01/st02) that execute the REAL incremental
-  * path — `transformWithState` with RocksDB state, a micro-batch, the
-  * state store — inside the driver contract, so streaming execution
-  * itself is DuckDB-oracle-checked rather than spec-pinned only.
+  * ([[graft.streaming.StreamOps]]) over the `events` table, PLUS four
+  * registry entries (st01–st04) that execute the REAL incremental
+  * path — file-source micro-batches, `transformWithState` with
+  * RocksDB state, watermark-driven late-data drops, a file sink —
+  * inside the driver contract, so streaming execution itself is
+  * DuckDB-oracle-checked rather than spec-pinned only.
   *
   * Oracle notes: window starts are epoch-aligned in both engines
   * (Spark `window()` floors to the epoch; DuckDB `time_bucket` with a
@@ -31,65 +32,103 @@ object StreamQueries {
   def q24_sessions(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamOps.sessions(Tables.events(s, dir))
 
-  /** Unique memory-sink names per invocation: Bench samples each
-    * query 3×, and a reused queryName would return the FIRST run's
-    * table for every later run.
+  /** Unique run dirs per invocation: Bench samples each query 3×, and
+    * a reused source/checkpoint dir would make later runs resume the
+    * first run's offsets instead of streaming the input again.
     */
-  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Drive a StreamOps transform through a real one-micro-batch
-    * streaming query: MemoryStream source (the input relation
-    * collected to the driver — the harness ADAPTER, sized for the
-    * oracle SFs; at scale the source is Kafka/files and everything
-    * downstream of `in.toDS()` is unchanged), `transformWithState`
-    * with the RocksDB state store, memory sink. Returns the sink
-    * table. Single-batch feed keeps the output deterministic (both
-    * registered processors fold a batch in a data-defined order), so
-    * the driver's hash compare applies to a STREAMING execution.
-    *
-    * Measured adapter envelope: fine through sf1 (1M events ≈ 120 MB
-    * collected); at sf10 the 10M-event driver-held feed plus the
-    * single-batch streaming shuffle OOMs a 24 GB heap — the sf10
-    * sweep excludes the st family for exactly this documented reason
-    * (the TRANSFORMS' scale behavior is measured via their batch
-    * twins q23/q24/q44/d13, which share the plans; only the feed
-    * mechanism is small-SF).
+  /** Spill root for the streaming harness dirs — same dial as d16's
+    * shard root: defaults to `target` for self-contained local runs;
+    * point it at any Hadoop-mountable URI on a cluster.
     */
-  private def runOneBatch[T: Encoder, O](s: SparkSession, rows: Seq[T],
-      transform: Dataset[T] => Dataset[O]): DataFrame = {
-    implicit val sqlCtx = s.sqlContext
-    val name = "graft_stream_sink_" + sinkSeq.incrementAndGet()
+  private def streamRoot(s: SparkSession): String =
+    s.conf.getOption("graft.stream.root")
+      .orElse(sys.env.get("GRAFT_STREAM_ROOT")).getOrElse("target")
+
+  /** Drive a StreamOps transform through a real streaming query with
+    * BOTH ends on files — the production shape, no driver-side data
+    * movement: the input relation is written once to a parquet source
+    * dir (an executor-side write; at cluster scale this is the
+    * landing bucket a Kafka connector fills), `readStream` consumes it
+    * as micro-batch 0, optional `laterBatches` land as new files and
+    * become micro-batches 1..n (the file source's offset log tracks
+    * processed files, so each append is exactly one new batch), and
+    * the parquet SINK's `_spark_metadata` commit log makes the output
+    * exactly-once readable. State lives in RocksDB, sharded with the
+    * shuffle. Nothing — feed, state, or result — ever gathers on the
+    * driver, which is what lets the st family ride the sf1/sf10
+    * sweeps (the r12 MemoryStream feed collected the input relation
+    * driver-side and OOM'd a 24 GB heap at sf10).
+    *
+    * Source and checkpoint dirs are deleted after the query stops;
+    * the output dir must outlive the call (the returned frame reads
+    * it lazily).
+    */
+  private def runFileStream(s: SparkSession, input: DataFrame,
+      transform: DataFrame => DataFrame,
+      laterBatches: Seq[DataFrame] = Nil): DataFrame = {
+    val base = streamRoot(s) + "/streams/run_" + runSeq.incrementAndGet()
+    val srcDir = base + "/src"
+    val outDir = base + "/out"
+    val cpDir = base + "/cp"
+    def delete(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    // The seq restarts per JVM: a leftover `out` dir from an earlier
+    // session carries a committed _spark_metadata log, and the new
+    // sink (fresh checkpoint) would serve THOSE files back as already
+    // committed — wipe the whole run dir before starting.
+    delete(base)
+    input.write.mode("overwrite").parquet(srcDir)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(provKey)
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val in = MemoryStream[T]
-      in.addData(rows)
-      val q = transform(in.toDS()).writeStream.format("memory")
-        .queryName(name).outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(name)
+      val src = s.readStream.schema(input.schema).parquet(srcDir)
+      val out = transform(src)
+      val outSchema = out.schema
+      val q = out.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        laterBatches.foreach { b =>
+          b.write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // Drop the consumed feed + offset log; keep only the committed
+      // output (bounds the per-invocation disk residue to the result).
+      delete(srcDir); delete(cpDir)
+      s.read.schema(outSchema).parquet(outDir)
     } finally prev match {
       case Some(p) => s.conf.set(provKey, p)
       case None => s.conf.unset(provKey)
     }
   }
 
+  private def eventCols(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
   /** Streaming retention cells ([[StreamOps.retentionCells]]) run for
     * real: one micro-batch of the whole `events` table through the
     * RetentionProcessor's per-user (cohort, seen-mask) ValueState.
     * Output is one (user_id, cohort_day, age_days) cell per first
-    * sighting inside the 64-day horizon — on a single in-order batch
-    * exactly the distinct (user, day) relation the oracle derives, so
-    * the state machine itself is hash-checked.
+    * sighting inside the horizon — on a single in-order batch exactly
+    * the distinct (user, day) relation the oracle derives, so the
+    * state machine itself is hash-checked. Single-batch feed keeps
+    * the output deterministic (the processor folds each batch in
+    * data-defined ts order).
     */
   def st01_retention_stream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val evs = Tables.events(s, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect().toSeq
-    runOneBatch[Ev, graft.streaming.RetCell](s, evs, StreamOps.retentionCells)
+    runFileStream(s, eventCols(s, dir),
+      df => StreamOps.retentionCells(df.as[Ev]).toDF())
   }
 
   /** Streaming LSH bucket-novelty gate ([[StreamOps.bucketNovelty]])
@@ -103,9 +142,9 @@ object StreamQueries {
     */
   def st02_novelty_stream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bands = DedupQueries.minhashBands(s, dir)
-      .select("doc_id", "band", "bkey").as[BandRow].collect().toSeq
-    runOneBatch[BandRow, graft.streaming.BandHit](s, bands, StreamOps.bucketNovelty)
+    runFileStream(s,
+      DedupQueries.minhashBands(s, dir).select("doc_id", "band", "bkey"),
+      df => StreamOps.bucketNovelty(df.as[BandRow]).toDF())
   }
 
   /** The stream–stream INTERVAL self-join ([[StreamOps.errorFollowJoin]])
@@ -117,13 +156,45 @@ object StreamQueries {
     * batch pair relation (q29's un-aggregated form) and hash-checks
     * against the plain SQL join.
     */
-  def st03_error_follow_stream(s: SparkSession, dir: String): DataFrame = {
+  def st03_error_follow_stream(s: SparkSession, dir: String): DataFrame =
+    runFileStream(s, eventCols(s, dir), StreamOps.errorFollowJoin(_))
+
+  /** Watermark delay (ms) of [[st04_late_data]] — interpolated into
+    * the oracle so the two sides can't silently desync.
+    */
+  private[queries] val St04DelayMs = 600000L
+
+  /** Watermark semantics under the oracle gate — the behaviors that
+    * distinguish streaming from batch, which the single-batch
+    * st01–st03 never exercise: TWO micro-batches of
+    * [[StreamOps.dedupWithinWatermark]], where batch 0 is the LATER
+    * half of the event-time range (everything at/after the range
+    * midpoint) and batch 1 the earlier half. Batch 0 advances the
+    * watermark to max(ts) − 10 min, so almost every batch-1 row
+    * arrives behind the watermark and is DROPPED late (and batch 0's
+    * own dedup state older than the watermark is evicted — asserted
+    * by the spec on the state-store row count). Every boundary is
+    * data-defined (range midpoint, range max), so the admitted set is
+    * deterministic and closed-form: rows with ts ≥ midpoint plus
+    * early rows strictly inside the final watermark. Spark DROPS a
+    * late row at EXACTLY the watermark (keep iff ts > wm — pinned by
+    * the StreamingSpec boundary case), hence the strict `>` in the
+    * oracle.
+    */
+  def st04_late_data(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val evs = Tables.events(s, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect().toSeq
-    runOneBatch[Ev, org.apache.spark.sql.Row](s, evs,
-      ds => StreamOps.errorFollowJoin(ds.toDF()))
+    val evs = eventCols(s, dir)
+    // 1-row driver scalar: the data-defined split point (epoch-ms
+    // midpoint of the event-time range; floor division — both bounds
+    // are non-negative epochs, matching the oracle's `//`).
+    val (mn, mx) = evs
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .as[(Long, Long)].head()
+    val t0 = (mn + mx) / 2
+    runFileStream(s,
+      evs.where(unix_millis(col("ts")) >= t0),
+      df => StreamOps.dedupWithinWatermark(df, "10 minutes"),
+      laterBatches = Seq(evs.where(unix_millis(col("ts")) < t0)))
   }
 
   val oracle: Map[String, String] = Map(
@@ -134,18 +205,23 @@ object StreamQueries {
         |  ON r.event_type = 'error' AND e.user_id = r.user_id
         |  AND e.ts > r.ts AND e.ts <= r.ts + INTERVAL '10 minutes'""".stripMargin,
     "st01_retention_stream" ->
-      """WITH act AS (SELECT DISTINCT user_id,
+      s"""WITH act AS (SELECT DISTINCT user_id,
         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
         |  FROM events),
         |f AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
         |SELECT act.user_id, f.cohort_day, act.day - f.cohort_day AS age_days
         |FROM act JOIN f USING (user_id)
-        |WHERE act.day - f.cohort_day < 64""".stripMargin,
+        |WHERE act.day - f.cohort_day < ${StreamOps.RetentionHorizonDays}""".stripMargin,
     "st02_novelty_stream" -> (DedupQueries.BandsCte + """
         |SELECT b.doc_id, b.band, b.bkey, b.doc_id = m.mn AS first_seen
         |FROM bands b JOIN (SELECT band, bkey, MIN(doc_id) AS mn
         |  FROM bands GROUP BY 1, 2) m
         |  ON b.band = m.band AND b.bkey = m.bkey""".stripMargin),
+    "st04_late_data" ->
+      s"""SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+        |FROM events e, (SELECT (epoch_ms(MIN(ts)) + epoch_ms(MAX(ts))) // 2 AS t0,
+        |    epoch_ms(MAX(ts)) - $St04DelayMs AS wmk FROM events) b
+        |WHERE epoch_ms(e.ts) >= b.t0 OR epoch_ms(e.ts) > b.wmk""".stripMargin,
     "q23_event_windows" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts,
         |    TIMESTAMP '1970-01-01 00:00:00') AS window_start,
@@ -176,5 +252,6 @@ object StreamQueries {
     "st01_retention_stream" -> (st01_retention_stream _),
     "st02_novelty_stream" -> (st02_novelty_stream _),
     "st03_error_follow_stream" -> (st03_error_follow_stream _),
+    "st04_late_data" -> (st04_late_data _),
   )
 }

@@ -54,4 +54,14 @@ object Bucketing {
     writeBucketed(df.repartition(buckets, col(key)), table, buckets, key)
     s.table(table)
   }
+
+  /** First 8 hex chars of SHA-256 of a raw path — appended to
+    * sanitized path tags (catalog table names, spill dirs) so two
+    * distinct paths whose sanitized forms collide (`sf0.1` vs
+    * `sf0_1`) can never share a layout or spill dir.
+    */
+  def pathDigest(path: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
 }

@@ -418,6 +418,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedupWithinWatermark: late rows drop AT the watermark boundary, expired state evicts") {
+    // Pins the three semantics st04_late_data's oracle depends on:
+    // (1) a late row behind the watermark is dropped;
+    // (2) a row at EXACTLY the watermark is DROPPED too (Spark keeps
+    //     strictly eventTime > watermark — the strict `>` in st04's
+    //     oracle SQL);
+    // (3) state expires at eventTime + delay: id 1's entry
+    //     (10:00 + 10 min = 10:10 < watermark 10:20) is evicted at
+    //     the END of batch 0 — numRowsTotal is already 1 there — so
+    //     the dedup guarantee is "duplicates within the delay of the
+    //     FIRST occurrence", not of the stream head.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runAppend("ddwm",
+      StreamOps.dedupWithinWatermark(in.toDF(), "10 minutes"))
+    try {
+      // batch 0: 10:00 and 10:30 → watermark after the batch = 10:20
+      in.addData(ev(1, 0), ev(2, 30))
+      q.processAllAvailable()
+      // expiry-based eviction already ran: id 1 (expires 10:10) is
+      // behind the batch-end watermark 10:20, only id 2 remains
+      val b0 = q.lastProgress.stateOperators(0)
+      assert(b0.numRowsTotal === 1L, s"expected id 1 evicted, got $b0")
+      assert(b0.numRowsRemoved === 1L)
+      // batch 1: 10:19:59 behind the watermark (dropped), 10:20:00
+      // exactly AT it (dropped — strict >), 10:21 inside it
+      // (admitted), and a 10:30 re-send of id 2 (deduped — its state
+      // is live until 10:40)
+      in.addData(ev(3, 19, sec = 59), ev(4, 20), ev(5, 21), ev(2, 30))
+      q.processAllAvailable()
+      val ids = spark.table("ddwm").select("event_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 5L),
+        "late ids 3+4 dropped (boundary is strict); dup id 2 suppressed")
+    } finally q.stop()
+  }
+
   test("streaming retention cells aggregate to q44's batch matrix on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
