@@ -52,16 +52,17 @@ object Duel {
     }
   }
 
-  /** (median seconds, shuffle records, shuffle bytes) of `n` runs; the
-    * shuffle tally is from the LAST run (identical across runs — the
-    * plan doesn't change — modulo Spark's occasional speculative
-    * no-op task, which writes nothing).
+  /** (median seconds, shuffle records, shuffle bytes) of `n` runs.
+    * Each sample keeps ITS OWN tally and the reported records/bytes
+    * are the median-time sample's — the same run the reported seconds
+    * come from (for these fixed-plan duels the tallies are identical
+    * every run anyway, but this keeps one convention across the file
+    * with `measureCc`/`measurePr`, whose converged-loop traffic can
+    * shift between samples).
     */
   private def measure(spark: SparkSession, df: => DataFrame, n: Int)
       : (Double, Long, Long) = {
-    var recs = 0L
-    var byts = 0L
-    val times = (1 to n).map { _ =>
+    val samples = (1 to n).map { _ =>
       val tally = new ShuffleTally
       spark.sparkContext.addSparkListener(tally)
       val t0 = System.nanoTime()
@@ -70,10 +71,9 @@ object Duel {
       // task-end events are posted async; drain before reading
       org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(tally)
-      recs = tally.records.get(); byts = tally.bytes.get()
-      sec
+      (sec, tally.records.get(), tally.bytes.get())
     }
-    (times.sorted.apply(times.length / 2), recs, byts)
+    samples.sortBy(_._1).apply(samples.length / 2)
   }
 
   private def report(name: String, custom: (Double, Long, Long),
@@ -175,8 +175,8 @@ object Duel {
         .filter(col("l_suppkey").between(sMax / 2, sMax / 2 + sMax / 8)))
       def measureScan(df: => org.apache.spark.sql.DataFrame)
           : (Double, Long) = {
-        var rows = 0L
-        val times = (1 to n).map { _ =>
+        // median-sample convention, same as `measure`
+        val samples = (1 to n).map { _ =>
           val tally = new ShuffleTally
           spark.sparkContext.addSparkListener(tally)
           val t0 = System.nanoTime()
@@ -185,10 +185,9 @@ object Duel {
           org.apache.spark.sql.graft.ColumnBridge
             .drainListenerBus(spark.sparkContext)
           spark.sparkContext.removeSparkListener(tally)
-          rows = tally.inputRecords.get()
-          sec
+          (sec, tally.inputRecords.get())
         }
-        (times.sorted.apply(times.length / 2), rows)
+        samples.sortBy(_._1).apply(samples.length / 2)
       }
       for ((tag, probe) <- Seq("box2d" -> (box _), "dim2band" -> (band _))) {
         val (zs, zr) = measureScan(probe(zdir))

@@ -395,15 +395,50 @@ object DedupQueries {
     shRel
   }
 
-  /** Shard count for [[d16_containment_sharded]]: default 4 at the
-    * oracle SFs (the S× re-scan overhead stays visible-but-modest in
-    * the bench); `GRAFT_D16_SHARDS` raises it for envelope runs at
-    * large SF (the sf10 proof ran S=16). The result is
+  /** Sentinel shard count meaning "derive S from corpus stats" —
+    * see [[autoShards]]. */
+  private[graft] val AutoShards = -1
+
+  /** Shard count for [[d16_containment_sharded]]: spark conf
+    * `graft.d16.shards` / env `GRAFT_D16_SHARDS` — an explicit integer
+    * pins S; `auto` (the default) derives it from the measured
+    * candidate-pair volume ([[autoShards]]). The result is
     * shard-count-invariant — only the peak in-flight pair volume
     * (~1/S) changes.
     */
-  private val D16Shards =
-    sys.env.get("GRAFT_D16_SHARDS").map(_.toInt).getOrElse(4)
+  private def d16Shards(s: SparkSession): Int =
+    s.conf.getOption("graft.d16.shards")
+      .orElse(sys.env.get("GRAFT_D16_SHARDS"))
+      .map(v => if (v.equalsIgnoreCase("auto")) AutoShards else v.toInt)
+      .getOrElse(AutoShards)
+
+  /** Per-shard candidate-pair budget for [[autoShards]] (spark conf
+    * `graft.d16.pairBudget` / env `GRAFT_D16_PAIR_BUDGET`). The
+    * default is the measured sf10 envelope: S=16 there put ~2.8·10⁸
+    * pairs in flight per shard and completed on a 24 GB heap where
+    * the one-shot audit OOM'd (BENCH_NOTES r12); size it to the
+    * executor memory/disk actually available.
+    */
+  private def d16PairBudget(s: SparkSession): Long =
+    s.conf.getOption("graft.d16.pairBudget")
+      .orElse(sys.env.get("GRAFT_D16_PAIR_BUDGET"))
+      .map(_.toLong).getOrElse(300000000L)
+
+  /** The d16 S-dial heuristic, one division per candidate shard
+    * count: smallest power-of-2 S (floor 4 — the small-SF default,
+    * where the S× re-scan overhead stays visible-but-modest in the
+    * bench) whose per-shard pair volume `pairVolume / S` fits
+    * `budget`. Calibration against the measured corpus stats:
+    * sf0.1 has 3.3·10⁵ capped pairs → 4; sf1 4.4·10⁷ → 4 (measured
+    * to fit at S=4, BENCH_NOTES r12 cost curve); sf10 4.5·10⁹ → 16
+    * (the measured envelope that completes where S=1 OOMs). Wall
+    * grows ~linearly in S, so the floor matters as much as the cap.
+    */
+  private[graft] def autoShards(pairVolume: Long, budget: Long): Int = {
+    var s = 4
+    while (s < 4096 && pairVolume / s > budget) s *= 2
+    s
+  }
 
   /** Spill root for [[d16_containment_sharded]]'s shard/merge files —
     * spark conf `graft.d16.root`, else env `GRAFT_D16_ROOT`, else
@@ -445,14 +480,29 @@ object DedupQueries {
     */
   def d16_containment_sharded(s: SparkSession, dir: String): DataFrame =
     containmentSharded(containmentShingles(s, dir), DefaultMaxPosting,
-      D16Shards, dirTag(dir), d16Root(s))
+      d16Shards(s), dirTag(dir), d16Root(s))
 
   private[graft] def containmentSharded(sh: DataFrame, maxPosting: Int,
-                                        shards: Int, tag: String,
+                                        shardsSpec: Int, tag: String,
                                         root: String = "target"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = sh.sparkSession
     val pinned = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    // AUTO S: one aggregate over the (already pinned) shingle relation
+    // measures the exact capped pair volume — Σ n·(n−1)/2 over
+    // (lang, sh) posting groups with n ≤ cap, integral arithmetic —
+    // and autoShards picks the smallest S whose per-shard volume fits
+    // the budget. The stat job doubles as the cache-settling pass the
+    // shard loop would otherwise pay.
+    val shards =
+      if (shardsSpec == AutoShards) {
+        val vol = pinned.groupBy(col("lang"), col("sh"))
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") <= maxPosting)
+          .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("v"))
+          .head().getLong(0)
+        autoShards(vol, d16PairBudget(spark))
+      } else shardsSpec
     // Sequential shard jobs, each SPILLED TO STORAGE before the next
     // starts — the production per-shard recipe verbatim: shard outputs
     // land in the object store, the merge is a separate job. Peak

@@ -512,6 +512,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(new java.io.File(base, "merged/slice_0").isDirectory)
   }
 
+  test("d16 auto shard count: measured SF calibration, floor, cap, and sentinel parity") {
+    val B = 300000000L // default pair budget (the measured sf10 envelope)
+    // the three measured corpus stats (capped Σ n·(n−1)/2, BENCH_NOTES)
+    assert(DedupQueries.autoShards(326026L, B) === 4) // sf0.1
+    assert(DedupQueries.autoShards(44350867L, B) === 4) // sf1: fits at S=4
+    assert(DedupQueries.autoShards(4484211527L, B) === 16) // sf10 envelope
+    assert(DedupQueries.autoShards(0L, B) === 4, "floor is the default 4")
+    assert(DedupQueries.autoShards(Long.MaxValue, B) === 4096, "runaway cap")
+    // sentinel path end-to-end: AUTO resolves on the real corpus
+    // (tiny here → the floor 4) and is row-identical to explicit S=4
+    val sh = DedupQueries.containmentShingles(spark, dir)
+    def rows(spec: Int, tag: String) =
+      DedupQueries.containmentSharded(sh, DedupQueries.DefaultMaxPosting,
+          spec, tag).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).sorted.toSeq
+    val auto = rows(DedupQueries.AutoShards, "autoshards")
+    assert(auto.nonEmpty)
+    assert(auto === rows(4, "autoshards4"))
+  }
+
   test("quality keeper picks each cluster's longest member (ties -> min id)") {
     val clusters = DedupQueries.d06_neardup_clusters(spark, dir)
       .select("doc_id", "cluster").collect()
