@@ -110,6 +110,7 @@ object GraphOps {
       .select(col("node"), col("node").as("label"), col("node").as("old"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
+    var lastCp: DataFrame = null // live lineage root, see checkpoint note
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -117,21 +118,32 @@ object GraphOps {
       val nbr = sym.toDF("u", "v")
         .join(lab.select(col("node").as("u"), col("label").as("l")), Seq("u"))
         .groupBy(col("v").as("node")).agg(min(col("l")).as("nbr"))
-      var next = lab.select(col("node"), col("label"))
+      val plan = lab.select(col("node"), col("label"))
         .join(nbr, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           col("label").as("old"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if ((round + 1) % checkpointEvery == 0) {
-        val pre = next
-        next = next.localCheckpoint(true) // eager: materializes via pre's cache
-        pre.unpersist(false)              // then the pre-checkpoint pin retires
-      }
+      // Checkpoint rounds take the iterate UN-cached and lazy — the
+      // count() below materializes the checkpoint's own MEMORY_AND_DISK
+      // blocks in one pass. Layering a persist under the checkpoint and
+      // unpersisting it after is the AQE-off trap the r13 sssp probe
+      // hit (the checkpoint adopts the cached plan's blocks); and a
+      // checkpoint is a lineage ROOT, so it is released only when a
+      // newer one is materialized — a cache-missing later round (plan
+      // mismatch without AQE locally; memory-pressure eviction on a
+      // real executor) recomputes down to the nearest live root.
+      val isCp = (round + 1) % checkpointEvery == 0
+      val next =
+        if (isCp) plan.localCheckpoint(false)
+        else plan.persist(StorageLevel.MEMORY_AND_DISK)
       // count() materializes next; lab is kept one extra round so an
       // evicted cache block of next can still recompute cheaply
       changed = next.filter(col("label") =!= col("old")).count()
-      if (prev != null) releaseIterate(prev)
+      if (isCp) {
+        if (lastCp != null) releaseIterate(lastCp)
+        lastCp = next
+      }
+      if (prev != null && !(prev eq lastCp)) releaseIterate(prev)
       prev = lab
       lab = next
       round += 1
@@ -140,6 +152,7 @@ object GraphOps {
       .localCheckpoint(true)
     if (prev != null) releaseIterate(prev)
     releaseIterate(lab)
+    if (lastCp != null) releaseIterate(lastCp)
     out
   }
 
@@ -171,6 +184,7 @@ object GraphOps {
       .select(col("node"), col("dist"), lit(BfsInf).as("old"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
+    var lastCp: DataFrame = null // live lineage root, see checkpoint note
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -178,19 +192,24 @@ object GraphOps {
         .join(dist.filter(col("dist") < BfsInf && col("dist") =!= col("old"))
           .select(col("node").as("u"), col("dist").as("d")), Seq("u"))
         .groupBy(col("v").as("node")).agg((min(col("d")) + 1L).as("nd"))
-      var next = dist.select(col("node"), col("dist"))
+      val plan = dist.select(col("node"), col("dist"))
         .join(nbr, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
           col("dist").as("old"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if ((round + 1) % checkpointEvery == 0) {
-        val pre = next
-        next = next.localCheckpoint(true)
-        pre.unpersist(false)
-      }
+      // same checkpoint discipline as connectedComponentsFromSym: no
+      // cache layered under the lazy checkpoint, roots released only
+      // when superseded
+      val isCp = (round + 1) % checkpointEvery == 0
+      val next =
+        if (isCp) plan.localCheckpoint(false)
+        else plan.persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("dist") =!= col("old")).count()
-      if (prev != null) releaseIterate(prev)
+      if (isCp) {
+        if (lastCp != null) releaseIterate(lastCp)
+        lastCp = next
+      }
+      if (prev != null && !(prev eq lastCp)) releaseIterate(prev)
       prev = dist
       dist = next
       round += 1
@@ -201,6 +220,7 @@ object GraphOps {
       .localCheckpoint(true)
     if (prev != null) releaseIterate(prev)
     releaseIterate(dist)
+    if (lastCp != null) releaseIterate(lastCp)
     out
   }
 
@@ -278,6 +298,8 @@ object GraphOps {
         (col("node") === source).as("pending"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
+    // the live checkpoint (lineage root) — see the release note below
+    var lastCp: DataFrame = null
     var threshold = d
     var round = 0
     var pendingN = 1L   // the source starts pending at dist 0 < Δ
@@ -298,7 +320,7 @@ object GraphOps {
           .join(dist.filter(isFrontier)
             .select(col("node").as("u"), col("dist").as("d")), Seq("u"))
           .groupBy(col("v").as("node")).agg(min(col("d") + col("w")).as("nd"))
-        var next = dist
+        val plan = dist
           .select(col("node"), col("dist"),
             (col("pending") && !isFrontier).as("still"))
           .join(nbr, Seq("node"), "left_outer")
@@ -306,29 +328,43 @@ object GraphOps {
             least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
             (coalesce(col("nd"), lit(BfsInf)) < col("dist") || col("still"))
               .as("pending"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
         // LAZY checkpoint on cadence: the mark costs nothing now; the
-        // round's single action below materializes cache AND checkpoint
-        // blocks in one pass. (The r9 eager checkpoint was a second
-        // full materialization — the 2-4× ms spikes every 5th round in
-        // the sf0.1 trace.) The pre-checkpoint persist stays pinned
-        // until after the action so nothing recomputes from source.
-        var preCp: DataFrame = null
-        if ((round + 1) % checkpointEvery == 0) {
-          preCp = next
-          next = next.localCheckpoint(false)
-        }
+        // round's single action below materializes checkpoint blocks in
+        // one pass. (The r9 eager checkpoint was a second full
+        // materialization — the 2-4× ms spikes every 5th round in the
+        // sf0.1 trace.) Two r13 disciplines, both found by the AQE-off
+        // probe and both real at-scale robustness, not config quirks:
+        // (1) checkpoint rounds skip the separate persist —
+        // `localCheckpoint` stores the rdd's own MEMORY_AND_DISK
+        // blocks, and layering a cache UNDER it let the checkpoint
+        // adopt the cached plan's blocks, so unpersisting the
+        // pre-checkpoint frame deleted the checkpoint's storage;
+        // (2) a checkpoint is a lineage ROOT — any later round that
+        // misses cache (AQE-off plan-match differences locally;
+        // memory-pressure eviction on a real executor) recomputes down
+        // to the NEAREST checkpoint, so one is released only after a
+        // NEWER one is materialized, never on the rolling two-round
+        // window that retires plain cached iterates.
+        val isCp = (round + 1) % checkpointEvery == 0
+        val next =
+          if (isCp) plan.localCheckpoint(false)
+          else plan.persist(StorageLevel.MEMORY_AND_DISK)
         // the round's one driver action: materializes `next` AND
         // returns the stats that drive convergence + the Δ-gate
         val stats = next.agg(
           sum(col("pending").cast("long")),
           sum((col("pending") && col("dist") < threshold).cast("long")),
           min(when(col("pending"), col("dist")))).head()
-        if (preCp != null) preCp.unpersist(false)
         pendingN = if (stats.isNullAt(0)) 0L else stats.getLong(0)
         frontierN = if (stats.isNullAt(1)) 0L else stats.getLong(1)
         minPending = if (stats.isNullAt(2)) 0L else stats.getLong(2)
-        if (prev != null) releaseIterate(prev)
+        if (isCp) {
+          // a newer lineage root is materialized: the previous
+          // checkpoint can no longer be reached by any recompute
+          if (lastCp != null) releaseIterate(lastCp)
+          lastCp = next
+        }
+        if (prev != null && !(prev eq lastCp)) releaseIterate(prev)
         prev = dist
         dist = next
         round += 1
@@ -341,6 +377,7 @@ object GraphOps {
     if (pendingN > 0) {
       if (prev != null) releaseIterate(prev)
       releaseIterate(dist)
+      if (lastCp != null) releaseIterate(lastCp)
       throw new IllegalStateException(
         s"ssspFromSym: not converged after $maxRounds rounds")
     }
@@ -349,8 +386,11 @@ object GraphOps {
       .select(col("node"),
         when(col("dist") === BfsInf, -1L).otherwise(col("dist")).as("dist"))
       .localCheckpoint(true)
+    // `out` is eager, so the live lineage root is no longer needed
+    // (double-release of an iterate that IS the root is a no-op)
     if (prev != null) releaseIterate(prev)
     releaseIterate(dist)
+    if (lastCp != null) releaseIterate(lastCp)
     out
   }
 
@@ -483,15 +523,16 @@ object GraphOps {
     while (changed && round < maxRounds) {
       val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("src").as("keep"))
-      var next = cur
+      // lazy checkpoint WITHOUT a persist underneath — see the
+      // ssspFromSym checkpoint note (under AQE-off the checkpoint
+      // adopts the cached plan's blocks, and the old
+      // persist→checkpoint→unpersist sequence deleted its storage)
+      val next = cur
         .join(keep.select(col("keep").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("keep").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val preCp = next
-      next = next.localCheckpoint(false)
-      val nextN = next.count() // one action: cache + checkpoint + count
-      preCp.unpersist(false)
+        .localCheckpoint(false)
+      val nextN = next.count() // one action: checkpoint + count
       changed = nextN != curN
       if (prev != null) releaseIterate(prev)
       prev = cur
