@@ -155,7 +155,12 @@ object Bench {
       .map { case (k, _, _, _, Some(e)) => s"\"" + k + "\":" + jq(e.take(300)) }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    val line = s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"families":$fams,"cold":$cold,"uncounted":$unc,"err":$errMap,"cpus":$cpus,"load_avg_start":${n3(loadStart)},"load_avg_end":${n3(loadAvg)},"sf":"$sfDir"}"""
+    // Optional free-text annotation carried IN the artifact (e.g. the
+    // sf10 sweep's exclusion list + sample count) — a sweep's caveats
+    // must survive with its numbers, not live only in BENCH_NOTES.
+    val note = sys.env.get("SPARK_GRAFT_NOTE")
+      .map(t => s""","note":${jq(t)}""").getOrElse("")
+    val line = s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"families":$fams,"cold":$cold,"uncounted":$unc,"err":$errMap,"cpus":$cpus,"load_avg_start":${n3(loadStart)},"load_avg_end":${n3(loadAvg)},"sf":"$sfDir"$note}"""
     println(line)
     // Self-contained evidence: the driver's artifact keeps only an
     // output tail, so also drop the full line where a later session

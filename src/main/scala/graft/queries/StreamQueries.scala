@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.streaming.{BandRow, Ev, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max, min, unix_millis}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_millis}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Batch twins of the streaming operators
@@ -147,17 +147,73 @@ object StreamQueries {
       df => StreamOps.bucketNovelty(df.as[BandRow]).toDF())
   }
 
+  /** Rows per st03 micro-batch under `graft.stream.slices=auto` —
+    * sized so one slice's join state (slice + watermark + bound rows
+    * per side) stays a small multiple of a shuffle partition's
+    * working set. Same self-sizing posture as d16's `shards=auto`.
+    */
+  private def st03RowsPerBatch(s: SparkSession): Long =
+    s.conf.getOption("graft.stream.rowsPerBatch")
+      .orElse(sys.env.get("GRAFT_STREAM_ROWS_PER_BATCH"))
+      .map(_.toLong).getOrElse(250000L)
+
+  private def st03Slices(s: SparkSession, totalRows: Long): Int = {
+    val conf = s.conf.getOption("graft.stream.slices")
+      .orElse(sys.env.get("GRAFT_STREAM_SLICES")).getOrElse("auto")
+    if (conf == "auto")
+      math.max(1L, (totalRows + st03RowsPerBatch(s) - 1) /
+        st03RowsPerBatch(s)).toInt
+    else conf.toInt
+  }
+
   /** The stream–stream INTERVAL self-join ([[StreamOps.errorFollowJoin]])
     * run for real — the third streaming state machinery in the
     * registry after transformWithState (st01/st02): a symmetric JOIN
     * state store holding both sides' rows inside the watermark+bound
-    * horizon. One micro-batch of `events`; inner stream-stream joins
-    * emit matches eagerly, so the single-batch output is exactly the
-    * batch pair relation (q29's un-aggregated form) and hash-checks
-    * against the plain SQL join.
+    * horizon.
+    *
+    * The feed is TIME-ORDERED micro-batch slices (equal-width
+    * event-time bins, `graft.stream.slices`, default `auto` ≈ one
+    * slice per 250k rows — a 100k-row sf0.1 run stays single-batch,
+    * sf10's 10M rows become 40), which is what bounds the state store
+    * at scale: after each slice the watermark advances to that
+    * slice's max(ts) − delay, evicting both sides' buffered rows
+    * older than the join horizon, so live state is ≈ one slice plus
+    * the watermark+bound window per side instead of the whole stream
+    * (the r12 single-batch form buffered EVERY row — measured
+    * superlinear, 5.0s at sf0.1 → 78.8s at sf1). The slicing cannot
+    * change the answer: slices partition event time and arrive in
+    * order, so every row in slice k has ts above the watermark
+    * (prior slices' max − delay < slice k's lower bound — no late
+    * drops ever), inner stream–stream joins emit eagerly, and a row
+    * is evicted only when the watermark proves no future row can
+    * match it — hence the emitted pair set is exactly the batch
+    * relation (q29's un-aggregated form) for ANY slice count, and
+    * hash-checks against the plain SQL join.
     */
-  def st03_error_follow_stream(s: SparkSession, dir: String): DataFrame =
-    runFileStream(s, eventCols(s, dir), StreamOps.errorFollowJoin(_))
+  def st03_error_follow_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = eventCols(s, dir)
+    // 1-row driver scalar: event-time range + row count for the
+    // data-defined slicing (same posture as st04's midpoint).
+    val (mn, mx, total) = evs
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))),
+        count(lit(1)))
+      .as[(Long, Long, Long)].head()
+    val n = st03Slices(s, total)
+    if (n <= 1) runFileStream(s, evs, StreamOps.errorFollowJoin(_))
+    else {
+      val w = math.max(1L, (mx - mn) / n + 1)
+      val ms = unix_millis(col("ts"))
+      val slices = (0 until n).map { i =>
+        val lo = mn + i * w
+        if (i == n - 1) evs.where(ms >= lo)
+        else evs.where(ms >= lo && ms < lo + w)
+      }
+      runFileStream(s, slices.head, StreamOps.errorFollowJoin(_),
+        laterBatches = slices.tail)
+    }
+  }
 
   /** Watermark delay (ms) of [[st04_late_data]] — interpolated into
     * the oracle so the two sides can't silently desync.

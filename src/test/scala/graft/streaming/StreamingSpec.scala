@@ -247,6 +247,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("st03's time-ordered slices leave the interval-join pair set batching-invariant") {
+    // The at-scale st03 feed is n time-ordered micro-batch slices
+    // (watermark advances between batches, evicting join state); the
+    // claim that slicing can never change the answer — no late drops,
+    // no missed pairs across a slice boundary — is pinned here on real
+    // data by running the SAME registered query at n=4 and n=1 and
+    // comparing full row sets (cross-boundary pairs exist: the 10-min
+    // join bound straddles the slice edges at sf0.001's event spread).
+    val dir = "/root/testdata/sf0.001"
+    def rows(slices: String): Set[(Long, Long, Long, Long, Double)] = {
+      spark.conf.set("graft.stream.slices", slices)
+      try graft.queries.StreamQueries.st03_error_follow_stream(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3).getTime, r.getDouble(4))).toSet
+      finally spark.conf.unset("graft.stream.slices")
+    }
+    val sliced = rows("4")
+    val single = rows("1")
+    assert(sliced.nonEmpty)
+    assert(sliced === single)
+    // and both equal the batch relation (watermarks no-op on a static
+    // frame) — the oracle the registry hash-checks against
+    val batch = StreamOps.errorFollowJoin(
+      graft.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getDouble(4))).toSet
+    assert(batch === sliced)
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
