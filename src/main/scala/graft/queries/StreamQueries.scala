@@ -221,8 +221,9 @@ object StreamQueries {
   private[queries] val St04DelayMs = 600000L
 
   /** Watermark semantics under the oracle gate — the behaviors that
-    * distinguish streaming from batch, which the single-batch
-    * st01–st03 never exercise: TWO micro-batches of
+    * distinguish streaming from batch, which the single-batch st01/
+    * st02 (and st03's in-order slices — never late by construction)
+    * never exercise: TWO micro-batches of
     * [[StreamOps.dedupWithinWatermark]], where batch 0 is the LATER
     * half of the event-time range (everything at/after the range
     * midpoint) and batch 1 the earlier half. Batch 0 advances the
