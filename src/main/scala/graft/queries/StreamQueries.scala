@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_millis}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Batch twins of the streaming operators
-  * ([[graft.streaming.StreamOps]]) over the `events` table, PLUS four
-  * registry entries (st01–st04) that execute the REAL incremental
+  * ([[graft.streaming.StreamOps]]) over the `events` table, PLUS six
+  * registry entries (st01–st06) that execute the REAL incremental
   * path — file-source micro-batches, `transformWithState` with
-  * RocksDB state, watermark-driven late-data drops, a file sink —
-  * inside the driver contract, so streaming execution itself is
+  * RocksDB state, the symmetric join store, the dedup store with
+  * watermark-driven late-data drops, append-mode windowed
+  * aggregation, and merging session windows, all with a file sink —
+  * inside the driver contract, so every streaming state machinery is
   * DuckDB-oracle-checked rather than spec-pinned only.
   *
   * Oracle notes: window starts are epoch-aligned in both engines
@@ -147,23 +149,51 @@ object StreamQueries {
       df => StreamOps.bucketNovelty(df.as[BandRow]).toDF())
   }
 
-  /** Rows per st03 micro-batch under `graft.stream.slices=auto` —
-    * sized so one slice's join state (slice + watermark + bound rows
-    * per side) stays a small multiple of a shuffle partition's
-    * working set. Same self-sizing posture as d16's `shards=auto`.
+  /** Rows per micro-batch slice under `graft.stream.slices=auto` —
+    * sized so one slice's stateful working set (slice + watermark
+    * horizon rows) stays a small multiple of a shuffle partition's
+    * budget. Same self-sizing posture as d16's `shards=auto`.
     */
-  private def st03RowsPerBatch(s: SparkSession): Long =
+  private def rowsPerBatch(s: SparkSession): Long =
     s.conf.getOption("graft.stream.rowsPerBatch")
       .orElse(sys.env.get("GRAFT_STREAM_ROWS_PER_BATCH"))
       .map(_.toLong).getOrElse(250000L)
 
-  private def st03Slices(s: SparkSession, totalRows: Long): Int = {
+  private def sliceCount(s: SparkSession, totalRows: Long): Int = {
     val conf = s.conf.getOption("graft.stream.slices")
       .orElse(sys.env.get("GRAFT_STREAM_SLICES")).getOrElse("auto")
     if (conf == "auto")
-      math.max(1L, (totalRows + st03RowsPerBatch(s) - 1) /
-        st03RowsPerBatch(s)).toInt
+      math.max(1L, (totalRows + rowsPerBatch(s) - 1) /
+        rowsPerBatch(s)).toInt
     else conf.toInt
+  }
+
+  /** Equal-width event-time slices of `evs`, in time order — the
+    * backfill feed shape every stateful st entry uses (st03/st05/
+    * st06): slices partition event time and arrive in order, so every
+    * row in slice k has ts above the watermark left by slices < k
+    * (prior max − delay < slice k's lower bound), hence no row is
+    * ever late, and the watermark advances BETWEEN batches, evicting/
+    * emitting state as it would on a live stream. Costs one 1-row
+    * driver scalar (time range + count) for the data-defined widths.
+    */
+  private def timeSlices(s: SparkSession, evs: DataFrame): Seq[DataFrame] = {
+    import s.implicits._
+    val (mn, mx, total) = evs
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))),
+        count(lit(1)))
+      .as[(Long, Long, Long)].head()
+    val n = sliceCount(s, total)
+    if (n <= 1) Seq(evs)
+    else {
+      val w = math.max(1L, (mx - mn) / n + 1)
+      val ms = unix_millis(col("ts"))
+      (0 until n).map { i =>
+        val lo = mn + i * w
+        if (i == n - 1) evs.where(ms >= lo)
+        else evs.where(ms >= lo && ms < lo + w)
+      }
+    }
   }
 
   /** The stream–stream INTERVAL self-join ([[StreamOps.errorFollowJoin]])
@@ -192,27 +222,55 @@ object StreamQueries {
     * hash-checks against the plain SQL join.
     */
   def st03_error_follow_stream(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val evs = eventCols(s, dir)
-    // 1-row driver scalar: event-time range + row count for the
-    // data-defined slicing (same posture as st04's midpoint).
-    val (mn, mx, total) = evs
-      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))),
-        count(lit(1)))
-      .as[(Long, Long, Long)].head()
-    val n = st03Slices(s, total)
-    if (n <= 1) runFileStream(s, evs, StreamOps.errorFollowJoin(_))
-    else {
-      val w = math.max(1L, (mx - mn) / n + 1)
-      val ms = unix_millis(col("ts"))
-      val slices = (0 until n).map { i =>
-        val lo = mn + i * w
-        if (i == n - 1) evs.where(ms >= lo)
-        else evs.where(ms >= lo && ms < lo + w)
-      }
-      runFileStream(s, slices.head, StreamOps.errorFollowJoin(_),
-        laterBatches = slices.tail)
-    }
+    val slices = timeSlices(s, eventCols(s, dir))
+    runFileStream(s, slices.head, StreamOps.errorFollowJoin(_),
+      laterBatches = slices.tail)
+  }
+
+  /** Streaming windowed aggregation in APPEND mode — the fourth
+    * streaming state machinery under the oracle gate (after
+    * transformWithState st01/st02, the symmetric join store st03, and
+    * the dedup store st04): [[StreamOps.windowedCounts]]' per-window
+    * partial aggregates live in the streaming-aggregation state store,
+    * merge across the sliced feed's micro-batches, and each window is
+    * EMITTED exactly once, when the advancing watermark passes its
+    * end. Spark emits a window iff `window_end <= watermark`
+    * (boundary pinned by StreamingSpec's "finalizes a window" case:
+    * the window whose end EQUALS the watermark is in the output), and
+    * the final watermark is data-defined (global max(ts) − 10 min —
+    * the in-order slices put the global max in the last slice), so
+    * the emitted set is closed-form: q23's relation restricted to
+    * windows whose end clears the final watermark. Slice-count
+    * invariance: a window can only receive rows while open (a later
+    * row above the watermark that closed it would have to predate
+    * it), so every emitted window carries its FULL aggregate for any
+    * slicing — pinned n=4 ≡ n=1 ≡ the filtered batch relation by
+    * StreamingSpec.
+    */
+  def st05_windowed_stream(s: SparkSession, dir: String): DataFrame = {
+    val slices = timeSlices(s, eventCols(s, dir))
+    runFileStream(s, slices.head, StreamOps.windowedCounts(_),
+      laterBatches = slices.tail)
+  }
+
+  /** Streaming gap-based SESSION windows in append mode — the
+    * session-MERGING state store ([[StreamOps.sessions]]), the fifth
+    * distinct streaming machinery in the registry: per-(user, session)
+    * state rows merge when a new event bridges two open sessions, and
+    * a session is emitted once the watermark passes its end
+    * (`session_end <= watermark`, same boundary rule as st05's
+    * windows — pinned by a StreamingSpec boundary case). Eviction is
+    * exact, not approximate: once wm ≥ session_end, any future row
+    * has ts > wm ≥ session_end = last_ts + gap, i.e. the gap is
+    * already exceeded and the row starts a NEW session — an emitted
+    * session can never need retraction. Final watermark is
+    * data-defined (max(ts) − 10 min), so the output is q24's session
+    * relation restricted to sessions that closed under it.
+    */
+  def st06_sessions_stream(s: SparkSession, dir: String): DataFrame = {
+    val slices = timeSlices(s, eventCols(s, dir))
+    runFileStream(s, slices.head, StreamOps.sessions(_),
+      laterBatches = slices.tail)
   }
 
   /** Watermark delay (ms) of [[st04_late_data]] — interpolated into
@@ -279,6 +337,37 @@ object StreamQueries {
         |FROM events e, (SELECT (epoch_ms(MIN(ts)) + epoch_ms(MAX(ts))) // 2 AS t0,
         |    epoch_ms(MAX(ts)) - $St04DelayMs AS wmk FROM events) b
         |WHERE epoch_ms(e.ts) >= b.t0 OR epoch_ms(e.ts) > b.wmk""".stripMargin,
+    // st05/st06: the q23/q24 relations restricted to windows/sessions
+    // CLOSED under the final data-defined watermark (max ts − 10 min).
+    // `<=` is the pinned Spark emission boundary (StreamingSpec).
+    "st05_windowed_stream" ->
+      """WITH wm AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events)
+        |SELECT * FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts,
+        |      TIMESTAMP '1970-01-01 00:00:00') AS window_start,
+        |    event_type, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |WHERE window_start + INTERVAL '5 minutes' <= (SELECT w FROM wm)""".stripMargin,
+    "st06_sessions_stream" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sid AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM flagged)
+        |SELECT * FROM (
+        |  SELECT user_id, MIN(ts) AS session_start,
+        |    MAX(ts) + INTERVAL '5 minutes' AS session_end,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |  FROM sid GROUP BY user_id, s)
+        |WHERE session_end <= (SELECT MAX(ts) - INTERVAL '10 minutes'
+        |                      FROM events)""".stripMargin,
     "q23_event_windows" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts,
         |    TIMESTAMP '1970-01-01 00:00:00') AS window_start,
@@ -310,5 +399,7 @@ object StreamQueries {
     "st02_novelty_stream" -> (st02_novelty_stream _),
     "st03_error_follow_stream" -> (st03_error_follow_stream _),
     "st04_late_data" -> (st04_late_data _),
+    "st05_windowed_stream" -> (st05_windowed_stream _),
+    "st06_sessions_stream" -> (st06_sessions_stream _),
   )
 }

@@ -277,6 +277,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch === sliced)
   }
 
+  test("session windows emit at exactly session_end <= watermark") {
+    // Pins the emission boundary st06's closed-form oracle depends on:
+    // a session whose end EQUALS the watermark is emitted; one ending
+    // a minute later is still open. user 1's session is [10:00,10:05),
+    // user 3's is [10:01,10:06); the 10:15 event moves the watermark
+    // to exactly 10:05.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runAppend("sb", StreamOps.sessions(in.toDF(),
+      gap = "5 minutes", wm = "10 minutes"))
+    try {
+      in.addData(ev(1, 0, user = 1L), ev(2, 1, user = 3L))
+      q.processAllAvailable()
+      in.addData(ev(3, 15, user = 2L)) // watermark → 10:05:00 exactly
+      q.processAllAvailable()
+      val emitted = spark.table("sb").select("user_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(emitted === Set(1L),
+        "end == wm emits (user 1); end > wm stays open (user 3)")
+    } finally q.stop()
+  }
+
+  test("st05/st06's sliced feeds are batching-invariant and equal the wm-filtered batch relation") {
+    // Same contract as st03's case, for the two append-mode
+    // aggregation machineries: the emitted set depends only on the
+    // FINAL watermark (max ts − 10 min — data-defined), never on the
+    // slicing, and equals the batch twin restricted to windows/
+    // sessions closed under it — exactly what the DuckDB oracles
+    // compute.
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val wmMs = evs.agg(org.apache.spark.sql.functions.max("ts"))
+      .collect().head.getTimestamp(0).getTime - 600000L
+    def run(name: String, slices: String): Set[Seq[Any]] = {
+      spark.conf.set("graft.stream.slices", slices)
+      try graft.queries.StreamQueries.queries(name)(spark, dir)
+        .collect().map(_.toSeq).toSet
+      finally spark.conf.unset("graft.stream.slices")
+    }
+    // st05: windows with end <= wm
+    val w5 = run("st05_windowed_stream", "4")
+    assert(w5.nonEmpty)
+    assert(w5 === run("st05_windowed_stream", "1"))
+    val batch5 = StreamOps.windowedCounts(evs)
+      .where(s"unix_millis(window_start) + 300000 <= $wmMs")
+      .collect().map(_.toSeq).toSet
+    assert(w5 === batch5)
+    // st06: sessions with end <= wm
+    val s6 = run("st06_sessions_stream", "4")
+    assert(s6.nonEmpty)
+    assert(s6 === run("st06_sessions_stream", "1"))
+    val batch6 = StreamOps.sessions(evs)
+      .where(s"unix_millis(session_end) <= $wmMs")
+      .collect().map(_.toSeq).toSet
+    assert(s6 === batch6)
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
