@@ -156,18 +156,27 @@ class PlanHygieneSpec extends AnyFunSuite {
     // and the notes to move with it. Streaming twins and iterative
     // loops return eager/checkpointed relations (0 joins both ways)
     // and pass vacuously.
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-    def joins(p: LogicalPlan): Int = p.collect { case j: Join => j }.size
+    // Counted nodes: Joins AND Windows — a pure row-preserving window
+    // projection (q07/q33/q37/q46) is column-pruned away under count()
+    // just like a row-preserving join, and its bench number becomes a
+    // scan-count (measured: q07 reads 0.16s at sf10 where the real
+    // window over 10M rows is seconds — the r13 sf10 sweep exposed it).
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+    def wide(p: LogicalPlan): Int =
+      p.collect { case j: Join => j; case w: Window => w }.size
     val collapsed = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      val full = joins(df.queryExecution.optimizedPlan)
-      val underCount = joins(df.groupBy().count().queryExecution.optimizedPlan)
+      val full = wide(df.queryExecution.optimizedPlan)
+      val underCount = wide(df.groupBy().count().queryExecution.optimizedPlan)
       if (underCount < full) Some(name -> ((full, underCount))) else None
     }
     val expected = Seq(
       "d06_neardup_clusters" -> ((4, 0)),
       "d12_span_removal" -> ((2, 0)),
       "d13_incremental_neardup" -> ((4, 0)),
+      // the keeper's per-cluster ranking window is pruned; the
+      // cluster joins survive
+      "d15_quality_keeper" -> ((7, 6)),
       "g04_pagerank" -> ((4, 2)),
       "g04_pagerank_i10" -> ((4, 2)),
       // the tolerance witness joins GraphX ranks to the fp loop: the
@@ -180,11 +189,28 @@ class PlanHygieneSpec extends AnyFunSuite {
       // count() cascades ALL seven joins away — the bench number
       // would be a deg-side scan-count without the uncounted twin
       "g16_clustering" -> ((7, 0)),
+      // the per-shard packing cumsum window is the whole query
+      "p03_pack" -> ((1, 0)),
       "p04_contamination" -> ((1, 0)),
+      // two of the curriculum's three stage windows prune
+      "p08_curriculum" -> ((3, 1)),
       // the dup-flag semi+left joins are row-preserving on the
       // aggregated side, so count() measures the group-by alone
       "p09_source_report" -> ((2, 0)),
-      "q41_funnel" -> ((5, 0)))
+      // pure window projections: the Window node itself is pruned
+      "q07_window_running" -> ((1, 0)),
+      // the as-of pick is a window (last value ≤ ts), not a join —
+      // pruned wholesale under count()
+      "q28_asof_join" -> ((1, 0)),
+      "q33_lead_lag" -> ((1, 0)),
+      "q37_range_frame" -> ((1, 0)),
+      "q41_funnel" -> ((5, 0)),
+      // the per-group rank window prunes; the bin aggregation stays
+      "q43_histogram_quantile" -> ((2, 1)),
+      // one Window node hosts all three rank functions
+      "q46_ranks" -> ((1, 0)),
+      // the tie-break window above the GroupedTopK operator prunes
+      "s07_knn_topk_operator" -> ((2, 1)))
     assert(collapsed === expected,
       s"count()-collapse set changed: $collapsed — update Bench.uncountedQueries " +
         "and BENCH_NOTES to keep the artifact honest")
