@@ -76,6 +76,28 @@ object Duel {
     samples.sortBy(_._1).apply(samples.length / 2)
   }
 
+  /** (median seconds, input records read) of `n` runs — the scan-cost
+    * twin of [[measure]] for layout duels (z-order, partition
+    * pruning), where the number that scales is what the reader
+    * DECODED, not what the shuffle moved. Median-sample convention,
+    * same as `measure`.
+    */
+  private def measureScan(spark: SparkSession, df: => DataFrame, n: Int)
+      : (Double, Long) = {
+    val samples = (1 to n).map { _ =>
+      val tally = new ShuffleTally
+      spark.sparkContext.addSparkListener(tally)
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.ColumnBridge
+        .drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(tally)
+      (sec, tally.inputRecords.get())
+    }
+    samples.sortBy(_._1).apply(samples.length / 2)
+  }
+
   private def report(name: String, custom: (Double, Long, Long),
       stock: (Double, Long, Long), sf: String): Unit = {
     val (ct, cr, cb) = custom
@@ -89,7 +111,7 @@ object Duel {
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     val which = if (args.nonEmpty) args.toSet
       else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym",
-        "bucketededges")
+        "bucketededges", "dpp")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -173,27 +195,45 @@ object Duel {
           col("l_suppkey").between(sMax / 2, sMax / 2 + sMax / 8)))
       def band(dir: String) = agg(spark.read.parquet(dir)
         .filter(col("l_suppkey").between(sMax / 2, sMax / 2 + sMax / 8)))
-      def measureScan(df: => org.apache.spark.sql.DataFrame)
-          : (Double, Long) = {
-        // median-sample convention, same as `measure`
-        val samples = (1 to n).map { _ =>
-          val tally = new ShuffleTally
-          spark.sparkContext.addSparkListener(tally)
-          val t0 = System.nanoTime()
-          df.queryExecution.toRdd.count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          org.apache.spark.sql.graft.ColumnBridge
-            .drainListenerBus(spark.sparkContext)
-          spark.sparkContext.removeSparkListener(tally)
-          (sec, tally.inputRecords.get())
-        }
-        samples.sortBy(_._1).apply(samples.length / 2)
-      }
       for ((tag, probe) <- Seq("box2d" -> (box _), "dim2band" -> (band _))) {
-        val (zs, zr) = measureScan(probe(zdir))
-        val (ls, lr) = measureScan(probe(ldir))
+        val (zs, zr) = measureScan(spark, probe(zdir), n)
+        val (ls, lr) = measureScan(spark, probe(ldir), n)
         println(f"""{"duel":"zorder_$tag","sf":"$sfDir","z_sec":$zs%.3f,"linear_sec":$ls%.3f,"z_scan_rows":$zr,"linear_scan_rows":$lr,"prune_ratio":${lr.toDouble / math.max(zr, 1L)}%.2f}""")
       }
+    }
+
+    if (which("dpp")) {
+      // Layout duel for dynamic partition pruning: q48's star-join
+      // shape over the month-partitioned lineitem, identical plan
+      // modulo the DPP subquery. With pruning OFF the fact scan
+      // decodes every month directory and the join discards ~90% of
+      // the rows AFTER the read; with pruning ON the runtime
+      // dim-filter skips the non-matching directories at the file
+      // index, so `scan_rows` collapses toward the workload's months
+      // (≤8 of 83). At local SF wall time is mostly fixed cost —
+      // `prune_ratio` (rows decoded, off/on) is the number that
+      // carries to 100 TB, where the scan IS the query's cost.
+      val pdir = "target/duel_part_li_" +
+        graft.sources.Bucketing.pathDigest(sfDir)
+      graft.sources.PartitionedWrite.partitionedTable(spark,
+        Tables(spark, sfDir, "lineitem"), pdir, "l_smonth",
+        year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+      def dim = broadcast(Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).as("m"))
+        .distinct())
+      def q = spark.read.parquet(pdir)
+        .join(dim, col("l_smonth") === col("m"))
+        .groupBy(col("l_smonth"))
+        .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+      val (ons, onr) = measureScan(spark, q, n)
+      spark.conf.set(dppKey, "false")
+      val (offs, offr) = measureScan(spark, q, n)
+      spark.conf.set(dppKey, "true")
+      println(f"""{"duel":"dpp_star_join","sf":"$sfDir","dpp_sec":$ons%.3f,"no_dpp_sec":$offs%.3f,"dpp_scan_rows":$onr,"no_dpp_scan_rows":$offr,"prune_ratio":${offr.toDouble / math.max(onr, 1L)}%.2f}""")
     }
 
     if (which("hist")) {

@@ -713,6 +713,80 @@ object CoreQueries {
         (col("p50_bin") * HistW).as("p50_lo"))
   }
 
+  private val partLiMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** lineitem re-written hive-partitioned by ship month (`l_smonth` =
+    * yyyymm int — an INT key on purpose: partition-value inference
+    * would read a `yyyy-MM` string back as DATE and silently retype
+    * the column) via [[graft.sources.PartitionedWrite]], memoized per
+    * (session, sfDir) like the bucketed graph layouts. NOT
+    * SharedRelations-persisted: pinning the read-back in executor
+    * memory would shadow the directory layout and hide the partition
+    * pruning q47/q48 exist to exercise. Same rows as the source table
+    * plus the derived key, so every lineitem oracle still holds.
+    */
+  private def partitionedLineitem(s: SparkSession, dir: String): DataFrame =
+    partLiMemo.getOrElseUpdate((s, dir), {
+      graft.sources.PartitionedWrite.partitionedTable(
+        s, t(s, dir, "lineitem"),
+        "target/part_li_" + graft.sources.Bucketing.pathDigest(dir),
+        "l_smonth",
+        year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+    })
+
+  /** The month [[q47_partition_pruned]] probes — mid-corpus, present
+    * at every SF (lineitem spans 1995-01..2001-11), shared verbatim
+    * with the oracle.
+    */
+  private val Q47Month = 199803
+
+  // STATIC partition pruning over the first-class partitioned layout
+  // ([[partitionedLineitem]] — graft.sources.PartitionedWrite, written
+  // once per session/SF): a literal predicate on the partition column
+  // resolves at PLAN time, so of the 83 month directories exactly one
+  // is ever listed — the other 82 contribute zero I/O, zero tasks. At
+  // 100 TB this is the scan-cost lever every time-series warehouse
+  // lives on: the query's cost is the month's size, not the corpus's.
+  // PartitionedSpec pins the mechanism (PartitionFilters on the scan,
+  // numPartitions metric = 1); the result is layout-independent, so
+  // the plain lineitem oracle holds.
+  def q47_partition_pruned(s: SparkSession, dir: String): DataFrame =
+    partitionedLineitem(s, dir)
+      .filter(col("l_smonth") === Q47Month)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum("l_extendedprice").as("rev"),
+        count(lit(1)).as("n_rows"))
+
+  // DYNAMIC partition pruning (DPP) — the star-join shape static
+  // pruning canNOT express: the fact table is partitioned on the dim
+  // key (ship month), the dim side carries a selective filter (urgent
+  // orders in the corpus's FINAL year — a ≤8-month set at ANY scale,
+  // because the bound is the date range's width, not a frequency
+  // threshold that saturates with SF), and the surviving key set is
+  // DATA, known only at runtime. Catalyst plants a
+  // `dynamicpruningexpression` subquery on the fact scan and reuses
+  // the join's broadcast to evaluate it, so the fact side lists ≤8 of
+  // 83 directories — at 100 TB the difference between scanning the
+  // corpus and scanning the workload's months. PartitionedSpec pins
+  // the mechanism (dynamicpruningexpression in the plan, pruned
+  // numPartitions); values are layout-independent, so the oracle is
+  // the plain two-table SQL.
+  def q48_dpp_join(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("2001-01-01").cast(TimestampType))
+        .select((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).as("m"))
+        .distinct())
+    partitionedLineitem(s, dir)
+      .join(dim, col("l_smonth") === col("m"))
+      .groupBy(col("l_smonth").cast(LongType).as("ship_month"))
+      .agg(dsum("l_extendedprice").as("rev"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -758,6 +832,25 @@ object CoreQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q47_partition_pruned" ->
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE year(l_shipdate) * 100 + month(l_shipdate) = $Q47Month
+         |GROUP BY l_returnflag""".stripMargin,
+    "q48_dpp_join" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+        |    AS ship_month,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |JOIN (SELECT DISTINCT year(o_orderdate) * 100 + month(o_orderdate) AS m
+        |      FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |        AND o_orderdate >= TIMESTAMP '2001-01-01') d
+        |  ON year(l_shipdate) * 100 + month(l_shipdate) = d.m
+        |GROUP BY 1""".stripMargin,
     "q41_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
@@ -1099,5 +1192,7 @@ object CoreQueries {
     "q44_retention" -> (q44_retention _),
     "q45_transitions" -> (q45_transitions _),
     "q46_ranks" -> (q46_ranks _),
+    "q47_partition_pruned" -> (q47_partition_pruned _),
+    "q48_dpp_join" -> (q48_dpp_join _),
   )
 }

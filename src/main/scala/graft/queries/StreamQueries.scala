@@ -273,6 +273,32 @@ object StreamQueries {
       laterBatches = slices.tail)
   }
 
+  /** Stream–STATIC broadcast-enrichment join — the one streaming join
+    * shape the matrix still lacked after st03's stream–stream store,
+    * and deliberately the STATELESS one: each micro-batch plans a
+    * fresh broadcast hash join against the batch `customer` dim (the
+    * static side is re-resolved per batch — on a live pipeline that
+    * is what picks up dim-table updates between batches), no
+    * watermark, no state store, nothing retained across batches. This
+    * is the production enrichment hop in front of every stateful
+    * operator here: at 100 TB/day the event stream never shuffles —
+    * the dim broadcasts to wherever the source partitions already
+    * are. Output = the plain inner join, so the oracle is the
+    * two-table SQL; the sliced feed exercises the per-batch re-plan
+    * (any slicing yields the same set — the join is row-local).
+    */
+  def st07_enrich_stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val slices = timeSlices(s, eventCols(s, dir))
+    runFileStream(s, slices.head,
+      df => df.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment"), col("value")),
+      laterBatches = slices.tail)
+  }
+
   /** Watermark delay (ms) of [[st04_late_data]] — interpolated into
     * the oracle so the two sides can't silently desync.
     */
@@ -332,6 +358,9 @@ object StreamQueries {
         |FROM bands b JOIN (SELECT band, bkey, MIN(doc_id) AS mn
         |  FROM bands GROUP BY 1, 2) m
         |  ON b.band = m.band AND b.bkey = m.bkey""".stripMargin),
+    "st07_enrich_stream" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
     "st04_late_data" ->
       s"""SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
         |FROM events e, (SELECT (epoch_ms(MIN(ts)) + epoch_ms(MAX(ts))) // 2 AS t0,
@@ -401,5 +430,6 @@ object StreamQueries {
     "st04_late_data" -> (st04_late_data _),
     "st05_windowed_stream" -> (st05_windowed_stream _),
     "st06_sessions_stream" -> (st06_sessions_stream _),
+    "st07_enrich_stream" -> (st07_enrich_stream _),
   )
 }

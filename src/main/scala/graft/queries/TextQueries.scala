@@ -436,6 +436,56 @@ object TextQueries {
       .limit(CollocK)
   }
 
+  /** Global-count floor for [[t12_heavy_hitters]] — shared verbatim
+    * with the oracle's HAVING clause.
+    */
+  private val HhMin = 100L
+
+  // Heavy hitters (frequent items) with a pigeonhole candidate
+  // prefilter — the tier the t-family's "one map-side-combined
+  // aggregation" posture needs when the VOCABULARY itself is the
+  // problem: a plain groupBy(token) ships every distinct token of
+  // every partition through the exchange, and at 100 TB of text the
+  // n-gram long tail (trillions of distinct keys) is orders of
+  // magnitude bigger than the answer. Two passes, both bounded:
+  //
+  //  1. Candidate generation: per input split, count tokens exactly in
+  //     a local hash map (bounded by the split's distinct count, which
+  //     maxPartitionBytes bounds by SIZE — never by corpus vocabulary)
+  //     and emit only tokens whose LOCAL count ≥ ⌈T/P⌉. Pigeonhole
+  //     guarantees zero false negatives: a token with global count ≥ T
+  //     over P partitions must reach T/P in at least one of them. The
+  //     same-RDD construction (P read off the very RDD being mapped)
+  //     makes the bound airtight rather than assumed. ≤ P·⌈corpus/T⌉
+  //     candidates survive — workload-sized, not vocabulary-sized.
+  //  2. Exact recount: one more corpus scan, semi-joined against the
+  //     BROADCAST candidate set before the exchange, so the shuffle
+  //     moves candidate tokens only; the final HAVING ≥ T makes the
+  //     output exact and partitioning-independent (the candidate set
+  //     varies with the split layout; the answer provably cannot).
+  //
+  // The kernel is a deliberate mapPartitions (like q25's MR shape and
+  // the m-family decode kernels): the local-count-then-threshold step
+  // is exactly what partial aggregation canNOT express — a filter on
+  // the PARTIAL value is illegal in general, and Catalyst rightly
+  // refuses to push HAVING below the exchange.
+  def t12_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val rdd = toks.as[String].rdd
+    val p = rdd.getNumPartitions
+    val lo = (HhMin + p - 1) / p
+    val cand = s.createDataset(rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1L))
+      m.iterator.collect { case (w, c) if c >= lo => w }
+    }).toDF("w").distinct()
+    toks.join(broadcast(cand), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= HhMin)
+  }
+
   /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final
     * select) — shared by the t03 oracle and the curation pipeline's
     * ([[PipelineQueries]]) language gate.
@@ -508,6 +558,11 @@ object TextQueries {
         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
         |FROM documents""".stripMargin,
     "t03_langid" -> s"WITH $LangScoreCte\n$LangPredSelect",
+    "t12_heavy_hitters" ->
+      s"""WITH toks AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w
+         |  FROM documents)
+         |SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM toks GROUP BY w HAVING COUNT(*) >= $HhMin""".stripMargin,
     "t08_redact" ->
       s"""SELECT doc_id,
          |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$EmailPat')) AS BIGINT) AS n_emails,
@@ -621,5 +676,6 @@ object TextQueries {
     "t09_lm_score" -> (t09_lm_score _),
     "t10_tfidf" -> (t10_tfidf _),
     "t11_collocations" -> (t11_collocations _),
+    "t12_heavy_hitters" -> (t12_heavy_hitters _),
   )
 }

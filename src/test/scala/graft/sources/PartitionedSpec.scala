@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the partitioned-layout contracts [[PartitionedWrite]]
+  * documents: a literal predicate on the partition column prunes at
+  * PLAN time (q47 — `PartitionFilters` on the scan, one directory
+  * read), and a selective dim filter prunes at RUNTIME through a join
+  * (q48 — `dynamicpruningexpression` planted on the fact scan, pruned
+  * directory count measurable in the scan's `numPartitions` metric).
+  * These are the mechanisms, not the values — the values are pinned by
+  * the DuckDB oracle like every registry entry.
+  */
+class PartitionedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Every FileSourceScan in `p`, descending through AQE query-stage
+    * wrappers (leaf nodes whose materialized plan hangs off `.plan`,
+    * invisible to a plain `collect`) and reused exchanges.
+    */
+  private def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+    val here = p match {
+      case s: FileSourceScanExec => Seq(s)
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    here ++ kids.flatMap(allScans)
+  }
+
+  /** The (single) FileSourceScan over the partitioned lineitem layout
+    * in `df`'s executed plan, after an action settles AQE.
+    */
+  private def partitionedScan(df: DataFrame): FileSourceScanExec = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = allScans(plan).filter(
+      _.relation.partitionSchema.fieldNames.contains("l_smonth"))
+    assert(scans.nonEmpty, plan.toString)
+    scans.head
+  }
+
+  test("q47: static partition pruning — one directory of 83 read") {
+    val df = graft.queries.CoreQueries.q47_partition_pruned(spark, dir)
+    val scan = partitionedScan(df)
+    val filters = scan.partitionFilters.mkString(";")
+    assert(filters.contains("l_smonth"), s"no partition filter: $filters")
+    assert(scan.metrics("numPartitions").value === 1,
+      s"expected 1 month directory, read ${scan.metrics("numPartitions").value}")
+    // and the month key never reaches the row-level pushed filters —
+    // it is directory metadata, not data
+    assert(!scan.dataFilters.mkString(";").contains("l_smonth"),
+      scan.dataFilters.mkString(";"))
+  }
+
+  test("q48: dynamic partition pruning — dim filter prunes fact directories at runtime") {
+    val df = graft.queries.CoreQueries.q48_dpp_join(spark, dir)
+    val scan = partitionedScan(df)
+    assert(scan.partitionFilters.mkString(";").contains("dynamicpruning"),
+      s"no DPP subquery on the fact scan:\n${scan.partitionFilters.mkString(";")}")
+    val read = scan.metrics("numPartitions").value
+    // the dim range is the corpus's final year: ≤ 8 order months
+    // (2001-01..2001-08) of lineitem's 83 ship months survive
+    assert(read >= 1 && read <= 8,
+      s"DPP should read <= 8 of 83 month directories, read $read")
+  }
+
+  test("partitioned layout is row-identical to the source table") {
+    val li = Tables(spark, dir, "lineitem")
+    val part = PartitionedWrite.partitionedTable(
+      spark, li, "target/part_spec_" + Bucketing.pathDigest(dir),
+      "l_smonth", year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+    assert(part.schema.fieldNames.contains("l_smonth"))
+    // partition-value inference must give the int key back as a
+    // numeric type, never DATE/STRING (the q47/q48 predicates and the
+    // oracle's yyyymm arithmetic depend on it)
+    assert(part.schema("l_smonth").dataType.typeName.matches("integer|long"),
+      part.schema("l_smonth").dataType.toString)
+    assert(part.count() === li.count())
+    assert(part.drop("l_smonth").exceptAll(li).isEmpty &&
+      li.exceptAll(part.drop("l_smonth")).isEmpty)
+  }
+}
