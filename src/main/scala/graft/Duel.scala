@@ -111,7 +111,7 @@ object Duel {
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     val which = if (args.nonEmpty) args.toSet
       else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym",
-        "bucketededges", "dpp")
+        "bucketededges", "dpp", "bloom")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -233,7 +233,44 @@ object Duel {
       spark.conf.set(dppKey, "false")
       val (offs, offr) = measureScan(spark, q, n)
       spark.conf.set(dppKey, "true")
-      println(f"""{"duel":"dpp_star_join","sf":"$sfDir","dpp_sec":$ons%.3f,"no_dpp_sec":$offs%.3f,"dpp_scan_rows":$onr,"no_dpp_scan_rows":$offr,"prune_ratio":${offr.toDouble / math.max(onr, 1L)}%.2f}""")
+      // both plans scan the dim exactly once (the DPP subquery reuses
+      // the join's broadcast), so subtracting its rows isolates the
+      // FACT-side prune — the number that scales with the corpus
+      val (_, dimRows) = measureScan(spark, dim, 1)
+      val (onFact, offFact) = (onr - dimRows, offr - dimRows)
+      println(f"""{"duel":"dpp_star_join","sf":"$sfDir","dpp_sec":$ons%.3f,"no_dpp_sec":$offs%.3f,"dpp_fact_rows":$onFact,"no_dpp_fact_rows":$offFact,"prune_ratio":${offFact.toDouble / math.max(onFact, 1L)}%.2f}""")
+    }
+
+    if (which("bloom")) {
+      // Runtime ROW filtering duel: q49's join shape in the regime
+      // the bloom exists for — the dim too big to broadcast as a hash
+      // relation (broadcast disabled), so the join is sort-merge and
+      // BOTH sides shuffle. custom = fact pre-filtered by the 1-row
+      // bloom of the dim's keys before its exchange; stock = the
+      // plain join. Same output (superset-pass, BloomJoinSpec); the
+      // scale number is custom_shuffle_rows — ~selectivity·|fact| +
+      // FPP instead of |fact|.
+      import graft.functions.GraftExpressions
+      val dimPred = col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 450000.0
+      def dim = Tables(spark, sfDir, "orders").filter(dimPred)
+      def li = Tables(spark, sfDir, "lineitem")
+      def agg(df: DataFrame) = df
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def bloom = dim
+          .agg(GraftExpressions.bloomAgg(col("o_orderkey"), 1000000L)
+            .as("bf")).scalar()
+        val custom = measure(spark, agg(
+          li.filter(GraftExpressions.bloomMightContain(bloom, col("l_orderkey")))
+            .join(dim, col("l_orderkey") === col("o_orderkey"))), n)
+        val stock = measure(spark, agg(
+          li.join(dim, col("l_orderkey") === col("o_orderkey"))), n)
+        report("bloom_prefilter_vs_plain_join", custom, stock, sfDir)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
 
     if (which("hist")) {

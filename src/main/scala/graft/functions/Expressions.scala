@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.xxhash64
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -61,6 +62,35 @@ object GraftExpressions {
   def zorder(a: Column, b: Column): Column =
     ColumnBridge.column(ZOrder(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Bloom filter of a key column as a 1-row aggregate — the BUILD
+    * half of explicit runtime row filtering (the row-level sibling of
+    * q48's partition-level DPP). Keys go through `xxhash64` first,
+    * the same convention Spark's own `InjectRuntimeFilter` uses, so
+    * [[bloomMightContain]] probes with the identical hash. The result
+    * is one binary blob sized by `expectedItems` (~1.2 bytes/item at
+    * the default FPP) — broadcastable at any corpus size because it
+    * scales with the DIM's keys, not the fact table.
+    */
+  def bloomAgg(key: Column, expectedItems: Long): Column =
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(key)), expectedItems)
+        .toAggregateExpression())
+
+  /** Probe of [[bloomAgg]]'s filter: true if `key` MIGHT be in the
+    * built set (false positives at the filter's FPP, never false
+    * negatives) — so a `filter(bloomMightContain(...))` before a
+    * shuffle join is a superset-pass: the join's output is unchanged,
+    * but the fact side's exchange carries ~selectivity·rows instead
+    * of everything.
+    */
+  def bloomMightContain(bloom: Column, key: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bloom),
+        ColumnBridge.expression(xxhash64(key))))
 }
 
 case class PolyHash(child: Expression)

@@ -787,6 +787,45 @@ object CoreQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Bloom capacity for [[q49_bloom_join]] — Spark's own runtime-
+    * filter default (1M expected items ≈ 1.2 MB filter): a dial, not
+    * a limit (size it to the dim's key count at the target SF; the
+    * filter broadcasts, so it scales with the DIM, never the fact).
+    */
+  private val Q49BloomItems = 1000000L
+
+  // Explicit bloom-filter join pruning — runtime ROW-level filtering,
+  // the shuffle-side sibling of q48's partition-level DPP: when the
+  // selective side of a fact⋈fact join is too big to broadcast as a
+  // hash relation but its KEY SET still fits a sketch, build a bloom
+  // filter over the dim keys (1-row aggregate, xxhash64 convention —
+  // same as Catalyst's InjectRuntimeFilter, which automates exactly
+  // this rewrite behind size thresholds) and pre-filter the fact side
+  // BEFORE its exchange. might_contain is a superset-pass (false
+  // positives at the FPP, never false negatives), so the inner join's
+  // output is provably unchanged — the plain two-table SQL is the
+  // oracle — while the fact side's shuffle carries ~selectivity·rows
+  // instead of the corpus (Duel `bloom` measures the traffic in the
+  // forced shuffle-join regime; BloomJoinSpec pins superset-pass
+  // equality and the plan shape). At 100 TB this is the difference
+  // between shuffling the fact table and shuffling the answer.
+  def q49_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    val dimPred = col("o_orderpriority") === "1-URGENT" &&
+      col("o_totalprice") > 450000.0
+    val bloom = t(s, dir, "orders").filter(dimPred)
+      .agg(graft.functions.GraftExpressions
+        .bloomAgg(col("o_orderkey"), Q49BloomItems).as("bf"))
+      .scalar()
+    t(s, dir, "lineitem")
+      .filter(graft.functions.GraftExpressions
+        .bloomMightContain(bloom, col("l_orderkey")))
+      .join(t(s, dir, "orders").filter(dimPred),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(dsum("l_extendedprice").as("rev"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -851,6 +890,13 @@ object CoreQueries {
         |        AND o_orderdate >= TIMESTAMP '2001-01-01') d
         |  ON year(l_shipdate) * 100 + month(l_shipdate) = d.m
         |GROUP BY 1""".stripMargin,
+    "q49_bloom_join" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+        |GROUP BY l_returnflag""".stripMargin,
     "q41_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
@@ -1194,5 +1240,6 @@ object CoreQueries {
     "q46_ranks" -> (q46_ranks _),
     "q47_partition_pruned" -> (q47_partition_pruned _),
     "q48_dpp_join" -> (q48_dpp_join _),
+    "q49_bloom_join" -> (q49_bloom_join _),
   )
 }
