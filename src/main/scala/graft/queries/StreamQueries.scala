@@ -284,19 +284,34 @@ object StreamQueries {
     * operator here: at 100 TB/day the event stream never shuffles —
     * the dim broadcasts to wherever the source partitions already
     * are. Output = the plain inner join, so the oracle is the
-    * two-table SQL; the sliced feed exercises the per-batch re-plan
-    * (any slicing yields the same set — the join is row-local).
+    * two-table SQL.
+    *
+    * The feed is TWO event-time halves, not the stateful entries'
+    * auto slices: slicing exists to advance the watermark and evict
+    * state between batches, and a stateless join has no state to
+    * evict — an n-slice backfill would just pay the per-batch fixed
+    * cost (source scan + fresh broadcast + sink commit) n times for
+    * an identical answer (measured: 75s at sf10 on 40 auto slices vs
+    * ~8s/batch). Two batches keep the one thing multi-batch execution
+    * DOES exercise here — the static side re-resolving per batch, the
+    * dim-update pickup on a live stream — at the minimum cost.
     */
   def st07_enrich_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.functions.broadcast
     val dim = Tables(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val slices = timeSlices(s, eventCols(s, dir))
-    runFileStream(s, slices.head,
+    val evs = eventCols(s, dir)
+    val (mn, mx) = evs
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .as[(Long, Long)].head()
+    val t0 = (mn + mx) / 2
+    val ms = unix_millis(col("ts"))
+    runFileStream(s, evs.where(ms < t0),
       df => df.join(broadcast(dim), col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("c_mktsegment"), col("value")),
-      laterBatches = slices.tail)
+      laterBatches = Seq(evs.where(ms >= t0)))
   }
 
   /** Watermark delay (ms) of [[st04_late_data]] — interpolated into
