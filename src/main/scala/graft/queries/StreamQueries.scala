@@ -152,12 +152,21 @@ object StreamQueries {
   /** Rows per micro-batch slice under `graft.stream.slices=auto` —
     * sized so one slice's stateful working set (slice + watermark
     * horizon rows) stays a small multiple of a shuffle partition's
-    * budget. Same self-sizing posture as d16's `shards=auto`.
+    * budget, and scaled by available parallelism: per-batch FIXED
+    * cost (source scan, state-store commit wave, sink commit) is
+    * paid per slice regardless of width, so more cores want wider
+    * slices. 31250·cores with a 250k floor fits both measured
+    * optima of the st03 U-curve (sf1 local[4]: 250k/batch best of
+    * {1M,500k,250k,125k,62k}; sf10 local[32]: 1M/batch best of
+    * {2M,1M,500k,250k} — BENCH_NOTES r13). Same self-sizing posture
+    * as d16's `shards=auto`.
     */
   private def rowsPerBatch(s: SparkSession): Long =
     s.conf.getOption("graft.stream.rowsPerBatch")
       .orElse(sys.env.get("GRAFT_STREAM_ROWS_PER_BATCH"))
-      .map(_.toLong).getOrElse(250000L)
+      .map(_.toLong)
+      .getOrElse(math.max(250000L,
+        31250L * s.sparkContext.defaultParallelism))
 
   private def sliceCount(s: SparkSession, totalRows: Long): Int = {
     val conf = s.conf.getOption("graft.stream.slices")
