@@ -552,7 +552,7 @@ object CoreQueries {
     SharedRelations(s, dir, "zordered_lineitem") {
       graft.sources.ZOrderedWrite.write(s, t(s, dir, "lineitem"),
         "l_partkey", "l_suppkey", 32,
-        "target/zorder_li_" + java.lang.Integer.toHexString(dir.hashCode))
+        "target/zorder_li_" + graft.sources.Bucketing.pathDigest(dir))
     }
 
   // Z-order (Morton) clustering statistics — the layout primitive
@@ -826,6 +826,48 @@ object CoreQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** HLL precision (lgConfigK) for [[q50_hll_rollup]] — 2¹⁴ registers
+    * ≈ 0.8% typical relative error, an order of magnitude inside the
+    * witness tolerance below.
+    */
+  private val Q50LgK = 14
+
+  /** Witness tolerance for [[q50_hll_rollup]]: |est − exact| ≤ 5%·exact.
+    * Deterministic (Datasketches HLL is a pure function of the value
+    * set and lgK), so the boolean is a stable oracle column — the g07
+    * tolerance-witness pattern for values only Spark can compute.
+    */
+  private val Q50Tol = 0.05
+
+  // Mergeable distinct-count sketches — the INCREMENTAL form of
+  // distinct counting that q30's one-shot approx_count_distinct can't
+  // give you: per-month HLL sketches are built once (in production,
+  // materialized alongside each partition as it lands), then ANY
+  // rollup — here per-priority — is a cheap union-merge of the
+  // month sketches plus one estimate call, never a re-scan of the
+  // corpus. This is the q43-histogram posture applied to distinct
+  // counts: the associative sketch IS the scale design (a 100 TB
+  // corpus's daily distinct-user dashboards merge 365 sketches, not
+  // 365 days of raw ids). The estimate is audited in-query against
+  // the exact count (one countDistinct pass — the audit tier, priced
+  // like s08/g18's), and the oracle checks the exact counts plus the
+  // tolerance WITNESS (|est − exact| ≤ 5%·exact as a boolean column,
+  // TRUE in the oracle) — the g07 pattern for engine-specific values.
+  def q50_hll_rollup(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 +
+        month(col("o_orderdate"))).as("m"), col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(Q50LgK)).as("sk"))
+    val merged = monthly.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = t(s, dir, "orders").groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    merged.join(exact, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          col("n_exact") * Q50Tol).as("ok"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -897,6 +939,11 @@ object CoreQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
         |GROUP BY l_returnflag""".stripMargin,
+    "q50_hll_rollup" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  TRUE AS ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q41_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
@@ -1241,5 +1288,6 @@ object CoreQueries {
     "q47_partition_pruned" -> (q47_partition_pruned _),
     "q48_dpp_join" -> (q48_dpp_join _),
     "q49_bloom_join" -> (q49_bloom_join _),
+    "q50_hll_rollup" -> (q50_hll_rollup _),
   )
 }

@@ -282,6 +282,28 @@ object StreamQueries {
       laterBatches = slices.tail)
   }
 
+  /** LEFT-OUTER stream–stream interval join
+    * ([[StreamOps.errorFollowJoinOuter]]) — the sixth streaming state
+    * machinery under the gate, and the only one whose OUTPUT is
+    * eviction-driven: matched pairs emit eagerly (st03's path), but an
+    * unmatched error emits its null-padded row only when the joint
+    * watermark proves no future follow can land in its window. The
+    * emitted set is closed-form on the sliced in-order feed: st03's
+    * pair relation UNION the never-matched errors whose window end is
+    * STRICTLY below the final joint watermark (min of both sides'
+    * maxima − delay = max error ts − 10 min; the strict `<` boundary
+    * — an error held at wm == window end — is pinned by
+    * StreamingSpec). Unmatched errors the final watermark hasn't
+    * cleared stay in state and are correctly ABSENT: on a live stream
+    * they'd emit when the watermark catches up; a backfill's answer
+    * honestly reflects the watermark it reached.
+    */
+  def st08_error_follow_outer(s: SparkSession, dir: String): DataFrame = {
+    val slices = timeSlices(s, eventCols(s, dir))
+    runFileStream(s, slices.head, StreamOps.errorFollowJoinOuter(_),
+      laterBatches = slices.tail)
+  }
+
   /** Stream–STATIC broadcast-enrichment join — the one streaming join
     * shape the matrix still lacked after st03's stream–stream store,
     * and deliberately the STATELESS one: each micro-batch plans a
@@ -385,6 +407,27 @@ object StreamQueries {
     "st07_enrich_stream" ->
       """SELECT event_id, user_id, event_type, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+    // pairs ∪ evicted-unmatched: the strict `<` is the pinned
+    // eviction boundary (StreamingSpec); wm = max ERROR ts − delay
+    // (the joint watermark is the min of both sides' maxima, and the
+    // error side's is the smaller).
+    "st08_error_follow_outer" ->
+      """WITH w AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS wm
+        |  FROM events WHERE event_type = 'error')
+        |SELECT r.event_id AS err_id, r.user_id AS err_user, r.ts AS err_ts,
+        |  e.event_id AS follow_id, e.ts, e.value
+        |FROM events r JOIN events e
+        |  ON r.event_type = 'error' AND e.user_id = r.user_id
+        |  AND e.ts > r.ts AND e.ts <= r.ts + INTERVAL '10 minutes'
+        |UNION ALL
+        |SELECT r.event_id, r.user_id, r.ts,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+        |FROM events r
+        |WHERE r.event_type = 'error'
+        |  AND r.ts + INTERVAL '10 minutes' < (SELECT wm FROM w)
+        |  AND NOT EXISTS (SELECT 1 FROM events e
+        |    WHERE e.user_id = r.user_id AND e.ts > r.ts
+        |      AND e.ts <= r.ts + INTERVAL '10 minutes')""".stripMargin,
     "st04_late_data" ->
       s"""SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
         |FROM events e, (SELECT (epoch_ms(MIN(ts)) + epoch_ms(MAX(ts))) // 2 AS t0,
@@ -455,5 +498,6 @@ object StreamQueries {
     "st05_windowed_stream" -> (st05_windowed_stream _),
     "st06_sessions_stream" -> (st06_sessions_stream _),
     "st07_enrich_stream" -> (st07_enrich_stream _),
+    "st08_error_follow_outer" -> (st08_error_follow_outer _),
   )
 }

@@ -27,13 +27,28 @@ object Bucketing {
     * session catalog. Bucket count is the scale dial: pick it so one
     * bucket ≈ one task's worth of data at the target SF (e.g. 4096
     * buckets for a 10-TB fact table → ~2.5 GB/bucket).
+    *
+    * Clears any leftover managed-table LOCATION first: the layout
+    * table names are deliberately stable across sessions (sanitized
+    * path + digest), so a PREVIOUS JVM's warehouse directory survives
+    * into a fresh catalog that has no entry for it — and `saveAsTable`
+    * then fails with LOCATION_ALREADY_EXISTS instead of overwriting
+    * (caught by the second same-workspace bucketed-verify run, r13).
+    * `DROP TABLE` handles the same-session case; the filesystem
+    * delete handles the cross-session residue the catalog can't see.
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    key: String, moreKeys: String*): Unit =
+                    key: String, moreKeys: String*): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key, moreKeys: _*)
       .sortBy(key, moreKeys: _*)
       .saveAsTable(table)
+  }
 
   /** [[writeBucketed]] + read-back, with a `repartition(buckets, key)`
     * first so each write task holds exactly one bucket (Spark's

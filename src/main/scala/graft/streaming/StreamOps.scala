@@ -110,6 +110,37 @@ object StreamOps {
         col("user_id"), col("ts"), col("value"))
   }
 
+  /** LEFT-OUTER form of [[errorFollowJoin]] — the expiry-driven
+    * emission semantics the inner join never exercises: matched pairs
+    * emit eagerly like the inner join, but an error with NO follow in
+    * its window emits a null-padded row only when the advancing
+    * watermark EVICTS it — i.e. when the joint watermark proves no
+    * future right row can land in `(err_ts, err_ts + bound]`. At
+    * stream end, unmatched errors whose window the final watermark
+    * has not yet closed remain in state and are never emitted — the
+    * closed-form the st08 oracle encodes (boundary pinned by
+    * StreamingSpec: an error whose window end EQUALS the final
+    * watermark is still held, strict `<` emits). Keeps the error's
+    * own columns in the output so unmatched rows stay identifiable.
+    */
+  def errorFollowJoinOuter(events: DataFrame, wm: String = "10 minutes",
+                           bound: String = "10 minutes"): DataFrame = {
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", wm)
+    val evs = events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", wm)
+    errs.join(evs,
+      col("err_user") === col("user_id") &&
+        col("ts") > col("err_ts") &&
+        col("ts") <= col("err_ts") + expr(s"INTERVAL $bound"),
+      "left_outer")
+      .select(col("err_id"), col("err_user"), col("err_ts"),
+        col("event_id").as("follow_id"), col("ts"), col("value"))
+  }
+
   /** Arbitrary keyed state via `mapGroupsWithState`: running per-user
     * event count + value total, emitted (update mode) once per user per
     * micro-batch. The template for custom state machines the built-in

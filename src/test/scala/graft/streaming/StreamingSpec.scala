@@ -336,6 +336,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s6 === batch6)
   }
 
+  test("left-outer interval join: null rows emit on eviction, boundary held") {
+    // Pins the emission rule st08's closed-form oracle depends on: an
+    // unmatched error emits its null-padded row only when the joint
+    // watermark proves no future follow can land in its window — and
+    // an error whose window end EQUALS the watermark is still held
+    // (strict <), matching the late-row rule's complement (st04 pins
+    // keep iff ts > wm: a follow at exactly wm is dropped late, but
+    // Spark's join-state math keys eviction on wm, so the boundary
+    // row waits for wm to strictly pass its window end).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runAppend("ssjo", StreamOps.errorFollowJoinOuter(in.toDF()))
+    def emitted(): Set[Long] =
+      spark.table("ssjo").filter(col("follow_id").isNull)
+        .select("err_id").as[Long].collect().toSet
+    try {
+      in.addData(ev(1, 0, typ = "error"))          // e1 10:00, never matched
+      q.processAllAvailable()
+      assert(emitted() === Set.empty[Long])        // no eviction yet
+      in.addData(ev(4, 20, user = 3L, typ = "error")) // wm → 10:10 = e1's window end
+      q.processAllAvailable()
+      val atBoundary = emitted()
+      in.addData(ev(5, 31, user = 3L, typ = "error")) // wm → 10:21 > both windows
+      q.processAllAvailable()
+      val past = emitted()
+      assert(atBoundary === Set.empty[Long],
+        s"error at wm == window end must still be held, got $atBoundary")
+      assert(past === Set(1L), s"expected e1 evicted+emitted, got $past")
+      // matched errors never produce a null row
+      assert(spark.table("ssjo").filter(col("follow_id").isNotNull).count() === 0)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
