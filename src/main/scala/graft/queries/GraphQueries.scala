@@ -1113,7 +1113,87 @@ object GraphQueries {
             .cast("double")).as("rel_err"))
   }
 
+  /** Fixed-point scale for [[g19_hits]]. The per-round bound is
+    * score ≤ |nodes|·Q (each in/out neighbor contributes ≤ Q after
+    * normalization), so the normalizing `s·Q` stays under 2⁶³ while
+    * |nodes|·Q² < 2⁶³ — at Q=10⁶ that is ~9.2M nodes; larger graphs
+    * lower Q, same recurrence.
+    */
+  private val HitsQ = 1000000L
+
+  /** HITS rounds — fixed, like the reference's fixed PageRank passes. */
+  private val HitsRounds = 2
+
+  // HITS hubs & authorities — the second classic link-analysis
+  // recurrence after PageRank, and a structurally DIFFERENT loop: two
+  // mutually recursive vectors (auth ← in-neighbors' hubs, hub ←
+  // out-neighbors' fresh auths) with a max-normalization between the
+  // two half-steps, where PageRank circulates one vector against a
+  // static degree. Per round: two edge⋈vector joins — the auth half
+  // keys on the edge side's src (it rides the src-bucketed layout
+  // exchange-free when `graft.bucketedEdges` is on, like
+  // pagerankRound), the hub half keys on dst (at scale a second,
+  // dst-bucketed copy of the edge table removes that exchange too —
+  // the standard both-orientations layout for mutual recurrences,
+  // same one-time-write discipline as graph_sym) — two
+  // map-side-combined per-node sums, and two 1-row broadcast MAX
+  // scalars (the O9 pattern). All-integer fixed-point: sums of int64,
+  // normalization a single floorDiv — bit-identical to the oracle's
+  // unrolled CTE ladder at any parallelism, because integer addition
+  // commutes where double addition would not.
+  def g19_hits(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftExpressions.floorDiv
+    val e = loopEdges(s, dir)
+    val nodes = derivedNodes(s, dir)
+    def normalize(scores: DataFrame, out: String): DataFrame = {
+      val full = nodes.join(scores, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+      val mx = broadcast(full.agg(max(col("s")).as("mx")))
+      full.crossJoin(mx)
+        .select(col("node"), floorDiv(col("s") * HitsQ, col("mx")).as(out))
+    }
+    var h = nodes.select(col("node"), lit(HitsQ).as("h"))
+    var a = nodes.select(col("node"), lit(HitsQ).as("a"))
+    for (_ <- 1 to HitsRounds) {
+      a = normalize(
+        e.join(h.withColumnRenamed("node", "hn"), col("src") === col("hn"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")), "a")
+      h = normalize(
+        e.join(a.withColumnRenamed("node", "an"), col("dst") === col("an"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")), "h")
+    }
+    a.join(h, Seq("node"))
+      .select(col("node"), col("a").as("auth_fp"), col("h").as("hub_fp"))
+  }
+
+  /** One unrolled HITS round as oracle CTEs: auth from `prevH`, then
+    * hub from the fresh auth — each a join-sum over `edges` plus a
+    * scalar-subquery MAX normalization, mirroring [[g19_hits]]'s
+    * floorDiv exactly (`//` floors; inputs are non-negative).
+    */
+  private def hitsRoundCte(i: Int, prevH: String): String =
+    s"""a${i}r AS (SELECT e.dst AS node, SUM($prevH.h) AS s
+       |  FROM edges e JOIN $prevH ON $prevH.node = e.src GROUP BY e.dst),
+       |a${i}f AS (SELECT n.node, COALESCE(a${i}r.s, 0) AS s
+       |  FROM nodes n LEFT JOIN a${i}r ON a${i}r.node = n.node),
+       |a$i AS (SELECT node,
+       |  CAST(s * $HitsQ // (SELECT MAX(s) FROM a${i}f) AS BIGINT) AS a
+       |  FROM a${i}f),
+       |h${i}r AS (SELECT e.src AS node, SUM(a$i.a) AS s
+       |  FROM edges e JOIN a$i ON a$i.node = e.dst GROUP BY e.src),
+       |h${i}f AS (SELECT n.node, COALESCE(h${i}r.s, 0) AS s
+       |  FROM nodes n LEFT JOIN h${i}r ON h${i}r.node = n.node),
+       |h$i AS (SELECT node,
+       |  CAST(s * $HitsQ // (SELECT MAX(s) FROM h${i}f) AS BIGINT) AS h
+       |  FROM h${i}f)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "g19_hits" -> (EdgesCte + s""",
+      |h0 AS (SELECT node, CAST($HitsQ AS BIGINT) AS h FROM nodes),
+      |${hitsRoundCte(1, "h0")},
+      |${hitsRoundCte(2, "h1")}
+      |SELECT a2.node, a2.a AS auth_fp, h2.h AS hub_fp
+      |FROM a2 JOIN h2 ON a2.node = h2.node""".stripMargin),
     "g18_clustering_audit" -> (EdgesCte + s""",
       |und AS MATERIALIZED (
       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -1240,6 +1320,7 @@ object GraphQueries {
     "g16_clustering" -> (g16_clustering _),
     "g17_clustering_approx" -> (g17_clustering_approx _),
     "g18_clustering_audit" -> (g18_clustering_audit _),
+    "g19_hits" -> (g19_hits _),
     // Flagship GraphX path — iterative double-precision PageRank,
     // surfaced as the per-node tolerance witness against the
     // fixed-point unroll so the driver hash-checks it like every
