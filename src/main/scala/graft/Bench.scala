@@ -62,7 +62,7 @@ object Bench {
     val uncountedQueries = Set("d12_span_removal", "d06_neardup_clusters",
       "d13_incremental_neardup", "p04_contamination", "g04_pagerank",
       "g04_pagerank_i10", "g07_pagerank_graphx", "g08_pagerank_compat",
-      "g09_pagerank_personalized", "q41_funnel", "g16_clustering",
+      "g09_pagerank_personalized", "g19_hits", "q41_funnel", "g16_clustering",
       "p09_source_report", "q07_window_running", "q33_lead_lag",
       "q37_range_frame", "q46_ranks", "d15_quality_keeper", "p03_pack",
       "p08_curriculum", "q28_asof_join", "q43_histogram_quantile",

@@ -1141,6 +1141,17 @@ object GraphQueries {
   // normalization a single floorDiv — bit-identical to the oracle's
   // unrolled CTE ladder at any parallelism, because integer addition
   // commutes where double addition would not.
+  //
+  // Plan-shape note: each round embeds the previous round's whole
+  // subtree (twice per normalize — the vector and its MAX), so the
+  // LOGICAL plan grows exponentially in rounds; at the fixed 2 rounds
+  // that is ~111 join nodes, executed cheaply because ReuseExchange
+  // dedups the identical subtrees at runtime. A variable-round HITS
+  // must break lineage per round exactly like the converged g-loops
+  // do (lazy checkpoint as a lineage root — pagerankLoop's
+  // discipline). Count()-side, Catalyst eliminates the row-preserving
+  // left-outer joins, so the bench carries g19 in its honest
+  // `uncounted` map.
   def g19_hits(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftExpressions.floorDiv
     val e = loopEdges(s, dir)
