@@ -111,7 +111,7 @@ object Duel {
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     val which = if (args.nonEmpty) args.toSet
       else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym",
-        "bucketededges", "dpp", "bloom")
+        "bucketededges", "hits", "dpp", "bloom")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -229,12 +229,25 @@ object Duel {
         .groupBy(col("l_smonth"))
         .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
       val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+      val prevDpp = spark.conf.get(dppKey)
       val (ons, onr) = measureScan(spark, q, n)
       spark.conf.set(dppKey, "false")
       val (offs, offr) = measureScan(spark, q, n)
-      spark.conf.set(dppKey, "true")
-      // both plans scan the dim exactly once (the DPP subquery reuses
-      // the join's broadcast), so subtracting its rows isolates the
+      spark.conf.set(dppKey, prevDpp)
+      // both plans scan the dim exactly once — ON-side the DPP
+      // subquery REUSES the join's broadcast; assert that reuse on the
+      // executed plan, because if it ever failed the dim would be
+      // scanned twice and the subtraction below would overstate the
+      // fact-side prune with no signal
+      q.collect()
+      val onPlan = q.queryExecution.executedPlan.toString
+      assert(onPlan.contains("dynamicpruningexpression"),
+        "dpp duel: no dynamic pruning subquery on the fact scan")
+      assert(!onPlan.contains("SubqueryExec") ||
+        onPlan.contains("ReusedSubquery") || onPlan.contains("ReusedExchange"),
+        "dpp duel: DPP subquery did not reuse the join's broadcast — " +
+          "dim scanned twice, fact-row subtraction would be skewed")
+      // subtracting the (single) dim scan's rows isolates the
       // FACT-side prune — the number that scales with the corpus
       val (_, dimRows) = measureScan(spark, dim, 1)
       val (onFact, offFact) = (onr - dimRows, offr - dimRows)
@@ -404,6 +417,58 @@ object Duel {
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
         spark.sql("DROP TABLE IF EXISTS duel_edges_bucketed")
+      }
+    }
+
+    if (which("hits")) {
+      // The MUTUAL-recurrence layout duel: 2-round HITS with the edge
+      // table read from the both-orientations bucketed layout (src
+      // copy feeding the auth half, dst copy the hub half —
+      // GraphQueries.loopEdges/loopEdgesDst) vs the in-memory
+      // relation. Broadcast is disabled minus the 1-row MAX hints —
+      // the regime where the score vectors outgrow the driver — so
+      // the plain side must shuffle the edge table TWICE per round
+      // (once per orientation; no single-key layout can serve both),
+      // while the bucketed side reads co-located bucket files and
+      // only node-sized score relations move (GraphBucketedSpec pins
+      // the plan; this records the traffic). Both sides drive the
+      // REAL loop (GraphQueries.hitsLoop), round-memo cleared per
+      // sample so every sample runs both full rounds.
+      import graft.queries.GraphQueries
+      // settle the shared persisted relations OUTSIDE the timed region
+      GraphQueries.derivedEdges(spark, sfDir).queryExecution.toRdd.count()
+      GraphQueries.derivedNodes(spark, sfDir).queryExecution.toRdd.count()
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def measureHits(bucketed: Boolean): (Double, Long, Long) = {
+        if (bucketed) {
+          spark.conf.set("graft.bucketedEdges", cpus)
+          // one-time layout write (both orientations), outside samples
+          GraphQueries.clearCheckpointMemos(spark)
+          GraphQueries.hitsLoop(spark, sfDir, 1).queryExecution.toRdd.count()
+        } else spark.conf.unset("graft.bucketedEdges")
+        val samples = (1 to n).map { _ =>
+          GraphQueries.clearCheckpointMemos(spark)
+          val tally = new ShuffleTally
+          spark.sparkContext.addSparkListener(tally)
+          val t0 = System.nanoTime()
+          GraphQueries.hitsLoop(spark, sfDir, 2).queryExecution.toRdd.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.graft.ColumnBridge
+            .drainListenerBus(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(tally)
+          (sec, tally.records.get(), tally.bytes.get())
+        }
+        samples.sortBy(_._1).apply(samples.length / 2)
+      }
+      try {
+        val custom = measureHits(bucketed = true)
+        val stock = measureHits(bucketed = false)
+        report("hits_bucketed_vs_inmemory_edges", custom, stock, sfDir)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.unset("graft.bucketedEdges")
+        GraphQueries.clearCheckpointMemos(spark)
       }
     }
 

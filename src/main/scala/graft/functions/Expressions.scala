@@ -71,13 +71,32 @@ object GraftExpressions {
     * is one binary blob sized by `expectedItems` (~1.2 bytes/item at
     * the default FPP) — broadcastable at any corpus size because it
     * scales with the DIM's keys, not the fact table.
+    *
+    * `expectedItems` is NOT an unbounded dial: Spark's
+    * `BloomFilterAggregate` rejects values above
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4M) at analysis time, so sizing to a dim bigger than that
+    * requires raising the conf IN TANDEM — this builder therefore
+    * validates eagerly and says so, instead of surfacing Spark's
+    * analysis error at first use. Past ~100M keys prefer a semi-join
+    * pre-aggregation anyway: the filter's ~1.2 bytes/item broadcast
+    * stops being the cheap side.
     */
-  def bloomAgg(key: Column, expectedItems: Long): Column =
+  def bloomAgg(key: Column, expectedItems: Long): Column = {
+    val session = org.apache.spark.sql.SparkSession.active
+    val maxItems = session.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    require(expectedItems > 0 && expectedItems <= maxItems,
+      s"bloomAgg expectedItems=$expectedItems must be in (0, $maxItems]; " +
+        "raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems together " +
+        "with the estimate when the dim's key count exceeds it")
     ColumnBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(
           ColumnBridge.expression(xxhash64(key)), expectedItems)
         .toAggregateExpression())
+  }
 
   /** Probe of [[bloomAgg]]'s filter: true if `key` MIGHT be in the
     * built set (false positives at the filter's FPP, never false

@@ -469,21 +469,57 @@ object TextQueries {
   // is exactly what partial aggregation canNOT express — a filter on
   // the PARTIAL value is illegal in general, and Catalyst rightly
   // refuses to push HAVING below the exchange.
-  def t12_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+  def t12_heavy_hitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w")), HhMin)
+
+  /** Broadcast ceiling for the candidate prefilter — candidates above
+    * this fall back to the plain groupBy (a vocabulary-sized broadcast
+    * is exactly the failure the two-pass design exists to avoid, and
+    * it would fail on the DRIVER, the worst place).
+    */
+  private val HhCandCap = 2000000L
+
+  /** [[t12_heavy_hitters]]' kernel, factored on (tokens, threshold) so
+    * the spec can drive the degenerate regimes. Two guards keep the
+    * scale posture honest rather than silently inverted (r13 advice):
+    *
+    *  - `lo ≤ 1` (i.e. P ≥ T): the pigeonhole floor ⌈T/P⌉ admits EVERY
+    *    distinct token — the prefilter is vacuous and "candidates"
+    *    means the whole vocabulary. Fall back to the plain
+    *    one-exchange groupBy, which ships strictly less than the
+    *    vacuous plan (no second scan, no vocabulary broadcast).
+    *  - candidate count > [[HhCandCap]]: the pigeonhole bound
+    *    P·⌈corpus/T⌉ is workload-sized only while T ≫ P; if the data
+    *    still produces a broadcast-hostile candidate set, take the
+    *    plain groupBy instead of OOMing the driver.
+    *
+    * Both fallbacks return the identical exact answer — the final
+    * `HAVING n ≥ T` is what makes the output partitioning- and
+    * path-independent; the prefilter only ever changes what the
+    * exchange carries.
+    */
+  private[graft] def heavyHitters(toks: DataFrame, hhMin: Long): DataFrame = {
+    val s = toks.sparkSession
     import s.implicits._
-    val toks = t(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
+    def plain = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= hhMin)
     val rdd = toks.as[String].rdd
     val p = rdd.getNumPartitions
-    val lo = (HhMin + p - 1) / p
-    val cand = s.createDataset(rdd.mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1L))
-      m.iterator.collect { case (w, c) if c >= lo => w }
-    }).toDF("w").distinct()
-    toks.join(broadcast(cand), Seq("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= HhMin)
+    val lo = (hhMin + p - 1) / p
+    if (lo <= 1L) plain
+    else {
+      val cand = s.createDataset(rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1L))
+        m.iterator.collect { case (w, c) if c >= lo => w }
+      }).toDF("w").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (cand.count() > HhCandCap) { cand.unpersist(false); plain }
+      else toks.join(broadcast(cand), Seq("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= hhMin)
+    }
   }
 
   /** t03's score + argmax CTEs, un-prefixed (`sc`, then the final

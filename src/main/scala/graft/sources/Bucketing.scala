@@ -40,6 +40,20 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     key: String, moreKeys: String*): Unit = {
     val s = df.sparkSession
+    // The residue cleanup below deletes <warehouse.dir>/<name> — the
+    // DEFAULT location of an unqualified managed table, which is the
+    // only shape this writer creates. A qualified name (db.tbl) or a
+    // pre-existing table with a custom LOCATION would make that path
+    // someone else's directory: refuse up front rather than delete it
+    // (r13 advice). When a live catalog entry exists, also require it
+    // to be MANAGED — an external table at this name means the path
+    // belongs to data this writer doesn't own.
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed expects an unqualified [A-Za-z0-9_]+ table name " +
+        s"(default-location managed layout tables only), got: '$table'")
+    if (s.catalog.tableExists(table))
+      require(s.catalog.getTable(table).tableType == "MANAGED",
+        s"refusing to overwrite non-managed table '$table'")
     s.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)

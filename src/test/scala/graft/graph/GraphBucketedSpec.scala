@@ -160,6 +160,66 @@ class GraphBucketedSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS b_graph_edges")
   }
 
+  test("a HITS round over the both-orientations layout plans zero exchanges on BOTH edge sides") {
+    import graft.queries.GraphQueries
+    val edges = GraphQueries.derivedEdges(spark, dir)
+    // the both-orientations layout for mutual recurrences: one copy
+    // bucketed by src (feeds the auth half's join), one by dst (the
+    // hub half's) — g19's production posture, GraphQueries.loopEdgesDst
+    val bSrc = Bucketing.bucketedTable(spark, edges, "b_hits_src", 8, "src")
+    val bDst = Bucketing.bucketedTable(spark, edges, "b_hits_dst", 8, "dst")
+    try withNoBroadcast {
+      // one REAL round via the factored half-step builders hitsLoop
+      // emits: auth sums keyed on the edge side's src, hub sums on its
+      // dst, each normalized against the node domain.
+      val nodes = GraphQueries.derivedNodes(spark, dir)
+      val h0 = nodes.select(col("node"), lit(1000000L).as("h"))
+      val a = GraphQueries.hitsNormalize(
+        GraphQueries.hitsFull(nodes, GraphQueries.hitsAuthSums(bSrc, h0)), "a")
+      val round = GraphQueries.hitsNormalize(
+        GraphQueries.hitsFull(nodes, GraphQueries.hitsHubSums(bDst, a)), "h")
+      round.collect() // settle AQE so executedPlan is final
+      val flat = flatten(round.queryExecution.executedPlan)
+      def hasScan(p: SparkPlan, table: String): Boolean = flatten(p).exists {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == table)
+        case _ => false
+      }
+      // for each orientation: the innermost join whose edge child IS
+      // that bucketed scan must read it with zero exchanges between —
+      // the per-round edge-table movement the layout eliminates. (The
+      // 1-row MAX scalars stay broadcast by hint; exchanges above the
+      // joins are the node-sized traffic the layout leaves behind.)
+      for (table <- Seq("b_hits_src", "b_hits_dst")) {
+        val joins = flat.filter(p => p.nodeName.contains("Join") &&
+          !p.nodeName.contains("BroadcastNestedLoop"))
+        def edgeChild(j: SparkPlan) = j.children.filter(c =>
+          hasScan(c, table) && !flatten(c).exists(_.nodeName.contains("Join")))
+        val halfJoins = joins.filter(j => edgeChild(j).nonEmpty)
+        assert(halfJoins.nonEmpty, s"no join directly over $table")
+        halfJoins.foreach { j =>
+          assert(!j.nodeName.contains("Broadcast"),
+            s"half join over $table broadcast despite threshold -1:\n$j")
+          edgeChild(j).foreach { side =>
+            val shuffled = flatten(side).collect { case e: Exchange => e }
+            assert(shuffled.isEmpty,
+              s"$table edge side shuffled:\n${round.queryExecution.executedPlan}")
+          }
+        }
+        val scans = flat.collect {
+          case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == table) => f
+        }
+        assert(scans.nonEmpty, s"no $table scan in the plan")
+        assert(scans.forall(_.bucketedScan),
+          s"$table scan did not use the bucket layout")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_hits_src")
+      spark.sql("DROP TABLE IF EXISTS b_hits_dst")
+    }
+  }
+
   test("the pagerank family through the bucketed-edges opt-in equals the plain path") {
     import graft.queries.GraphQueries
     def sorted(df: DataFrame) = df.collect().map(_.toSeq).sortBy(_.toString)
@@ -176,7 +236,9 @@ class GraphBucketedSpec extends AnyFunSuite {
         "g04" -> sorted(GraphQueries.g04_pagerank(spark, dir)),
         "g04_i10" -> sorted(GraphQueries.g04_pagerank(spark, dir, iters = 10)),
         "g08" -> sorted(GraphQueries.g08_pagerank_compat(spark, dir)),
-        "g09" -> sorted(GraphQueries.g09_pagerank_personalized(spark, dir)))
+        "g09" -> sorted(GraphQueries.g09_pagerank_personalized(spark, dir)),
+        // g19 exercises BOTH orientations of the layout (loopEdgesDst)
+        "g19" -> sorted(GraphQueries.g19_hits(spark, dir)))
     }
     val plain = family()
     spark.conf.set("graft.bucketedEdges", "8")

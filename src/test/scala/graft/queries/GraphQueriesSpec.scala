@@ -161,4 +161,37 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(d.columns.toSeq === Seq("node", "dist"))
     assert(d.count() === 0L)
   }
+
+  test("hitsLoop is lineage-rooted: deeper rounds keep the same tail plan") {
+    // The r13 form embedded each round's whole subtree twice per
+    // normalize — ~24× plan growth per round (111 logical joins at 2
+    // rounds), so raising HitsRounds was a latent planning-time trap.
+    // hitsLoop checkpoints the hub vector at every round boundary but
+    // the last, so the LAZY tail is always exactly one round over a
+    // checkpoint scan: rounds=4 must plan the same tail as rounds=2
+    // and complete. Memos cleared before each call — a resume would
+    // trivially equalize the tails and prove nothing.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // materialize INSIDE each memo epoch: clearing the memos releases
+    // the round-checkpoint RDDs a still-lazy result references (the
+    // retire-don't-release discipline only protects across eviction,
+    // not across the explicit test hook)
+    def tail(rounds: Int) = {
+      GraphQueries.clearCheckpointMemos(spark)
+      val df = GraphQueries.hitsLoop(spark, dir, rounds)
+      (df.collect(),
+        df.queryExecution.optimizedPlan.collect { case j: Join => j }.size)
+    }
+    val (two, joins2) = tail(2)
+    val (four, joins4) = tail(4)
+    assert(joins4 === joins2,
+      s"tail plan grew with rounds: $joins2 joins at 2, $joins4 at 4")
+    // the deeper run completes, stays node-complete, and its
+    // normalization invariant holds (some node sits at exactly Q on
+    // each axis — integer max-normalization fixes the scale per round)
+    assert(four.length === two.length)
+    assert(four.map(_.getLong(1)).max === 1000000L)
+    assert(four.map(_.getLong(2)).max === 1000000L)
+    GraphQueries.clearCheckpointMemos(spark)
+  }
 }

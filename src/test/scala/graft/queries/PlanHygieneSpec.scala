@@ -189,11 +189,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       // count() cascades ALL seven joins away — the bench number
       // would be a deg-side scan-count without the uncounted twin
       "g16_clustering" -> ((7, 0)),
-      // the 2-round mutual recurrence embeds each round's subtree
-      // repeatedly (ReuseExchange dedups at runtime); count() strips
-      // the row-preserving node-domain left joins and the final
-      // auth⋈hub join, leaving the scalar-MAX assembly joins
-      "g19_hits" -> ((111, 3)),
+      // g19_hits is deliberately ABSENT since r14: the lineage-rooted
+      // hitsLoop leaves only the final round lazy (its tail joins all
+      // survive count() — the eager round checkpoints execute at build
+      // time and are timed either way), so its count() number measures
+      // the full plan and it carries no uncounted twin; later samples
+      // resume from the round memo, so the bench reports it in `cold`.
       // the per-shard packing cumsum window is the whole query
       "p03_pack" -> ((1, 0)),
       "p04_contamination" -> ((1, 0)),

@@ -193,4 +193,32 @@ class TextQueriesSpec extends AnyFunSuite {
     // rarity varies on the fixture — the signal is discriminative
     assert(got.values.map(_._4).toSet.size > 1)
   }
+
+  test("heavy hitters: the degenerate pigeonhole regimes fall back to the plain plan, same answer") {
+    import org.apache.spark.sql.functions._
+    // The pigeonhole floor ⌈T/P⌉ degenerates to 1 when P ≥ T — then
+    // "candidates" would mean the whole vocabulary broadcast to the
+    // driver (r13 advice). The kernel must detect it, take the plain
+    // one-exchange groupBy, and return the identical exact answer.
+    val toks = graft.Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    def plain(hhMin: Long) = rows(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= hhMin))
+    // degenerate: threshold below the partition count → lo = 1
+    val manyParts = toks.repartition(16)
+    assert(rows(TextQueries.heavyHitters(manyParts, 8L)) === rows(
+      manyParts.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 8L)))
+    val deg = TextQueries.heavyHitters(manyParts, 8L)
+    assert(!deg.queryExecution.optimizedPlan.toString.contains("SerializeFromObject"),
+      "degenerate regime still planned the mapPartitions candidate kernel")
+    // healthy regime: the two-pass prefilter path, same exact answer
+    val hh = TextQueries.heavyHitters(toks, 100L)
+    assert(rows(hh) === plain(100L))
+    assert(hh.queryExecution.optimizedPlan.toString.contains("SerializeFromObject"),
+      "healthy regime lost the candidate prefilter")
+  }
 }
