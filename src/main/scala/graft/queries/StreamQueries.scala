@@ -118,35 +118,54 @@ object StreamQueries {
       .select("event_id", "ts", "user_id", "event_type", "value")
 
   /** Streaming retention cells ([[StreamOps.retentionCells]]) run for
-    * real: one micro-batch of the whole `events` table through the
-    * RetentionProcessor's per-user (cohort, seen-mask) ValueState.
+    * real: the `events` table as ≥2 event-time-ordered micro-batches
+    * through the RetentionProcessor's per-user (cohort, seen-mask)
+    * ValueState, so the state provably MERGES across batches under the
+    * oracle gate (before r14 this pair ran single-batch — the one
+    * machinery whose cross-batch path the gate never executed).
     * Output is one (user_id, cohort_day, age_days) cell per first
-    * sighting inside the horizon — on a single in-order batch exactly
-    * the distinct (user, day) relation the oracle derives, so the
-    * state machine itself is hash-checked. Single-batch feed keeps
-    * the output deterministic (the processor folds each batch in
-    * data-defined ts order).
+    * sighting inside the horizon. Slice-invariance: the processor
+    * folds each batch in ts order and the slices arrive in event-time
+    * order, so the global fold order is the same in-ts-order fold for
+    * ANY slice count — the cohort is seeded by the globally earliest
+    * event, each (user, day) emits exactly once at its first sighting,
+    * and the emitted set equals the distinct (user, day) relation the
+    * oracle derives (same argument as st03's, specialized to
+    * first-sighting state). StreamingSpec pins the cross-batch
+    * state-row counts and n=1 ≡ n=3 batching-invariance.
     */
   def st01_retention_stream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    runFileStream(s, eventCols(s, dir),
-      df => StreamOps.retentionCells(df.as[Ev]).toDF())
+    val slices = timeSlices(s, eventCols(s, dir), minSlices = 2)
+    runFileStream(s, slices.head,
+      df => StreamOps.retentionCells(df.as[Ev]).toDF(),
+      laterBatches = slices.tail)
   }
 
   /** Streaming LSH bucket-novelty gate ([[StreamOps.bucketNovelty]])
     * run for real: the `documents` minhash band relation
-    * ([[DedupQueries.minhashBands]]) as one micro-batch through the
-    * BucketNoveltyProcessor's per-(band, bkey) owner ValueState. A
-    * row's `first_seen` = its doc claimed the bucket = it is the
-    * bucket's minimum doc_id (deterministic within a batch by
-    * construction), which is exactly the oracle's grouped-min
-    * derivation over the same band CTE as d03/d13.
+    * ([[DedupQueries.minhashBands]]) as ≥2 doc_id-ordered micro-batches
+    * through the BucketNoveltyProcessor's per-(band, bkey) owner
+    * ValueState — the bucket-index state provably persists and gates
+    * ACROSS batches under the oracle gate (single-batch before r14).
+    * There is no event time here; the stream order of a document feed
+    * is its ingest order, which the synthetic corpus encodes as
+    * doc_id, so the slices partition the doc_id range in order.
+    * Slice-invariance: an unclaimed bucket is claimed by the batch's
+    * minimum doc_id, and every later batch only carries LARGER
+    * doc_ids, so the claimant is the bucket's GLOBAL minimum for any
+    * slice count and `first_seen` = (doc_id = that minimum) — exactly
+    * the oracle's grouped-min derivation over the same band CTE as
+    * d03/d13. StreamingSpec pins cross-batch claim counts.
     */
   def st02_novelty_stream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    runFileStream(s,
-      DedupQueries.minhashBands(s, dir).select("doc_id", "band", "bkey"),
-      df => StreamOps.bucketNovelty(df.as[BandRow]).toDF())
+    val bands = DedupQueries.minhashBands(s, dir)
+      .select("doc_id", "band", "bkey")
+    val slices = orderedSlices(s, bands, col("doc_id"), minSlices = 2)
+    runFileStream(s, slices.head,
+      df => StreamOps.bucketNovelty(df.as[BandRow]).toDF(),
+      laterBatches = slices.tail)
   }
 
   /** Rows per micro-batch slice under `graft.stream.slices=auto` —
@@ -177,33 +196,45 @@ object StreamQueries {
     else conf.toInt
   }
 
-  /** Equal-width event-time slices of `evs`, in time order — the
-    * backfill feed shape every stateful st entry uses (st03/st05/
-    * st06): slices partition event time and arrive in order, so every
-    * row in slice k has ts above the watermark left by slices < k
-    * (prior max − delay < slice k's lower bound), hence no row is
-    * ever late, and the watermark advances BETWEEN batches, evicting/
-    * emitting state as it would on a live stream. Costs one 1-row
-    * driver scalar (time range + count) for the data-defined widths.
+  /** Equal-width slices of `df` along a monotone LONG ordering column,
+    * arriving in order — the generic backfill feed shape: slice k's
+    * rows all order strictly after slices < k, so any state machinery
+    * whose semantics are prefix-monotone in that order (watermarks in
+    * event time, first-sighting in arrival order) sees exactly the
+    * prefix it would see on a live stream. `minSlices` lets a caller
+    * force multi-batch even when the auto sizing would take one batch
+    * (the transformWithState entries st01/st02 exist to exercise
+    * cross-batch state merge). Costs one 1-row driver scalar (range +
+    * count) for the data-defined widths.
     */
-  private def timeSlices(s: SparkSession, evs: DataFrame): Seq[DataFrame] = {
+  private def orderedSlices(s: SparkSession, df: DataFrame,
+      ord: org.apache.spark.sql.Column, minSlices: Int = 1): Seq[DataFrame] = {
     import s.implicits._
-    val (mn, mx, total) = evs
-      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))),
-        count(lit(1)))
+    val (mn, mx, total) = df.agg(min(ord), max(ord), count(lit(1)))
       .as[(Long, Long, Long)].head()
-    val n = sliceCount(s, total)
-    if (n <= 1) Seq(evs)
+    val n = math.max(minSlices, sliceCount(s, total))
+    if (n <= 1) Seq(df)
     else {
       val w = math.max(1L, (mx - mn) / n + 1)
-      val ms = unix_millis(col("ts"))
       (0 until n).map { i =>
         val lo = mn + i * w
-        if (i == n - 1) evs.where(ms >= lo)
-        else evs.where(ms >= lo && ms < lo + w)
+        if (i == n - 1) df.where(ord >= lo)
+        else df.where(ord >= lo && ord < lo + w)
       }
     }
   }
+
+  /** Event-time instance of [[orderedSlices]] — the backfill feed
+    * every watermark-driven st entry uses (st03/st04/st05/st06/st08):
+    * slices partition event time and arrive in order, so every row in
+    * slice k has ts above the watermark left by slices < k (prior
+    * max − delay < slice k's lower bound), hence no row is ever late,
+    * and the watermark advances BETWEEN batches, evicting/emitting
+    * state as it would on a live stream.
+    */
+  private def timeSlices(s: SparkSession, evs: DataFrame,
+                         minSlices: Int = 1): Seq[DataFrame] =
+    orderedSlices(s, evs, unix_millis(col("ts")), minSlices)
 
   /** The stream–stream INTERVAL self-join ([[StreamOps.errorFollowJoin]])
     * run for real — the third streaming state machinery in the
@@ -351,9 +382,9 @@ object StreamQueries {
   private[queries] val St04DelayMs = 600000L
 
   /** Watermark semantics under the oracle gate — the behaviors that
-    * distinguish streaming from batch, which the single-batch st01/
-    * st02 (and st03's in-order slices — never late by construction)
-    * never exercise: TWO micro-batches of
+    * distinguish streaming from batch, which the in-order sliced
+    * feeds (st01–st03 — never late by construction) never exercise:
+    * TWO micro-batches of
     * [[StreamOps.dedupWithinWatermark]], where batch 0 is the LATER
     * half of the event-time range (everything at/after the range
     * midpoint) and batch 1 the earlier half. Batch 0 advances the

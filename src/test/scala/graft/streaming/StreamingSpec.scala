@@ -494,6 +494,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("st01/st02's ordered slices are batching-invariant on the registered feeds") {
+    // The registered transformWithState pair feeds ≥2 ordered slices
+    // (event-time for st01, doc_id for st02) so per-key ValueState
+    // merges across micro-batches under the oracle gate; the claim
+    // that the slice count can never change the answer — first-
+    // sighting/first-claim semantics are prefix-monotone in the feed
+    // order — is pinned here on real data by running the SAME
+    // registered query at the minimum (2) and a finer (5) slicing.
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String, slices: String): Set[Seq[Any]] = {
+      spark.conf.set("graft.stream.slices", slices)
+      try graft.queries.StreamQueries.queries(name)(spark, dir)
+        .collect().map(_.toSeq).toSet
+      finally spark.conf.unset("graft.stream.slices")
+    }
+    for (name <- Seq("st01_retention_stream", "st02_novelty_stream")) {
+      val coarse = rows(name, "2")
+      val fine = rows(name, "5")
+      assert(coarse.nonEmpty, s"$name returned no rows")
+      assert(fine === coarse, s"$name changed under finer slicing")
+    }
+  }
+
   test("bucketNovelty: buckets are claimed once, lowest doc wins in-batch, state persists across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -514,9 +537,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       // batch 2: doc 9 collides with the claimed (0,"a"), doc 9 also
       // opens a new bucket (1,"d"); doc 5 re-sends (1,"b") — claimed
+      // the bucket index is O(distinct buckets), not O(rows): 4 rows
+      // over 3 buckets leave exactly 3 ValueState entries
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 3L)
       in.addData(BandRow(9L, 0, "a"), BandRow(9L, 1, "d"),
         BandRow(5L, 1, "b"))
       q.processAllAvailable()
+      // batch-1 state PERSISTED (not rebuilt): batch 2 adds only the
+      // one new bucket (1,"d") — 3 + 1 rows
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 4L)
       val got = spark.table("bn").as[BandHit].collect()
         .map(h => (h.doc_id, h.band, h.bkey, h.first_seen)).sorted.toSeq
       assert(got === Seq(
@@ -606,7 +635,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .format("memory").queryName("ret").outputMode(OutputMode.Append).start()
     try {
       in.addData(b1: _*); q.processAllAvailable()
+      // retention state is O(users) — one (cohort, mask) ValueState
+      // per user ever seen: batch 1 touches users {1, 2}
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 2L)
       in.addData(b2: _*); q.processAllAvailable()
+      // batch-1 state persisted; batch 2 adds users {3, 4} only
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 4L)
       val cells = spark.table("ret").as[RetCell].collect()
         .map(c => (c.user_id, c.cohort_day, c.age_days)).toSeq
       // exactly one cell per first-seen (user, day)
