@@ -215,9 +215,13 @@ object Duel {
       // carries to 100 TB, where the scan IS the query's cost.
       val pdir = "target/duel_part_li_" +
         graft.sources.Bucketing.pathDigest(sfDir)
+      // within-partition split sized to the machine (the q48 layout's
+      // rule: a ≤8-directory pruned scan must still engage every core)
       graft.sources.PartitionedWrite.partitionedTable(spark,
         Tables(spark, sfDir, "lineitem"), pdir, "l_smonth",
-        year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        year(col("l_shipdate")) * 100 + month(col("l_shipdate")),
+        splitFiles =
+          math.max(1, spark.sparkContext.defaultParallelism / 8))
       def dim = broadcast(Tables(spark, sfDir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))

@@ -725,14 +725,28 @@ object CoreQueries {
     * memory would shadow the directory layout and hide the partition
     * pruning q47/q48 exist to exercise. Same rows as the source table
     * plus the derived key, so every lineitem oracle still holds.
+    *
+    * The within-partition split is sized to the machine:
+    * `defaultParallelism / 8` files per month directory (floor 1), 8
+    * being the workload's surviving-directory count (q48's dim range
+    * keeps ≤ 8 of 83 months), so a pruned scan still engages every
+    * core. At local[4] that is 1 — the single-file shape that was
+    * already right — and at local[32] it is 4, which un-inverts the
+    * r13 sf10 wall (8 tasks on 32 cores read 10× fewer rows SLOWER
+    * than the unpruned scan; with the split the same prune is ~32
+    * wide). Override with `graft.partitioned.splitFiles`.
     */
   private def partitionedLineitem(s: SparkSession, dir: String): DataFrame =
     partLiMemo.getOrElseUpdate((s, dir), {
+      val split = s.conf.getOption("graft.partitioned.splitFiles")
+        .orElse(sys.env.get("GRAFT_PARTITIONED_SPLIT_FILES")).map(_.toInt)
+        .getOrElse(math.max(1, s.sparkContext.defaultParallelism / 8))
       graft.sources.PartitionedWrite.partitionedTable(
         s, t(s, dir, "lineitem"),
         "target/part_li_" + graft.sources.Bucketing.pathDigest(dir),
         "l_smonth",
-        year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        year(col("l_shipdate")) * 100 + month(col("l_shipdate")),
+        splitFiles = split)
     })
 
   /** The month [[q47_partition_pruned]] probes — mid-corpus, present

@@ -37,19 +37,37 @@ object PartitionedWrite {
     * formats that infer stably: int keys like `yyyymm` do; `yyyy-MM`
     * strings infer back as DATE).
     *
-    * The `repartition(partCol)` routes each partition value to exactly
-    * one task → one file per directory. That is the right shape while
-    * a partition's rows fit one task (true for month-grain lineitem
-    * through sf10); at larger scale add a within-partition split key
-    * (e.g. `repartition(n, partCol, pmod(hash(...)))`) or
-    * `maxRecordsPerFile` — the layout and pruning are unchanged, only
-    * file counts grow.
+    * `splitFiles` is the WITHIN-partition split key: at 1 (default)
+    * `repartition(partCol)` routes each partition value to exactly one
+    * task → one file per directory — the right shape while a
+    * partition's rows fit one task AND the reader's parallelism. Past
+    * either bound it is the wrong one: a pruned scan gets one task per
+    * file(-split), so a ≤8-directory workload on 32 cores runs 8 wide
+    * and LOSES wall despite reading 10× fewer rows (measured: q48 at
+    * sf10/local[32], 3.09s pruned vs 1.67s unpruned — the r13 sf10
+    * sweep's one layout inversion). At `splitFiles = n` the routing
+    * key becomes (partCol, hash(row) mod n), so each directory is
+    * written — and later scanned — by up to n tasks; pruning semantics
+    * and row content are unchanged (the salt never reaches the data,
+    * only the shuffle), file counts grow n-fold.
     */
   def partitionedTable(s: SparkSession, df: DataFrame, path: String,
-                       partCol: String, partExpr: Column): DataFrame = {
-    df.withColumn(partCol, partExpr)
-      .repartition(col(partCol))
-      .write.mode(SaveMode.Overwrite)
+                       partCol: String, partExpr: Column,
+                       splitFiles: Int = 1): DataFrame = {
+    val keyed = df.withColumn(partCol, partExpr)
+    val routed =
+      if (splitFiles <= 1) keyed.repartition(col(partCol))
+      else keyed.repartition(
+        // explicit partition count: a count-free repartition is AQE-
+        // coalescible, and at small inputs AQE folds the whole write
+        // into one task — silently undoing the split this option
+        // exists to create (the salt would route, then coalesce).
+        s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col(partCol),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(df.columns.map(col): _*),
+          org.apache.spark.sql.functions.lit(splitFiles)))
+    routed.write.mode(SaveMode.Overwrite)
       .partitionBy(partCol)
       .parquet(path)
     s.read.parquet(path)

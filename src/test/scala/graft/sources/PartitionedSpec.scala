@@ -92,4 +92,34 @@ class PartitionedSpec extends AnyFunSuite {
     assert(part.drop("l_smonth").exceptAll(li).isEmpty &&
       li.exceptAll(part.drop("l_smonth")).isEmpty)
   }
+
+  test("within-partition split: n files per directory, same rows, pruning intact") {
+    // The at-scale file-count dial (q48's sf10 wall inversion: a ≤8-
+    // directory pruned scan ran 8 tasks on 32 cores): splitFiles = 4
+    // must write UP TO 4 files into each month directory, leave the
+    // row set identical, and leave static pruning untouched — the salt
+    // is routing-only, it never reaches the data or the directory keys.
+    val li = Tables(spark, dir, "lineitem")
+    val root = "target/part_split_spec_" + Bucketing.pathDigest(dir)
+    val part = PartitionedWrite.partitionedTable(
+      spark, li, root, "l_smonth",
+      year(col("l_shipdate")) * 100 + month(col("l_shipdate")),
+      splitFiles = 4)
+    assert(part.count() === li.count())
+    assert(part.drop("l_smonth").exceptAll(li).isEmpty &&
+      li.exceptAll(part.drop("l_smonth")).isEmpty)
+    // at least one directory actually split (>1 file), none exceed 4
+    val fs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("l_smonth="))
+    val fileCounts = fs.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fs.nonEmpty)
+    assert(fileCounts.max > 1, "no directory split despite splitFiles = 4")
+    assert(fileCounts.max <= 4, s"directory exceeded the split: ${fileCounts.max}")
+    // static pruning still reads exactly one directory
+    val probe = part.filter(col("l_smonth") === 199803)
+      .agg(count(lit(1)).as("n"))
+    val scan = partitionedScan(probe)
+    assert(scan.metrics("numPartitions").value === 1,
+      s"split layout broke pruning: ${scan.metrics("numPartitions").value}")
+  }
 }
