@@ -853,26 +853,49 @@ object CoreQueries {
     */
   private val Q50Tol = 0.05
 
+  private val q50SkMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The MATERIALIZED month-sketch table q50 rolls up from — built
+    * once per (session, sfDir) and written as parquet next to the
+    * other layout artifacts (the production posture: each month's
+    * sketch lands alongside its partition as it is ingested —
+    * [[graft.sources.PartitionedWrite]]'s tree is where it would live
+    * — and no rollup ever re-scans raw ids). One row per
+    * (month, priority) with the HLL blob as a binary column: sketches
+    * serialize losslessly, and the read-back relation is
+    * ~|months|·|priorities| rows at ANY corpus size.
+    */
+  private def monthlySketches(s: SparkSession, dir: String): DataFrame =
+    q50SkMemo.getOrElseUpdate((s, dir), {
+      val path = "target/q50_sketches_" +
+        graft.sources.Bucketing.pathDigest(dir)
+      t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).as("m"), col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(Q50LgK)).as("sk"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+
   // Mergeable distinct-count sketches — the INCREMENTAL form of
   // distinct counting that q30's one-shot approx_count_distinct can't
-  // give you: per-month HLL sketches are built once (in production,
-  // materialized alongside each partition as it lands), then ANY
-  // rollup — here per-priority — is a cheap union-merge of the
-  // month sketches plus one estimate call, never a re-scan of the
-  // corpus. This is the q43-histogram posture applied to distinct
-  // counts: the associative sketch IS the scale design (a 100 TB
-  // corpus's daily distinct-user dashboards merge 365 sketches, not
-  // 365 days of raw ids). The estimate is audited in-query against
-  // the exact count (one countDistinct pass — the audit tier, priced
-  // like s08/g18's), and the oracle checks the exact counts plus the
-  // tolerance WITNESS (|est − exact| ≤ 5%·exact as a boolean column,
-  // TRUE in the oracle) — the g07 pattern for engine-specific values.
+  // give you: per-month HLL sketches are MATERIALIZED once
+  // ([[monthlySketches]] — the layout-backed table a production
+  // pipeline maintains beside each partition), then ANY rollup — here
+  // per-priority — is a cheap union-merge of the persisted sketch
+  // rows plus one estimate call, never a re-scan of the corpus. This
+  // is the q43-histogram posture applied to distinct counts: the
+  // associative sketch IS the scale design (a 100 TB corpus's daily
+  // distinct-user dashboards merge 365 sketch rows, not 365 days of
+  // raw ids). The estimate is audited in-query against the exact
+  // count (one countDistinct pass — the audit tier, priced like
+  // s08/g18's; at scale it runs per-landing, not per-rollup), and the
+  // oracle checks the exact counts plus the tolerance WITNESS
+  // (|est − exact| ≤ 5%·exact as a boolean column, TRUE in the
+  // oracle) — the g07 pattern for engine-specific values.
   def q50_hll_rollup(s: SparkSession, dir: String): DataFrame = {
-    val monthly = t(s, dir, "orders")
-      .groupBy((year(col("o_orderdate")) * 100 +
-        month(col("o_orderdate"))).as("m"), col("o_orderpriority"))
-      .agg(hll_sketch_agg(col("o_custkey"), lit(Q50LgK)).as("sk"))
-    val merged = monthly.groupBy(col("o_orderpriority"))
+    val merged = monthlySketches(s, dir).groupBy(col("o_orderpriority"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
     val exact = t(s, dir, "orders").groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_custkey")).as("n_exact"))
