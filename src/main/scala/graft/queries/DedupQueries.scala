@@ -494,6 +494,23 @@ object DedupQueries {
     // and autoShards picks the smallest S whose per-shard volume fits
     // the budget. The stat job doubles as the cache-settling pass the
     // shard loop would otherwise pay.
+    // Shard-job concurrency (conf `graft.d16.concurrency` / env
+    // `GRAFT_D16_CONCURRENCY`, default 1 = the proven sequential
+    // envelope): C > 1 runs C shard jobs at a time from separate
+    // threads (Spark schedules concurrent jobs from one session), and
+    // the auto-S budget is divided by C so the TOTAL in-flight pair
+    // volume — C shards at once — still fits the same envelope (auto-S
+    // answers with more, smaller shards). The lever pays where a
+    // single shard job leaves cores idle: measured C=2 at local[32]
+    // wins 1.38× at sf1 (50.0→36.3s — tail stages overlap) but is a
+    // WASH at sf10 (3116s vs 3025s sequential: each half-size shard
+    // still saturates the machine, so overlap only buys what the
+    // doubled shard count's fixed cost takes back — BENCH_NOTES r14).
+    // Sequential stays the default: it is never worse, and its
+    // peak-resource story is the simplest to reason about.
+    val conc = math.max(1, spark.conf.getOption("graft.d16.concurrency")
+      .orElse(sys.env.get("GRAFT_D16_CONCURRENCY")).map(_.toInt)
+      .getOrElse(1))
     val shards =
       if (shardsSpec == AutoShards) {
         val vol = pinned.groupBy(col("lang"), col("sh"))
@@ -501,7 +518,7 @@ object DedupQueries {
           .where(col("n") <= maxPosting)
           .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("v"))
           .head().getLong(0)
-        autoShards(vol, d16PairBudget(spark))
+        autoShards(vol, d16PairBudget(spark) / conc)
       } else shardsSpec
     // Sequential shard jobs, each SPILLED TO STORAGE before the next
     // starts — the production per-shard recipe verbatim: shard outputs
@@ -546,7 +563,7 @@ object DedupQueries {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconf).delete(hp, true)
     }
-    (0 until shards).foreach { i =>
+    def runShard(i: Int): Unit = {
       val pc = pairCounts(
         pinned.filter(pmod(col("sh"), lit(shards.toLong)) === i), maxPosting)
         .select(col("doc_a"), col("doc_b"), col("c"))
@@ -555,6 +572,16 @@ object DedupQueries {
           .write.mode("overwrite").partitionBy("slice")
           .parquet(s"$base/shard_$i")
       else pc.write.mode("overwrite").parquet(s"$base/shard_$i")
+    }
+    (0 until shards).grouped(conc).foreach { batch =>
+      if (conc == 1) batch.foreach(runShard)
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(
+          Future.sequence(batch.toList.map(i => Future(runShard(i)))),
+          scala.concurrent.duration.Duration.Inf)
+      }
       // the GC nudge costs ~1s a pop — only worth it in the
       // many-shard envelope regime where stale shuffles actually
       // threaten the disk budget (ContextCleaner frees a shard job's
