@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.streaming.{BandRow, Ev, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_millis}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, struct, unix_millis}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Batch twins of the streaming operators
@@ -335,6 +335,41 @@ object StreamQueries {
       laterBatches = slices.tail)
   }
 
+  /** The streaming FUNNEL state machine under the oracle gate — the
+    * last [[StreamOps]] processor that was spec-pinned only
+    * ([[StreamOps.funnelStages]]): per-user strictly-increasing
+    * (view, click, purchase) chains advanced by a greedy in-ts-order
+    * fold, run as ≥2 event-time-ordered micro-batches through the
+    * FunnelProcessor's ValueState (Append form —
+    * [[StreamOps.funnelSnapshots]]), then reduced to the final
+    * per-user snapshot (max stage; a stage's timestamps are fixed at
+    * its transition, so the snapshot per (user, stage) is unique).
+    * In-order slices make the global fold the in-ts-order fold, and
+    * the greedy first-qualifying chain over in-order events IS the
+    * batch min-chain (a click can only beat the recorded t_click by
+    * arriving before it — the StreamingSpec argument, now
+    * slice-extended), so the result equals the relational derivation:
+    * t_view = min view ts, t_click = min click ts > t_view,
+    * t_purchase = min purchase ts > t_click, stage = chain length —
+    * all integer epoch-ms (0 sentinels), hence hash-exact. Same-ts
+    * boundary: transitions require STRICTLY increasing ts, so a
+    * click sharing its ts with the view it would chain from never
+    * fires in either engine, making equal-ts fold order irrelevant.
+    */
+  def st09_funnel_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slices = timeSlices(s, eventCols(s, dir), minSlices = 2)
+    val snaps = runFileStream(s, slices.head,
+      df => StreamOps.funnelSnapshots(df.as[Ev]).toDF(),
+      laterBatches = slices.tail)
+    snaps.groupBy(col("user_id"))
+      .agg(max(struct(col("stage"), col("t_view"), col("t_click"),
+        col("t_purchase"))).as("m"))
+      .select(col("user_id"), col("m.stage").as("stage"),
+        col("m.t_view").as("t_view"), col("m.t_click").as("t_click"),
+        col("m.t_purchase").as("t_purchase"))
+  }
+
   /** Stream–STATIC broadcast-enrichment join — the one streaming join
     * shape the matrix still lacked after st03's stream–stream store,
     * and deliberately the STATELESS one: each micro-batch plans a
@@ -438,6 +473,26 @@ object StreamQueries {
     "st07_enrich_stream" ->
       """SELECT event_id, user_id, event_type, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+    // the greedy in-order funnel chain ≡ the relational min-chain
+    // (strictly-increasing transitions); epoch-ms with 0 sentinels
+    "st09_funnel_stream" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+        |  JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+        |       WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  COALESCE(epoch_ms(tv), 0) AS t_view,
+        |  COALESCE(epoch_ms(tc), 0) AS t_click,
+        |  COALESCE(epoch_ms(tp), 0) AS t_purchase
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
     // pairs ∪ evicted-unmatched: the strict `<` is the pinned
     // eviction boundary (StreamingSpec); wm = max ERROR ts − delay
     // (the joint watermark is the min of both sides' maxima, and the
@@ -530,5 +585,6 @@ object StreamQueries {
     "st06_sessions_stream" -> (st06_sessions_stream _),
     "st07_enrich_stream" -> (st07_enrich_stream _),
     "st08_error_follow_outer" -> (st08_error_follow_outer _),
+    "st09_funnel_stream" -> (st09_funnel_stream _),
   )
 }

@@ -223,6 +223,24 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** [[funnelStages]] in APPEND form — the file-sink/backfill shape
+    * (Spark's file sink only supports Append): the same
+    * [[FunnelProcessor]] state machine, but each micro-batch APPENDS
+    * one snapshot row per touched user instead of updating in place.
+    * The final chain per user is the max-stage snapshot: stages only
+    * advance, and a stage's timestamps are fixed at its transition,
+    * so per (user, stage) the snapshot row is unique and the
+    * reduction (`max(struct(stage, …))`) is exact — the pattern for
+    * putting any Update-mode state machine behind an append-only
+    * sink.
+    */
+  def funnelSnapshots(events: Dataset[Ev]): Dataset[FunnelStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming retention — the incremental form of q44's cohort
     * matrix ([[graft.queries.CoreQueries.q44_retention]]): per-user
     * state is (cohort day, seen-age bitmask), and each first sighting
