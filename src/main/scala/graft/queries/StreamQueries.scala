@@ -370,6 +370,31 @@ object StreamQueries {
         col("m.t_purchase").as("t_purchase"))
   }
 
+  /** Per-user running stats via `flatMapGroupsWithState` under the
+    * oracle gate — the last stateful API that was spec-pinned only
+    * (mapGroupsWithState/[[StreamOps.userRunningStats]] is its
+    * Update-mode twin, which the file sink cannot host):
+    * [[StreamOps.userRunningCents]] folds each user's events into
+    * (count, int64 cents) GroupState across ≥2 event-time-ordered
+    * micro-batches, appending one snapshot per touched batch; the
+    * final row per user is the max-count snapshot (counts strictly
+    * increase per touching batch — the st09 reduce, exact). Additive
+    * integer state ⇒ slice-invariant for any slicing and
+    * deterministic at any parallelism, so the output hash-checks
+    * against the plain grouped SQL.
+    */
+  def st10_running_stats_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slices = timeSlices(s, eventCols(s, dir), minSlices = 2)
+    val snaps = runFileStream(s, slices.head,
+      df => StreamOps.userRunningCents(df.as[Ev]).toDF(),
+      laterBatches = slices.tail)
+    snaps.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.total_cents").as("total_cents"))
+  }
+
   /** Stream–STATIC broadcast-enrichment join — the one streaming join
     * shape the matrix still lacked after st03's stream–stream store,
     * and deliberately the STATELESS one: each micro-batch plans a
@@ -473,6 +498,13 @@ object StreamQueries {
     "st07_enrich_stream" ->
       """SELECT event_id, user_id, event_type, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+    // per-row FLOOR(value·100) is the same IEEE multiply+floor in
+    // both engines; int64 sums are associative — exact at any order
+    "st10_running_stats_stream" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin,
     // the greedy in-order funnel chain ≡ the relational min-chain
     // (strictly-increasing transitions); epoch-ms with 0 sentinels
     "st09_funnel_stream" ->
@@ -586,5 +618,6 @@ object StreamQueries {
     "st07_enrich_stream" -> (st07_enrich_stream _),
     "st08_error_follow_outer" -> (st08_error_follow_outer _),
     "st09_funnel_stream" -> (st09_funnel_stream _),
+    "st10_running_stats_stream" -> (st10_running_stats_stream _),
   )
 }

@@ -20,6 +20,11 @@ final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 /** Running per-user aggregate emitted by [[StreamOps.userRunningStats]]. */
 final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
+/** Integer-exact running aggregate emitted by
+  * [[StreamOps.userRunningCents]] (value folded as int64 cents).
+  */
+final case class UserCents(user_id: Long, n_events: Long, total_cents: Long)
+
 /** Structured-Streaming operators. Every transform here takes a plain
   * DataFrame/Dataset and works identically on a batch frame (where the
   * watermark node is a no-op and `session_window` is an ordinary
@@ -158,6 +163,39 @@ object StreamOps {
           val cur = UserStat(userId, n, total)
           state.update(cur)
           cur
+      }
+  }
+
+  /** Per-user running (event count, integer value cents) via
+    * `flatMapGroupsWithState` in APPEND mode — the one stateful API
+    * ([[userRunningStats]]' mapGroupsWithState is Update-only, which
+    * the file sink cannot host) that emits under an append-only sink:
+    * each micro-batch appends ONE snapshot row per touched user, and
+    * the final total is the max-count snapshot (counts strictly
+    * increase per touching batch, so the reduction is exact — the
+    * st09 snapshot shape on the flatMap API). Values are folded as
+    * `floor(value·100)` INT64 cents: the per-row double multiply and
+    * floor are identical IEEE ops in any engine, and int64 addition
+    * is associative, so the running total is deterministic at any
+    * parallelism and batch split — what makes this machinery
+    * oracle-hashable where a raw double accumulation would drift in
+    * the last ulp with fold order.
+    */
+  def userRunningCents(events: Dataset[Ev]): Dataset[UserCents] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserCents, UserCents](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[UserCents]) =>
+          val prev = state.getOption.getOrElse(UserCents(userId, 0L, 0L))
+          var n = prev.n_events
+          var cents = prev.total_cents
+          evs.foreach { e =>
+            n += 1; cents += math.floor(e.value * 100.0).toLong
+          }
+          val cur = UserCents(userId, n, cents)
+          state.update(cur)
+          Iterator.single(cur)
       }
   }
 

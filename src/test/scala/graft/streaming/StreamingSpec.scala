@@ -510,7 +510,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       finally spark.conf.unset("graft.stream.slices")
     }
     for (name <- Seq("st01_retention_stream", "st02_novelty_stream",
-        "st09_funnel_stream")) {
+        "st09_funnel_stream", "st10_running_stats_stream")) {
       val coarse = rows(name, "2")
       val fine = rows(name, "5")
       assert(coarse.nonEmpty, s"$name returned no rows")
