@@ -234,23 +234,31 @@ object Duel {
         .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
       val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
       val prevDpp = spark.conf.get(dppKey)
+      // pin DPP ON for the ON leg (a session that previously disabled
+      // it would otherwise measure off-vs-off and the assert below
+      // would fail spuriously)
+      spark.conf.set(dppKey, "true")
       val (ons, onr) = measureScan(spark, q, n)
-      spark.conf.set(dppKey, "false")
-      val (offs, offr) = measureScan(spark, q, n)
-      spark.conf.set(dppKey, prevDpp)
       // both plans scan the dim exactly once — ON-side the DPP
-      // subquery REUSES the join's broadcast; assert that reuse on the
-      // executed plan, because if it ever failed the dim would be
-      // scanned twice and the subtraction below would overstate the
-      // fact-side prune with no signal
-      q.collect()
-      val onPlan = q.queryExecution.executedPlan.toString
+      // subquery REUSES the join's broadcast; assert that reuse WHILE
+      // DPP is still on, and on ONE BOUND instance: `q` is a def, so
+      // collecting one instance and reading another's queryExecution
+      // would inspect an unexecuted plan, where AQE has not yet
+      // substituted ReusedSubquery/ReusedExchange (the vacuous-assert
+      // trap). If reuse ever failed the dim would be scanned twice and
+      // the fact-row subtraction below would be skewed with no signal.
+      val qq = q
+      qq.collect()
+      val onPlan = qq.queryExecution.executedPlan.toString
       assert(onPlan.contains("dynamicpruningexpression"),
         "dpp duel: no dynamic pruning subquery on the fact scan")
       assert(!onPlan.contains("SubqueryExec") ||
         onPlan.contains("ReusedSubquery") || onPlan.contains("ReusedExchange"),
         "dpp duel: DPP subquery did not reuse the join's broadcast — " +
           "dim scanned twice, fact-row subtraction would be skewed")
+      spark.conf.set(dppKey, "false")
+      val (offs, offr) = measureScan(spark, q, n)
+      spark.conf.set(dppKey, prevDpp)
       // subtracting the (single) dim scan's rows isolates the
       // FACT-side prune — the number that scales with the corpus
       val (_, dimRows) = measureScan(spark, dim, 1)

@@ -102,7 +102,15 @@ object StreamQueries {
           b.write.mode("append").parquet(srcDir)
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // stop() leaves the query's RocksDB providers LOADED (they
+        // close lazily — maintenance pass or JVM shutdown); closing
+        // them after the dirs below are gone is the MANIFEST-on-Close
+        // ERROR race that flooded two rounds of driver bench tails.
+        // Unload synchronously while the dirs still exist.
+        org.apache.spark.sql.graft.ColumnBridge.unloadStateStores()
+      }
       // Drop the consumed feed + offset log; keep only the committed
       // output (bounds the per-invocation disk residue to the result).
       delete(srcDir); delete(cpDir)

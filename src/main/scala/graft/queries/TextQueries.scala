@@ -509,14 +509,23 @@ object TextQueries {
     val lo = (hhMin + p - 1) / p
     if (lo <= 1L) plain
     else {
+      // The candidate set lands on the DRIVER once, via take(cap+1):
+      // the pigeonhole bound keeps it workload-sized, take() bounds
+      // driver memory at cap+1 rows even when the data breaks that
+      // bound (one extra row is all the cap check needs), and —
+      // unlike the previous persist()+count() — nothing stays pinned
+      // in executor memory after the call (the r14 advice leak: three
+      // bench samples per scale each left a cached candidate relation
+      // behind until the family-boundary eviction). The recount pass
+      // then broadcasts the localized set, same plan shape as before.
       val cand = s.createDataset(rdd.mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[String, Long]
         it.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1L))
         m.iterator.collect { case (w, c) if c >= lo => w }
-      }).toDF("w").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (cand.count() > HhCandCap) { cand.unpersist(false); plain }
-      else toks.join(broadcast(cand), Seq("w"))
+      }).distinct().take(HhCandCap.toInt + 1)
+      if (cand.length > HhCandCap) plain
+      else toks
+        .join(broadcast(s.createDataset(cand.toSeq).toDF("w")), Seq("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= hhMin)
     }

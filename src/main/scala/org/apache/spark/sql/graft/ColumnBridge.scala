@@ -69,6 +69,19 @@ object ColumnBridge {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Synchronously close every loaded state-store provider on this
+    * JVM's executors. `StreamingQuery.stop()` does NOT unload the
+    * query's state stores — RocksDB instances stay open until the
+    * lazy maintenance pass or JVM shutdown, and closing a RocksDB
+    * whose checkpoint/working directory was already deleted sprays
+    * `MANIFEST verification on Close` ERRORs over teardown (the spew
+    * that displaced the bench JSON from two rounds of driver
+    * artifacts). Callers unload BEFORE deleting a stopped query's
+    * directories; providers reload on demand, so this is always safe.
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Register the graft SQL functions on an ALREADY-BUILT session
     * (sessions built with `GraftExtensions` don't need this). Uses the
     * session's function registry, which is `private[sql]`.

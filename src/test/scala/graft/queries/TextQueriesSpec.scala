@@ -213,12 +213,17 @@ class TextQueriesSpec extends AnyFunSuite {
       manyParts.groupBy(col("w")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 8L)))
     val deg = TextQueries.heavyHitters(manyParts, 8L)
-    assert(!deg.queryExecution.optimizedPlan.toString.contains("SerializeFromObject"),
-      "degenerate regime still planned the mapPartitions candidate kernel")
-    // healthy regime: the two-pass prefilter path, same exact answer
+    assert(!deg.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "degenerate regime still planned the candidate prefilter join")
+    // healthy regime: the two-pass prefilter path, same exact answer.
+    // The candidate kernel now runs EAGERLY (take-bounded, r14 advice —
+    // no lingering persist), so the returned plan carries the
+    // localized candidate set as a broadcast LocalRelation join, not
+    // the SerializeFromObject kernel itself.
     val hh = TextQueries.heavyHitters(toks, 100L)
     assert(rows(hh) === plain(100L))
-    assert(hh.queryExecution.optimizedPlan.toString.contains("SerializeFromObject"),
-      "healthy regime lost the candidate prefilter")
+    val hhPlan = hh.queryExecution.optimizedPlan.toString
+    assert(hhPlan.contains("LocalRelation") && hhPlan.contains("Join"),
+      "healthy regime lost the candidate prefilter join")
   }
 }

@@ -503,10 +503,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // order — is pinned here on real data by running the SAME
     // registered query at the minimum (2) and a finer (5) slicing.
     val dir = "/root/testdata/sf0.001"
-    def rows(name: String, slices: String): Set[Seq[Any]] = {
+    // Sorted MULTISET, not Set: a Set compare would collapse duplicate
+    // emissions, so a finer slicing that emitted a retention cell or
+    // novelty claim twice (an exactly-once violation) would still pass
+    // (r14 advice).
+    def rows(name: String, slices: String): Seq[String] = {
       spark.conf.set("graft.stream.slices", slices)
       try graft.queries.StreamQueries.queries(name)(spark, dir)
-        .collect().map(_.toSeq).toSet
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
       finally spark.conf.unset("graft.stream.slices")
     }
     for (name <- Seq("st01_retention_stream", "st02_novelty_stream",
