@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.streaming.{BandRow, Ev, StreamOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, struct, unix_millis}
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -48,6 +48,44 @@ object StreamQueries {
     s.conf.getOption("graft.stream.root")
       .orElse(sys.env.get("GRAFT_STREAM_ROOT")).getOrElse("target")
 
+  /** Shared scaffolding of the streaming runners: unique run dirs
+    * (src/out/cp), a leftover wipe — the seq restarts per JVM, and a
+    * stale `out` dir's committed `_spark_metadata` log would be served
+    * back by a fresh-checkpoint sink as already-committed files — the
+    * RocksDB provider swap (restored on exit), and the hadoop-FS
+    * delete handle the body uses for its own teardown.
+    */
+  private def withStreamRun[T](s: SparkSession)(
+      body: (String, String, String, String => Unit) => T): T = {
+    val base = streamRoot(s) + "/streams/run_" + runSeq.incrementAndGet()
+    def delete(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    delete(base)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body(base + "/src", base + "/out", base + "/cp", delete)
+    finally prev match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
+  /** Stop a finished query and synchronously close its state-store
+    * providers: stop() leaves RocksDB instances LOADED (they close
+    * lazily — maintenance pass or JVM shutdown), and closing them
+    * after the run dirs are deleted is the MANIFEST-on-Close ERROR
+    * race that flooded two rounds of driver bench tails. Unload while
+    * the dirs still exist; providers reload on demand.
+    */
+  private def stopAndUnload(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.stop()
+    org.apache.spark.sql.graft.ColumnBridge.unloadStateStores()
+  }
+
   /** Drive a StreamOps transform through a real streaming query with
     * BOTH ends on files — the production shape, no driver-side data
     * movement: the input relation is written once to a parquet source
@@ -67,28 +105,11 @@ object StreamQueries {
     * the output dir must outlive the call (the returned frame reads
     * it lazily).
     */
-  private def runFileStream(s: SparkSession, input: DataFrame,
+  private[graft] def runFileStream(s: SparkSession, input: DataFrame,
       transform: DataFrame => DataFrame,
-      laterBatches: Seq[DataFrame] = Nil): DataFrame = {
-    val base = streamRoot(s) + "/streams/run_" + runSeq.incrementAndGet()
-    val srcDir = base + "/src"
-    val outDir = base + "/out"
-    val cpDir = base + "/cp"
-    def delete(p: String): Unit = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-    }
-    // The seq restarts per JVM: a leftover `out` dir from an earlier
-    // session carries a committed _spark_metadata log, and the new
-    // sink (fresh checkpoint) would serve THOSE files back as already
-    // committed — wipe the whole run dir before starting.
-    delete(base)
-    input.write.mode("overwrite").parquet(srcDir)
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+      laterBatches: Seq[DataFrame] = Nil): DataFrame =
+    withStreamRun(s) { (srcDir, outDir, cpDir, delete) =>
+      input.write.mode("overwrite").parquet(srcDir)
       val src = s.readStream.schema(input.schema).parquet(srcDir)
       val out = transform(src)
       val outSchema = out.schema
@@ -102,24 +123,99 @@ object StreamQueries {
           b.write.mode("append").parquet(srcDir)
           q.processAllAvailable()
         }
-      } finally {
-        q.stop()
-        // stop() leaves the query's RocksDB providers LOADED (they
-        // close lazily — maintenance pass or JVM shutdown); closing
-        // them after the dirs below are gone is the MANIFEST-on-Close
-        // ERROR race that flooded two rounds of driver bench tails.
-        // Unload synchronously while the dirs still exist.
-        org.apache.spark.sql.graft.ColumnBridge.unloadStateStores()
-      }
+      } finally stopAndUnload(q)
       // Drop the consumed feed + offset log; keep only the committed
       // output (bounds the per-invocation disk residue to the result).
       delete(srcDir); delete(cpDir)
       s.read.schema(outSchema).parquet(outDir)
-    } finally prev match {
-      case Some(p) => s.conf.set(provKey, p)
-      case None => s.conf.unset(provKey)
     }
-  }
+
+  /** [[runFileStream]] with a `foreachBatch` sink — the production
+    * surface for UPDATE-mode output, which the append-only file sink
+    * cannot host: each micro-batch's updated rows land as an
+    * IDEMPOTENT per-batch parquet snapshot (`out/batch_<id>`, mode
+    * overwrite — a replayed batch after a crash rewrites its own
+    * directory instead of duplicating, which is exactly the
+    * exactly-once recipe Spark documents for foreachBatch sinks:
+    * batchId-keyed idempotent writes). The returned relation is the
+    * union of the per-batch snapshots; callers reduce it to final
+    * state (the st09/st10 max-snapshot shape).
+    */
+  private[graft] def runForeachBatchStream(s: SparkSession, input: DataFrame,
+      transform: DataFrame => DataFrame,
+      laterBatches: Seq[DataFrame] = Nil): DataFrame =
+    withStreamRun(s) { (srcDir, outDir, cpDir, delete) =>
+      input.write.mode("overwrite").parquet(srcDir)
+      val src = s.readStream.schema(input.schema).parquet(srcDir)
+      val out = transform(src)
+      val outSchema = out.schema
+      val sink: (Dataset[Row], Long) => Unit = (batch, batchId) =>
+        batch.write.mode("overwrite").parquet(outDir + "/batch_" + batchId)
+      val q = out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cpDir)
+        .outputMode(OutputMode.Update).start()
+      try {
+        q.processAllAvailable()
+        laterBatches.foreach { b =>
+          b.write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        }
+      } finally stopAndUnload(q)
+      delete(srcDir); delete(cpDir)
+      s.read.schema(outSchema).parquet(outDir + "/batch_*")
+    }
+
+  /** [[runFileStream]] with a mid-backfill KILL-AND-RESTART — the
+    * exactly-once recovery guarantee a production operator actually
+    * relies on, executed rather than asserted: the first
+    * `restartAfter` later-batches run under query 1, which is then
+    * STOPPED (its state-store providers unloaded — a cold process
+    * death's clean-shutdown twin; the checkpoint is the only carrier
+    * of progress either way); the next backfill slice lands in the
+    * source dir while the pipeline is DOWN; query 2 starts from the
+    * SAME checkpoint + sink, recovers the file-source offset log (so
+    * already-processed source files are not re-served), reloads the
+    * RocksDB state from the checkpoint, picks up the slice that
+    * arrived during the outage, and finishes the feed. The file
+    * sink's `_spark_metadata` commit log spans both query instances,
+    * so the committed output is exactly-once across the restart —
+    * pinned by the st12 oracle hash (any re-emission would duplicate
+    * rows) and StreamingSpec's restart cases.
+    */
+  private[graft] def runFileStreamRestart(s: SparkSession, input: DataFrame,
+      transform: DataFrame => DataFrame, laterBatches: Seq[DataFrame],
+      restartAfter: Int): DataFrame =
+    withStreamRun(s) { (srcDir, outDir, cpDir, delete) =>
+      input.write.mode("overwrite").parquet(srcDir)
+      def start() = {
+        val out = transform(s.readStream.schema(input.schema).parquet(srcDir))
+        (out.schema, out.writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", cpDir)
+          .outputMode(OutputMode.Append).start())
+      }
+      val (before, after) = laterBatches.splitAt(restartAfter)
+      val (outSchema, q1) = start()
+      try {
+        q1.processAllAvailable()
+        before.foreach { b =>
+          b.write.mode("append").parquet(srcDir)
+          q1.processAllAvailable()
+        }
+      } finally stopAndUnload(q1)
+      // the pipeline is DOWN; the backfill keeps arriving anyway
+      after.headOption.foreach(_.write.mode("append").parquet(srcDir))
+      val (_, q2) = start()
+      try {
+        q2.processAllAvailable()
+        after.drop(1).foreach { b =>
+          b.write.mode("append").parquet(srcDir)
+          q2.processAllAvailable()
+        }
+      } finally stopAndUnload(q2)
+      delete(srcDir); delete(cpDir)
+      s.read.schema(outSchema).parquet(outDir)
+    }
 
   private def eventCols(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -403,6 +499,52 @@ object StreamQueries {
         col("m.total_cents").as("total_cents"))
   }
 
+  /** `foreachBatch` + UPDATE-mode `mapGroupsWithState` under the
+    * oracle gate — the one stateful API pair that was spec-pinned
+    * only, because the append-only file sink cannot host Update mode:
+    * [[StreamOps.userRunningCentsUpdate]] folds each user's events
+    * into (count, int64 cents) GroupState across ≥2 event-time-ordered
+    * micro-batches, and each batch's UPDATED rows land through the
+    * production sink for this mode — a `foreachBatch` writer making
+    * idempotent per-batch parquet snapshots
+    * ([[runForeachBatchStream]]). The final row per user is the
+    * max-count snapshot (counts strictly increase per touching batch —
+    * the st09/st10 reduce, exact); additive integer state makes the
+    * result slice-invariant and deterministic at any parallelism, so
+    * it hash-checks against the plain grouped SQL (st10's oracle —
+    * same state machine, the API + sink differ, which is the point).
+    */
+  def st11_running_stats_update(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slices = timeSlices(s, eventCols(s, dir), minSlices = 2)
+    val snaps = runForeachBatchStream(s, slices.head,
+      df => StreamOps.userRunningCentsUpdate(df.as[Ev]).toDF(),
+      laterBatches = slices.tail)
+    snaps.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.total_cents").as("total_cents"))
+  }
+
+  /** Checkpoint KILL-AND-RESTART under the oracle gate
+    * ([[runFileStreamRestart]]): st05's windowed aggregation — the
+    * streaming-agg state store plus the exactly-once file sink, the
+    * production backfill shape — is stopped after its first
+    * later-batch, loses a backfill slice to the outage window (it
+    * lands while the pipeline is down), and resumes from the
+    * checkpoint to finish the feed. Exactly-once across the restart
+    * is the CHECKED fact, not an assertion: the source offset log
+    * must not re-serve processed files and the sink commit log must
+    * not re-commit batch 0's windows — either failure duplicates or
+    * drops rows and breaks the hash against st05's closed-form oracle
+    * (identical SQL; the restart must be invisible in the relation).
+    */
+  def st12_restart_stream(s: SparkSession, dir: String): DataFrame = {
+    val slices = timeSlices(s, eventCols(s, dir), minSlices = 4)
+    runFileStreamRestart(s, slices.head, StreamOps.windowedCounts(_),
+      laterBatches = slices.tail, restartAfter = 1)
+  }
+
   /** Stream–STATIC broadcast-enrichment join — the one streaming join
     * shape the matrix still lacked after st03's stream–stream store,
     * and deliberately the STATELESS one: each micro-batch plans a
@@ -483,6 +625,28 @@ object StreamQueries {
       laterBatches = Seq(evs.where(unix_millis(col("ts")) < t0)))
   }
 
+  /** st10/st11's shared oracle — the running-cents state machine's
+    * closed form (see the map comment at the st10 entry).
+    */
+  private val RunningCentsSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** st05/st12's shared oracle — windowed aggregation restricted to
+    * windows closed under the final watermark (see the map comment).
+    */
+  private val WindowedStreamSql: String =
+    """WITH wm AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events)
+      |SELECT * FROM (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts,
+      |      TIMESTAMP '1970-01-01 00:00:00') AS window_start,
+      |    event_type, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2)
+      |WHERE window_start + INTERVAL '5 minutes' <= (SELECT w FROM wm)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "st03_error_follow_stream" ->
       """SELECT r.event_id AS err_id, e.event_id AS follow_id,
@@ -507,12 +671,13 @@ object StreamQueries {
       """SELECT event_id, user_id, event_type, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
     // per-row FLOOR(value·100) is the same IEEE multiply+floor in
-    // both engines; int64 sums are associative — exact at any order
-    "st10_running_stats_stream" ->
-      """SELECT user_id, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
-        |    AS total_cents
-        |FROM events GROUP BY user_id""".stripMargin,
+    // both engines; int64 sums are associative — exact at any order.
+    // st11 shares st10's oracle VERBATIM: same state machine, run
+    // through the other stateful API (Update-mode mapGroupsWithState)
+    // and the other sink (foreachBatch snapshots) — the pair's whole
+    // point is that the relation cannot tell them apart.
+    "st10_running_stats_stream" -> RunningCentsSql,
+    "st11_running_stats_update" -> RunningCentsSql,
     // the greedy in-order funnel chain ≡ the relational min-chain
     // (strictly-increasing transitions); epoch-ms with 0 sentinels
     "st09_funnel_stream" ->
@@ -562,15 +727,10 @@ object StreamQueries {
     // st05/st06: the q23/q24 relations restricted to windows/sessions
     // CLOSED under the final data-defined watermark (max ts − 10 min).
     // `<=` is the pinned Spark emission boundary (StreamingSpec).
-    "st05_windowed_stream" ->
-      """WITH wm AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events)
-        |SELECT * FROM (
-        |  SELECT time_bucket(INTERVAL '5 minutes', ts,
-        |      TIMESTAMP '1970-01-01 00:00:00') AS window_start,
-        |    event_type, COUNT(*) AS n_events,
-        |    CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
-        |  FROM events GROUP BY 1, 2)
-        |WHERE window_start + INTERVAL '5 minutes' <= (SELECT w FROM wm)""".stripMargin,
+    // st12 shares st05's oracle VERBATIM: same transform, same feed —
+    // the kill-and-restart must be invisible in the relation.
+    "st05_windowed_stream" -> WindowedStreamSql,
+    "st12_restart_stream" -> WindowedStreamSql,
     "st06_sessions_stream" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
@@ -627,5 +787,7 @@ object StreamQueries {
     "st08_error_follow_outer" -> (st08_error_follow_outer _),
     "st09_funnel_stream" -> (st09_funnel_stream _),
     "st10_running_stats_stream" -> (st10_running_stats_stream _),
+    "st11_running_stats_update" -> (st11_running_stats_update _),
+    "st12_restart_stream" -> (st12_restart_stream _),
   )
 }

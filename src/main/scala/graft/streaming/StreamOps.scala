@@ -199,6 +199,37 @@ object StreamOps {
       }
   }
 
+  /** [[userRunningCents]]' state machine on the `mapGroupsWithState`
+    * API in its native UPDATE mode — the one stateful API the
+    * append-only file sink cannot host (every micro-batch REPLACES
+    * each touched user's row instead of appending). The production
+    * sink for it is `foreachBatch`
+    * ([[graft.queries.StreamQueries.st11_running_stats_update]]):
+    * each batch's updated rows land as an idempotent per-batch
+    * parquet snapshot, and the final state per user is the max-count
+    * snapshot — the st09/st10 reduce, exact because counts strictly
+    * increase per touching batch. Integer cents keep the running
+    * total deterministic at any parallelism/batch split (same
+    * rationale as [[userRunningCents]]); [[userRunningStats]] stays
+    * the double-accumulating template the MemoryStream spec pins.
+    */
+  def userRunningCentsUpdate(events: Dataset[Ev]): Dataset[UserCents] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserCents, UserCents](GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[UserCents]) =>
+          val prev = state.getOption.getOrElse(UserCents(userId, 0L, 0L))
+          var n = prev.n_events
+          var cents = prev.total_cents
+          evs.foreach { e =>
+            n += 1; cents += math.floor(e.value * 100.0).toLong
+          }
+          val cur = UserCents(userId, n, cents)
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Streaming LSH bucket-novelty gate — the incremental form of
     * d13's incremental near-dup admission
     * ([[graft.queries.DedupQueries.d13_incremental_neardup]]): input is
