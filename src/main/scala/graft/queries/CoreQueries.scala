@@ -552,7 +552,8 @@ object CoreQueries {
     SharedRelations(s, dir, "zordered_lineitem") {
       graft.sources.ZOrderedWrite.write(s, t(s, dir, "lineitem"),
         "l_partkey", "l_suppkey", 32,
-        "target/zorder_li_" + graft.sources.Bucketing.pathDigest(dir))
+        graft.sources.Layouts.root(s) + "/zorder_li_" +
+          graft.sources.Bucketing.pathDigest(dir))
     }
 
   // Z-order (Morton) clustering statistics — the layout primitive
@@ -743,7 +744,8 @@ object CoreQueries {
         .getOrElse(math.max(1, s.sparkContext.defaultParallelism / 8))
       graft.sources.PartitionedWrite.partitionedTable(
         s, t(s, dir, "lineitem"),
-        "target/part_li_" + graft.sources.Bucketing.pathDigest(dir),
+        graft.sources.Layouts.root(s) + "/part_li_" +
+          graft.sources.Bucketing.pathDigest(dir),
         "l_smonth",
         year(col("l_shipdate")) * 100 + month(col("l_shipdate")),
         splitFiles = split)
@@ -857,18 +859,26 @@ object CoreQueries {
     .empty[(SparkSession, String), DataFrame]
 
   /** The MATERIALIZED month-sketch table q50 rolls up from — built
-    * once per (session, sfDir) and written as parquet next to the
-    * other layout artifacts (the production posture: each month's
-    * sketch lands alongside its partition as it is ingested —
-    * [[graft.sources.PartitionedWrite]]'s tree is where it would live
-    * — and no rollup ever re-scans raw ids). One row per
-    * (month, priority) with the HLL blob as a binary column: sketches
-    * serialize losslessly, and the read-back relation is
+    * once per (session, sfDir) and written as parquet UNDER THE SAME
+    * LAYOUT ROOT as the partition tree it sidecars
+    * ([[graft.sources.Layouts]] — `<root>/q50_sketches_<digest>`
+    * beside `<root>/part_li_<digest>`): the production posture is
+    * that each month's sketch lands alongside its partition as it is
+    * ingested and no rollup ever re-scans raw ids, so the sketch
+    * table is a first-class layout artifact, placed — and
+    * re-pointed, via `graft.layout.root` — with the layouts, not a
+    * scratch file (r14 verdict: the demo default `target` is wiped
+    * by sbt clean, which rebuild-on-miss absorbs; a sibling
+    * directory, not a subdirectory of the partition tree, because
+    * [[graft.sources.PartitionedWrite]] rewrites its tree with
+    * mode=Overwrite and must never take the sketches with it). One
+    * row per (month, priority) with the HLL blob as a binary column:
+    * sketches serialize losslessly, and the read-back relation is
     * ~|months|·|priorities| rows at ANY corpus size.
     */
   private def monthlySketches(s: SparkSession, dir: String): DataFrame =
     q50SkMemo.getOrElseUpdate((s, dir), {
-      val path = "target/q50_sketches_" +
+      val path = graft.sources.Layouts.root(s) + "/q50_sketches_" +
         graft.sources.Bucketing.pathDigest(dir)
       t(s, dir, "orders")
         .groupBy((year(col("o_orderdate")) * 100 +

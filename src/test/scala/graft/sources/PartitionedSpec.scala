@@ -122,4 +122,11 @@ class PartitionedSpec extends AnyFunSuite {
     assert(scan.metrics("numPartitions").value === 1,
       s"split layout broke pruning: ${scan.metrics("numPartitions").value}")
   }
+
+  test("Layouts.root honors the graft.layout.root dial and defaults to target") {
+    assert(Layouts.root(spark) === "target")
+    spark.conf.set("graft.layout.root", "/tmp/graft_layout_root")
+    try assert(Layouts.root(spark) === "/tmp/graft_layout_root")
+    finally spark.conf.unset("graft.layout.root")
+  }
 }
