@@ -1287,6 +1287,75 @@ object GraphQueries {
       .select(col("node"), col("a").as("auth_fp"), col("h").as("hub_fp"))
   }
 
+  /** Delta-CONVERGED HITS — [[hitsLoop]]'s recurrence run to a
+    * fixed-point criterion instead of a fixed round count (the
+    * `standardConverged` pattern the CC/BFS/SSSP loops use, applied
+    * to the two-vector recurrence): stop when max|Δauth| + max|Δhub|
+    * (fixed-point units, so the tolerance is exact integer
+    * arithmetic) falls to ≤ `tolFp`, or at the `maxRounds` budget.
+    * Returns (result, roundsRun) — the stopped count is what makes
+    * the variant testable: the result must equal [[hitsLoop]] at
+    * exactly that round count (GraphQueriesSpec pins it), because a
+    * converged run is just the unrolled run that stopped reading
+    * deltas. Per round this costs the two node-sized delta probes (a
+    * 1-row scalar each — the O9/g11 convergence-probe shape) on top
+    * of the loop's two joins; both vectors are eagerly
+    * `localCheckpoint`ed per round (the delta probe needs `a`
+    * materialized anyway), superseded roots released, so plan size
+    * stays O(1) and memory O(2 vectors). Not memoized in [[cpMemo]]:
+    * resume cadence belongs to the fixed-round production entry
+    * (g19); the converged form is the exploration dial.
+    */
+  private[graft] def hitsConverged(s: SparkSession, dir: String,
+      maxRounds: Int = 50, tolFp: Long = HitsQ / 1000L): (DataFrame, Int) = {
+    val eSrc = loopEdges(s, dir)
+    val eDst = loopEdgesDst(s, dir)
+    val nodes = derivedNodes(s, dir)
+    var pending = List.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame =
+      if (org.apache.spark.sql.graft.ColumnBridge.isCached(df)) df
+      else {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        pending ::= p
+        p
+      }
+    def maxAbsDelta(cur: DataFrame, prev: DataFrame, c: String): Long =
+      cur.join(prev.withColumnRenamed(c, "prev_v"), Seq("node"))
+        .agg(max(abs(col(c) - col("prev_v")))).head().getLong(0)
+    var h = nodes.select(col("node"), lit(HitsQ).as("h"))
+    var a: DataFrame = null
+    var roots = List.empty[DataFrame]
+    var i = 0
+    var converged = false
+    while (i < maxRounds && !converged) {
+      val hPrev = h
+      val aPrev = a
+      a = hitsNormalize(pin(hitsFull(nodes, hitsAuthSums(eSrc, h))), "a")
+        .localCheckpoint(true)
+      h = hitsNormalize(pin(hitsFull(nodes, hitsHubSums(eDst, a))), "h")
+        .localCheckpoint(true)
+      i += 1
+      val dh = maxAbsDelta(h, hPrev, "h")
+      // round 1 has no previous auth vector — by definition not
+      // converged yet (the budget floor is one full round)
+      converged = aPrev != null && maxAbsDelta(a, aPrev, "a") + dh <= tolFp
+      pending.foreach(_.unpersist(false))
+      pending = Nil
+      (Option(aPrev).toList ++ List(hPrev)).foreach(
+        org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint)
+    }
+    // The FINAL pair of checkpoint roots backs the returned relation —
+    // release it at the next family-boundary eviction (the cpMemo
+    // discipline), since the caller still has to materialize the tail.
+    val (fa, fh) = (a, h)
+    SharedRelations.onEvict(s) { () =>
+      Seq(fa, fh).foreach(
+        org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint)
+    }
+    (fa.join(fh, Seq("node"))
+      .select(col("node"), col("a").as("auth_fp"), col("h").as("hub_fp")), i)
+  }
+
   /** One unrolled HITS round as oracle CTEs: auth from `prevH`, then
     * hub from the fresh auth — each a join-sum over `edges` plus a
     * scalar-subquery MAX normalization, mirroring [[g19_hits]]'s

@@ -194,4 +194,30 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(four.map(_.getLong(2)).max === 1000000L)
     GraphQueries.clearCheckpointMemos(spark)
   }
+
+  test("hitsConverged stops under the delta criterion and equals the unrolled loop at its stopped round count") {
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    // A converged run is definitionally the unrolled run that stopped
+    // reading deltas: whatever round it stops at, hitsLoop at exactly
+    // that count must produce the identical integer relation.
+    // 2% of the fixed-point scale Q: the sf0.001 graph's deltas decay
+    // geometrically (~0.81/round, measured) and cross 20000 at round
+    // 12 — comfortably inside the 20-round budget, so the stop is the
+    // CRITERION's, not the cap's.
+    val (res, rounds) = GraphQueries.hitsConverged(spark, dir,
+      maxRounds = 20, tolFp = 20000L)
+    assert(rounds >= 2, "delta needs two rounds to exist")
+    assert(rounds < 20, s"did not converge inside the budget ($rounds)")
+    GraphQueries.clearCheckpointMemos(spark)
+    val unrolled = GraphQueries.hitsLoop(spark, dir, rounds)
+    assert(sorted(res) === sorted(unrolled),
+      s"converged result diverged from hitsLoop($rounds)")
+    GraphQueries.clearCheckpointMemos(spark)
+    // an unreachable tolerance runs to the budget — the round cap is
+    // a real bound, not a convergence assumption
+    val (_, capped) = GraphQueries.hitsConverged(spark, dir,
+      maxRounds = 2, tolFp = -1L)
+    assert(capped === 2)
+  }
 }
