@@ -1303,8 +1303,9 @@ object GraphQueries {
     * `localCheckpoint`ed per round (the delta probe needs `a`
     * materialized anyway), superseded roots released, so plan size
     * stays O(1) and memory O(2 vectors). Not memoized in [[cpMemo]]:
-    * resume cadence belongs to the fixed-round production entry
-    * (g19); the converged form is the exploration dial.
+    * per-round resume cadence belongs to the fixed-round production
+    * entry (g19); the registry form ([[g20_hits_converged]]) memoizes
+    * only the FINAL result, like the converged CC family.
     */
   private[graft] def hitsConverged(s: SparkSession, dir: String,
       maxRounds: Int = 50, tolFp: Long = HitsQ / 1000L): (DataFrame, Int) = {
@@ -1356,28 +1357,128 @@ object GraphQueries {
       .select(col("node"), col("a").as("auth_fp"), col("h").as("hub_fp")), i)
   }
 
+  /** Budget and tolerance for [[g20_hits_converged]]. STATIC, not
+    * conf-driven: the oracle must unroll exactly the same K rounds and
+    * encode the same integer tolerance, and `oracleSql` is one string
+    * per entry across every SF. The tolerance is [[HitsQ]]/1000 —
+    * max|Δauth| + max|Δhub| within 0.1% of the normalized scale — and
+    * the budget caps both engines identically when an SF's graph
+    * hasn't converged by round K (the criterion then never fires and
+    * both return round K's vectors with rounds_run = K, so the cap is
+    * hash-safe at ANY scale, not just the ones measured). Tolerance
+    * 2% of the normalized scale: the shipped graphs' deltas decay
+    * ~0.81/round (measured, GraphQueriesSpec), crossing 2%·Q near
+    * round 12 — inside the budget, so at the tested SFs the stop is
+    * the CRITERION's, and the entry actually exercises the dial.
+    */
+  private val G20MaxRounds = 16
+  private val G20Tol = HitsQ / 50L
+
+  /** Delta-CONVERGED HITS as a registry entry — [[hitsConverged]]
+    * with the stopping rule itself under the oracle gate: the output
+    * carries `rounds_run` as a column, so the hash compare pins not
+    * just the final vectors but WHERE the integer criterion fired —
+    * a divergence in the stopping rule (an off-by-one round, a
+    * tolerance drift, a delta computed against the wrong previous
+    * vector) breaks the driver compare instead of silently returning
+    * some other round's fixed point. All-integer end to end: the
+    * per-round deltas are fixed-point int64, so both engines stop at
+    * the SAME round by exact arithmetic — no epsilon in the criterion.
+    * Measured stops: sf0.001 converges at round 12 (the criterion's
+    * stop); sf0.01/sf0.1 run to the 16-round cap (larger derived
+    * graphs mix slower) — so across the shipped SFs the oracle checks
+    * BOTH regimes of the stopping rule. Memoized per (session, dir)
+    * like the converged CC family (g11's round-7 lesson): the labels
+    * are deterministic, repeated calls (the bench's samples 2-3)
+    * reuse the checkpointed vectors, and the full-pass cost is
+    * carried in the bench's `cold` map; the memo drops at the same
+    * family-boundary eviction that releases [[hitsConverged]]'s roots.
+    */
+  def g20_hits_converged(s: SparkSession, dir: String): DataFrame =
+    g20Memo.getOrElseUpdate((s, dir), {
+      SharedRelations.onEvict(s) { () =>
+        g20Memo.keys.filter(_._1 eq s).foreach(g20Memo.remove)
+      }
+      val (res, rounds) = hitsConverged(s, dir, G20MaxRounds, G20Tol)
+      res.withColumn("rounds_run", lit(rounds.toLong))
+    })
+
+  private val g20Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** One unrolled HITS round as oracle CTEs: auth from `prevH`, then
     * hub from the fresh auth — each a join-sum over `edges` plus a
     * scalar-subquery MAX normalization, mirroring [[g19_hits]]'s
-    * floorDiv exactly (`//` floors; inputs are non-negative).
+    * floorDiv exactly (`//` floors; inputs are non-negative). Every
+    * CTE is MATERIALIZED: each is referenced 2-3 times (the next
+    * half-step, its own MAX subquery, and — in [[hitsConvergedOracle]]
+    * — the delta scalars and the round-tagged union), and DuckDB
+    * inlines un-hinted CTEs per reference, which across g20's
+    * 16-round ladder re-evaluates prefixes EXPONENTIALLY (the
+    * un-hinted form did not finish at sf0.001; materialized, the
+    * ladder is linear in rounds).
     */
   private def hitsRoundCte(i: Int, prevH: String): String =
-    s"""a${i}r AS (SELECT e.dst AS node, SUM($prevH.h) AS s
+    s"""a${i}r AS MATERIALIZED (SELECT e.dst AS node, SUM($prevH.h) AS s
        |  FROM edges e JOIN $prevH ON $prevH.node = e.src GROUP BY e.dst),
-       |a${i}f AS (SELECT n.node, COALESCE(a${i}r.s, 0) AS s
+       |a${i}f AS MATERIALIZED (SELECT n.node, COALESCE(a${i}r.s, 0) AS s
        |  FROM nodes n LEFT JOIN a${i}r ON a${i}r.node = n.node),
-       |a$i AS (SELECT node,
+       |a$i AS MATERIALIZED (SELECT node,
        |  CAST(s * $HitsQ // (SELECT MAX(s) FROM a${i}f) AS BIGINT) AS a
        |  FROM a${i}f),
-       |h${i}r AS (SELECT e.src AS node, SUM(a$i.a) AS s
+       |h${i}r AS MATERIALIZED (SELECT e.src AS node, SUM(a$i.a) AS s
        |  FROM edges e JOIN a$i ON a$i.node = e.dst GROUP BY e.src),
-       |h${i}f AS (SELECT n.node, COALESCE(h${i}r.s, 0) AS s
+       |h${i}f AS MATERIALIZED (SELECT n.node, COALESCE(h${i}r.s, 0) AS s
        |  FROM nodes n LEFT JOIN h${i}r ON h${i}r.node = n.node),
-       |h$i AS (SELECT node,
+       |h$i AS MATERIALIZED (SELECT node,
        |  CAST(s * $HitsQ // (SELECT MAX(s) FROM h${i}f) AS BIGINT) AS h
        |  FROM h${i}f)""".stripMargin
 
+  /** [[g20_hits_converged]]'s oracle: the SAME K-round ladder as g19's
+    * ([[hitsRoundCte]]) unrolled to the full [[G20MaxRounds]] budget,
+    * plus per-round delta scalars and a `rstar` CASE that picks the
+    * FIRST round whose max|Δa| + max|Δh| ≤ [[G20Tol]] (else the cap) —
+    * the stopping rule re-derived in SQL rather than imported from the
+    * Spark run. DuckDB evaluates rounds past rstar that Spark never
+    * runs; they are discarded by the final filter, and integer
+    * arithmetic guarantees both engines agree on rstar bit-exactly.
+    * (A recursive CTE can't express this: the per-round MAX
+    * normalization aggregates over the recursive table, which DuckDB
+    * — like the standard — forbids; a bounded unroll is the faithful
+    * static-SQL form of a budgeted loop anyway.)
+    */
+  private def hitsConvergedOracle: String = {
+    val rounds = (1 to G20MaxRounds)
+      .map(i => hitsRoundCte(i, s"h${i - 1}")).mkString(",\n")
+    val deltas = (2 to G20MaxRounds).map(i =>
+      s"""d$i AS (SELECT
+         |  (SELECT MAX(ABS(c.a - p.a)) FROM a$i c JOIN a${i - 1} p
+         |     ON c.node = p.node) +
+         |  (SELECT MAX(ABS(c.h - p.h)) FROM h$i c JOIN h${i - 1} p
+         |     ON c.node = p.node) AS d)""".stripMargin).mkString(",\n")
+    val cases = (2 to G20MaxRounds)
+      .map(i => s"WHEN (SELECT d FROM d$i) <= $G20Tol THEN $i")
+      .mkString("\n  ")
+    val allr = (2 to G20MaxRounds)
+      .map(i => s"SELECT $i AS r, a$i.node AS node, a$i.a AS a, h$i.h AS h" +
+        s" FROM a$i JOIN h$i ON a$i.node = h$i.node")
+      .mkString("\n  UNION ALL\n  ")
+    EdgesCte + s""",
+      |h0 AS (SELECT node, CAST($HitsQ AS BIGINT) AS h FROM nodes),
+      |$rounds,
+      |$deltas,
+      |rstar AS (SELECT CASE
+      |  $cases
+      |  ELSE $G20MaxRounds END AS r),
+      |allr AS (
+      |  $allr)
+      |SELECT node, a AS auth_fp, h AS hub_fp,
+      |  CAST((SELECT r FROM rstar) AS BIGINT) AS rounds_run
+      |FROM allr WHERE r = (SELECT r FROM rstar)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "g20_hits_converged" -> hitsConvergedOracle,
     "g19_hits" -> (EdgesCte + s""",
       |h0 AS (SELECT node, CAST($HitsQ AS BIGINT) AS h FROM nodes),
       |${hitsRoundCte(1, "h0")},
@@ -1511,6 +1612,7 @@ object GraphQueries {
     "g17_clustering_approx" -> (g17_clustering_approx _),
     "g18_clustering_audit" -> (g18_clustering_audit _),
     "g19_hits" -> (g19_hits _),
+    "g20_hits_converged" -> (g20_hits_converged _),
     // Flagship GraphX path — iterative double-precision PageRank,
     // surfaced as the per-node tolerance witness against the
     // fixed-point unroll so the driver hash-checks it like every
