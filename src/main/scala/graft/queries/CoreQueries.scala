@@ -915,6 +915,44 @@ object CoreQueries {
           col("n_exact") * Q50Tol).as("ok"))
   }
 
+  private val q51Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  // Small-file COMPACTION ([[graft.sources.Compaction]]) — the layout-
+  // MAINTENANCE verb next to the three layout-creation operators
+  // (partition q47/q48, z-order q42, bucketing): first a deliberately
+  // over-split month-partitioned lineitem tree is written (splitFiles =
+  // every core writes every month — the shape a streaming sink's
+  // accumulated micro-batch commits leave behind), then one adaptive
+  // pass compacts it (per-directory width = ceil(dirBytes/target),
+  // floor 1, one shuffle for the whole tree — at the default 128 MB
+  // target every month collapses to a single file at any shipped SF).
+  // The entry aggregates the COMPACTED tree per month, and the oracle
+  // is the same aggregation over the plain source table — hash
+  // equality proves the rewrite lost and duplicated NOTHING through
+  // fragment → route → merge, which is the only correctness question a
+  // compaction has. CompactionSpec pins the layout side (file counts
+  // collapse, adaptive multi-file widths at a small target, partition
+  // pruning intact on the compacted tree); both trees are layout
+  // artifacts under [[graft.sources.Layouts.root]], rebuild-on-miss.
+  def q51_compaction(s: SparkSession, dir: String): DataFrame = {
+    val compacted = q51Memo.getOrElseUpdate((s, dir), {
+      val digest = graft.sources.Bucketing.pathDigest(dir)
+      val frag = graft.sources.Layouts.root(s) + "/frag_li_" + digest
+      val dst = graft.sources.Layouts.root(s) + "/compact_li_" + digest
+      graft.sources.PartitionedWrite.partitionedTable(
+        s, t(s, dir, "lineitem"), frag, "l_smonth",
+        year(col("l_shipdate")) * 100 + month(col("l_shipdate")),
+        splitFiles = math.max(8, s.sparkContext.defaultParallelism))
+      val target = s.conf.getOption("graft.compaction.targetBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      graft.sources.Compaction.compact(s, frag, dst, "l_smonth", target)
+    })
+    compacted
+      .groupBy(col("l_smonth").cast(LongType).as("ship_month"))
+      .agg(dsum("l_extendedprice").as("rev"), count(lit(1)).as("n_rows"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -991,6 +1029,16 @@ object CoreQueries {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
         |  TRUE AS ok
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q51 aggregates the COMPACTED tree; the oracle aggregates the
+    // plain source — equality proves the fragment→compact rewrite is
+    // row-exact.
+    "q51_compaction" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+        |    AS ship_month,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
     "q41_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
@@ -1336,5 +1384,6 @@ object CoreQueries {
     "q48_dpp_join" -> (q48_dpp_join _),
     "q49_bloom_join" -> (q49_bloom_join _),
     "q50_hll_rollup" -> (q50_hll_rollup _),
+    "q51_compaction" -> (q51_compaction _),
   )
 }
