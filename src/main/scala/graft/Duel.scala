@@ -111,7 +111,7 @@ object Duel {
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     val which = if (args.nonEmpty) args.toSet
       else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym",
-        "bucketededges", "hits", "dpp", "bloom")
+        "bucketededges", "hits", "dpp", "bloom", "compaction")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -264,6 +264,37 @@ object Duel {
       val (_, dimRows) = measureScan(spark, dim, 1)
       val (onFact, offFact) = (onr - dimRows, offr - dimRows)
       println(f"""{"duel":"dpp_star_join","sf":"$sfDir","dpp_sec":$ons%.3f,"no_dpp_sec":$offs%.3f,"dpp_fact_rows":$onFact,"no_dpp_fact_rows":$offFact,"prune_ratio":${offFact.toDouble / math.max(onFact, 1L)}%.2f}""")
+    }
+
+    if (which("compaction")) {
+      // Layout-MAINTENANCE duel: the same full-scan aggregation over
+      // q51's over-split tree vs its compacted rewrite — identical
+      // rows decoded (scan_rows asserts it below), so the wall delta
+      // is pure per-file cost: opens, footer reads, row-group boots,
+      // task scheduling. The file counts are the numbers that carry to
+      // 100 TB: a streaming sink accumulating 100× more commits pays
+      // 100× more opens while the compacted twin's count stays pinned
+      // to ceil(bytes/target); wall at local SF mostly measures the
+      // fixed costs the files multiply.
+      val digest = graft.sources.Bucketing.pathDigest(sfDir)
+      val frag = graft.sources.Layouts.root(spark) + "/frag_li_" + digest
+      val comp = graft.sources.Layouts.root(spark) + "/compact_li_" + digest
+      graft.sources.PartitionedWrite.partitionedTable(spark,
+        Tables(spark, sfDir, "lineitem"), frag, "l_smonth",
+        year(col("l_shipdate")) * 100 + month(col("l_shipdate")),
+        splitFiles = math.max(8, spark.sparkContext.defaultParallelism))
+      graft.sources.Compaction.compact(spark, frag, comp, "l_smonth",
+        128L * 1024 * 1024)
+      def probe(path: String) = spark.read.parquet(path)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      val nf = graft.sources.Compaction.fileCounts(spark, frag).values.sum
+      val nc = graft.sources.Compaction.fileCounts(spark, comp).values.sum
+      val (fsec, frows) = measureScan(spark, probe(frag), n)
+      val (csec, crows) = measureScan(spark, probe(comp), n)
+      assert(frows == crows,
+        s"compaction duel decoded different row counts: $frows vs $crows")
+      println(f"""{"duel":"compaction","sf":"$sfDir","frag_files":$nf,"compact_files":$nc,"frag_sec":$fsec%.3f,"compact_sec":$csec%.3f,"speedup":${fsec / csec}%.2f,"scan_rows":$frows}""")
     }
 
     if (which("bloom")) {

@@ -953,6 +953,38 @@ object CoreQueries {
       .agg(dsum("l_extendedprice").as("rev"), count(lit(1)).as("n_rows"))
   }
 
+  // MERGE INTO / CDC upsert ([[graft.operators.MergeInto]]) — the
+  // OTHER warehouse-maintenance verb next to q51's compaction: a
+  // deterministic changeset is synthesized from the snapshot itself
+  // (keys ≡1 mod 10 → update totalprice + 1000; ≡2 → delete; ≡3 →
+  // insert under the collision-free negated key with halved price —
+  // both arithmetic ops bit-identical across engines) and applied via
+  // the broadcast-decomposed merge: snapshot ANTI-JOIN touched keys ∪
+  // updates ∪ inserts, the snapshot side never exchanging. The entry
+  // returns the full merged relation; the oracle re-derives the merge
+  // as set algebra over the same snapshot, so the hash pins every
+  // branch — a lost delete, a double-applied update, or a dropped
+  // survivor each break it.
+  def q52_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    val snap = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val m = pmod(col("o_orderkey"), lit(10L))
+    val upd = snap.filter(m === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        col("o_orderpriority"), lit("U").as("op"))
+    val del = snap.filter(m === 2)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"), lit("D").as("op"))
+    val ins = snap.filter(m === 3)
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 0.5).as("o_totalprice"),
+        lit("5-LOW").as("o_orderpriority"), lit("I").as("op"))
+    graft.operators.MergeInto(snap, upd.unionByName(del).unionByName(ins),
+      "o_orderkey")
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -1029,6 +1061,21 @@ object CoreQueries {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
         |  TRUE AS ok
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // the merge re-derived as set algebra: survivors (keys not
+    // touched by U/D) ∪ updated payloads ∪ inserted payloads —
+    // branch-for-branch the same relation MergeInto assembles.
+    "q52_merge_upsert" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    o_orderpriority FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM snap WHERE o_orderkey % 10 NOT IN (1, 2)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 1000.0,
+        |  o_orderpriority
+        |FROM snap WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT -o_orderkey, o_custkey, o_totalprice * 0.5, '5-LOW'
+        |FROM snap WHERE o_orderkey % 10 = 3""".stripMargin,
     // q51 aggregates the COMPACTED tree; the oracle aggregates the
     // plain source — equality proves the fragment→compact rewrite is
     // row-exact.
@@ -1385,5 +1432,6 @@ object CoreQueries {
     "q49_bloom_join" -> (q49_bloom_join _),
     "q50_hll_rollup" -> (q50_hll_rollup _),
     "q51_compaction" -> (q51_compaction _),
+    "q52_merge_upsert" -> (q52_merge_upsert _),
   )
 }
