@@ -985,6 +985,48 @@ object CoreQueries {
       "o_orderkey")
   }
 
+  private val q53Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  // SCHEMA EVOLUTION across ingestion epochs — the third maintenance
+  // surface after q51's files and q52's rows: a 100 TB corpus
+  // accumulates years of parquet whose schema DRIFTED (here
+  // o_orderpriority added at epoch 1), and the reader must union the
+  // footers instead of trusting one file's schema (Spark's default
+  // samples a single footer and silently DROPS columns the sampled
+  // epoch predates — the failure mode `mergeSchema` exists for, spec-
+  // pinned). Two epochs of orders land as epoch=N partition
+  // directories (ingestion batches ARE partitions, so evolution
+  // composes with the q47 layout); the entry reads the tree with
+  // mergeSchema and returns the full relation — epoch-0 rows carry
+  // NULL for the late column, which is exactly what the oracle's
+  // UNION with a typed NULL literal computes, so the hash pins the
+  // union-of-footers semantics end to end. Scale note: mergeSchema is
+  // a footer sweep over every file at PLANNING time (distributed by
+  // spark.sql.sources.parallelPartitionDiscovery, but still
+  // O(files)) — production pins the merged schema in a catalog and
+  // pays the sweep once per ingestion, not per query; the option is
+  // the discovery tool.
+  def q53_schema_merge(s: SparkSession, dir: String): DataFrame = {
+    val rel = q53Memo.getOrElseUpdate((s, dir), {
+      val root = graft.sources.Layouts.root(s) + "/evo_orders_" +
+        graft.sources.Bucketing.pathDigest(dir)
+      val snap = t(s, dir, "orders")
+      val even = pmod(col("o_orderkey"), lit(2L)) === 0
+      snap.filter(even)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(root + "/epoch=0")
+      snap.filter(!even)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(root + "/epoch=1")
+      s.read.option("mergeSchema", "true").parquet(root)
+    })
+    rel.select(col("epoch").cast(LongType).as("epoch"),
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderpriority"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -1061,6 +1103,16 @@ object CoreQueries {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
         |  TRUE AS ok
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // the union-of-footers semantics re-derived: epoch-0 rows carry a
+    // typed NULL for the column their files predate.
+    "q53_schema_merge" ->
+      """SELECT CAST(0 AS BIGINT) AS epoch, o_orderkey, o_custkey,
+        |  o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), o_orderkey, o_custkey,
+        |  o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
     // the merge re-derived as set algebra: survivors (keys not
     // touched by U/D) ∪ updated payloads ∪ inserted payloads —
     // branch-for-branch the same relation MergeInto assembles.
@@ -1433,5 +1485,6 @@ object CoreQueries {
     "q50_hll_rollup" -> (q50_hll_rollup _),
     "q51_compaction" -> (q51_compaction _),
     "q52_merge_upsert" -> (q52_merge_upsert _),
+    "q53_schema_merge" -> (q53_schema_merge _),
   )
 }
