@@ -74,6 +74,25 @@ object StreamQueries {
     }
   }
 
+  /** Land one backfill slice in the watched source dir as ONE data
+    * file. A multi-file append is NOT an atomic commit to a
+    * listing-based file source: the committer renames task files into
+    * the directory one at a time, so a running query's mid-commit
+    * listing can pick up a SUBSET of the slice — splitting it into
+    * two micro-batches whose arrival order no longer follows the
+    * feed's slice order (observed once under full-suite load: st02's
+    * exact-duplicate docs claimed an LSH bucket in the wrong order
+    * because the later doc's file won the listing race). One data
+    * file = one rename = atomic visibility, which is what the
+    * in-order-arrival contract every sliced feed documents actually
+    * requires of the landing layer; a production connector gets the
+    * same guarantee from its own atomic commit (one file per
+    * partition-epoch, or a manifest). The slice-sized single-task
+    * write is feed scaffolding, not the measured operator.
+    */
+  private def landSlice(df: DataFrame, srcDir: String): Unit =
+    df.coalesce(1).write.mode("append").parquet(srcDir)
+
   /** Stop a finished query and synchronously close its state-store
     * providers: stop() leaves RocksDB instances LOADED (they close
     * lazily — maintenance pass or JVM shutdown), and closing them
@@ -120,7 +139,7 @@ object StreamQueries {
       try {
         q.processAllAvailable()
         laterBatches.foreach { b =>
-          b.write.mode("append").parquet(srcDir)
+          landSlice(b, srcDir)
           q.processAllAvailable()
         }
       } finally stopAndUnload(q)
@@ -157,7 +176,7 @@ object StreamQueries {
       try {
         q.processAllAvailable()
         laterBatches.foreach { b =>
-          b.write.mode("append").parquet(srcDir)
+          landSlice(b, srcDir)
           q.processAllAvailable()
         }
       } finally stopAndUnload(q)
@@ -199,17 +218,17 @@ object StreamQueries {
       try {
         q1.processAllAvailable()
         before.foreach { b =>
-          b.write.mode("append").parquet(srcDir)
+          landSlice(b, srcDir)
           q1.processAllAvailable()
         }
       } finally stopAndUnload(q1)
       // the pipeline is DOWN; the backfill keeps arriving anyway
-      after.headOption.foreach(_.write.mode("append").parquet(srcDir))
+      after.headOption.foreach(landSlice(_, srcDir))
       val (_, q2) = start()
       try {
         q2.processAllAvailable()
         after.drop(1).foreach { b =>
-          b.write.mode("append").parquet(srcDir)
+          landSlice(b, srcDir)
           q2.processAllAvailable()
         }
       } finally stopAndUnload(q2)
