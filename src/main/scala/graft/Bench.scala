@@ -193,8 +193,23 @@ object Bench {
     // clean-boot record is promoted deliberately:
     //   cp target/BENCH_LAST.json BENCH_LAST.json
     // after a run whose load fields show an idle host.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/BENCH_LAST.json"), line + "\n")
-    catch { case _: Throwable => () }
+    try {
+      // target/ may be absent when launched from a non-sbt CWD — the
+      // silent-swallow then lost the evidence line (r15 advice).
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/BENCH_LAST.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LAST write failed: $e")
+    }
+    // Compact summary TRAILER, the absolute last stdout line: the full
+    // line above is ~4 KB and the driver keeps only an output tail, so
+    // its head (total, most per-query times) was cut off in r13-r15
+    // (`parsed: null` three rounds running). This ≤300-byte line
+    // carries the headline — total, query/error counts, per-family
+    // subtotals, load, sf — and parses standalone; the full per-query
+    // detail stays one line up and in target/BENCH_LAST.json.
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","n":${timed.length},"err_n":${failed.length},"families":$fams,"cpus":$cpus,"load_avg_start":${n3(loadStart)},"load_avg_end":${n3(loadAvg)},"sf":"$sfDir"}""")
   }
 }

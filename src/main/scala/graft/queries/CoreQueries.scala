@@ -915,8 +915,12 @@ object CoreQueries {
           col("n_exact") * Q50Tol).as("ok"))
   }
 
+  // Keyed by (session, dir, targetBytes): the conf is resolved BEFORE
+  // the memo lookup so changing graft.compaction.targetBytes
+  // mid-session recompacts at the new target instead of silently
+  // returning the old tree (r15 advice).
   private val q51Memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    .empty[(SparkSession, String, Long), DataFrame]
 
   // Small-file COMPACTION ([[graft.sources.Compaction]]) — the layout-
   // MAINTENANCE verb next to the three layout-creation operators
@@ -936,7 +940,9 @@ object CoreQueries {
   // pruning intact on the compacted tree); both trees are layout
   // artifacts under [[graft.sources.Layouts.root]], rebuild-on-miss.
   def q51_compaction(s: SparkSession, dir: String): DataFrame = {
-    val compacted = q51Memo.getOrElseUpdate((s, dir), {
+    val target = s.conf.getOption("graft.compaction.targetBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val compacted = q51Memo.getOrElseUpdate((s, dir, target), {
       val digest = graft.sources.Bucketing.pathDigest(dir)
       val frag = graft.sources.Layouts.root(s) + "/frag_li_" + digest
       val dst = graft.sources.Layouts.root(s) + "/compact_li_" + digest
@@ -944,8 +950,6 @@ object CoreQueries {
         s, t(s, dir, "lineitem"), frag, "l_smonth",
         year(col("l_shipdate")) * 100 + month(col("l_shipdate")),
         splitFiles = math.max(8, s.sparkContext.defaultParallelism))
-      val target = s.conf.getOption("graft.compaction.targetBytes")
-        .map(_.toLong).getOrElse(128L * 1024 * 1024)
       graft.sources.Compaction.compact(s, frag, dst, "l_smonth", target)
     })
     compacted

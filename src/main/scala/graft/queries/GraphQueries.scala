@@ -1360,18 +1360,21 @@ object GraphQueries {
   /** Budget and tolerance for [[g20_hits_converged]]. STATIC, not
     * conf-driven: the oracle must unroll exactly the same K rounds and
     * encode the same integer tolerance, and `oracleSql` is one string
-    * per entry across every SF. The tolerance is [[HitsQ]]/1000 —
-    * max|Δauth| + max|Δhub| within 0.1% of the normalized scale — and
-    * the budget caps both engines identically when an SF's graph
+    * per entry across every SF. Tolerance = [[HitsQ]]/50 — stop when
+    * max|Δauth| + max|Δhub| falls within 2% of the normalized scale —
+    * and the budget caps both engines identically when an SF's graph
     * hasn't converged by round K (the criterion then never fires and
     * both return round K's vectors with rounds_run = K, so the cap is
-    * hash-safe at ANY scale, not just the ones measured). Tolerance
-    * 2% of the normalized scale: the shipped graphs' deltas decay
-    * ~0.81/round (measured, GraphQueriesSpec), crossing 2%·Q near
-    * round 12 — inside the budget, so at the tested SFs the stop is
-    * the CRITERION's, and the entry actually exercises the dial.
+    * hash-safe at ANY scale, not just the ones measured). The pair is
+    * chosen from measurement ([[graft.HitsProbe]], budget 40): the
+    * shipped graphs cross 2%·Q at round 12 (sf0.001), 17 (sf0.01),
+    * and 27 (sf0.1) — so a 20-round budget has the CRITERION fire at
+    * both of the driver's oracle SFs (sf0.001 AND the sf0.01 gate;
+    * the r15 budget of 16 capped sf0.01 one round short) while sf0.1
+    * exercises the budget branch. Both regimes of the stopping rule
+    * stay oracle-pinned across the shipped SFs.
     */
-  private val G20MaxRounds = 16
+  private val G20MaxRounds = 20
   private val G20Tol = HitsQ / 50L
 
   /** Delta-CONVERGED HITS as a registry entry — [[hitsConverged]]
@@ -1384,10 +1387,12 @@ object GraphQueries {
     * some other round's fixed point. All-integer end to end: the
     * per-round deltas are fixed-point int64, so both engines stop at
     * the SAME round by exact arithmetic — no epsilon in the criterion.
-    * Measured stops: sf0.001 converges at round 12 (the criterion's
-    * stop); sf0.01/sf0.1 run to the 16-round cap (larger derived
-    * graphs mix slower) — so across the shipped SFs the oracle checks
-    * BOTH regimes of the stopping rule. Memoized per (session, dir)
+    * Measured stops under the 20-round budget: sf0.001 converges at
+    * round 12 and sf0.01 at round 17 (the criterion's stop at BOTH
+    * driver oracle SFs); sf0.1 runs to the cap (it would converge at
+    * 27 — larger derived graphs mix slower) — so across the shipped
+    * SFs the oracle checks BOTH regimes of the stopping rule.
+    * Memoized per (session, dir)
     * like the converged CC family (g11's round-7 lesson): the labels
     * are deterministic, repeated calls (the bench's samples 2-3)
     * reuse the checkpointed vectors, and the full-pass cost is

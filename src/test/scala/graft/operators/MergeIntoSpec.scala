@@ -52,4 +52,84 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"anti-join did not broadcast:\n$plan")
   }
+
+  // ---- copy-on-write write-back (r15 verdict item 3: EXECUTE the
+  // "only touched directories change" claim, don't just assert it) ----
+
+  /** (file name → (length, mtime)) per partition directory — the
+    * byte-untouched evidence. */
+  private def dirFiles(path: String): Map[String, Map[String, (Long, Long)]] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath).iterator
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime))
+          .toMap
+      }.toMap
+  }
+
+  private def ms(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
+    df.select(cols.toIndexedSeq: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  test("copyOnWrite rewrites ONLY touched directories; untouched files stay byte-identical; the relation equals the merge-on-read form") {
+    val path = "target/test_cow_merge"
+    // partitions p0..p3, 8 rows each
+    val table = (0L until 32L).map(k => (k, s"n$k", k * 1.0, s"p${k % 4}"))
+      .toDF("k", "name", "v", "part")
+    table.write.mode("overwrite").partitionBy("part").parquet(path)
+    val before = dirFiles(path)
+    assert(before.keySet === Set("part=p0", "part=p1", "part=p2", "part=p3"))
+    val snapshotBefore = spark.read.parquet(path).collect()
+      .map(_.toSeq).toSeq // captured BEFORE the in-place write
+    // touch p1 (update k=1) and p2 (delete k=2); insert lands in p1
+    // and in a brand-new partition p9; p0 and p3 stay untouched
+    val changes = Seq(
+      (1L, "upd", 111.0, "p1", "U"),
+      (2L, "del", 0.0, "p2", "D"),
+      (101L, "ins1", 101.0, "p1", "I"),
+      (109L, "ins9", 109.0, "p9", "I")
+    ).toDF("k", "name", "v", "part", "op")
+    val out = MergeInto.copyOnWrite(spark, path, "part", changes, "k")
+    val after = dirFiles(path)
+    // untouched directories: same file names, lengths, AND mtimes
+    Seq("part=p0", "part=p3").foreach { d =>
+      assert(after(d) === before(d), s"$d was rewritten: " +
+        s"before=${before(d)} after=${after(d)}")
+    }
+    // touched directories actually rewrote; the new partition exists
+    Seq("part=p1", "part=p2").foreach { d =>
+      assert(after(d) !== before(d), s"$d did not rewrite")
+    }
+    assert(after.contains("part=p9"), "insert into a new partition " +
+      "must create its directory")
+    // the written-back relation IS the merge-on-read relation over the
+    // pre-merge snapshot
+    val snapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(snapshotBefore.map(
+        org.apache.spark.sql.Row.fromSeq)),
+      spark.read.parquet(path).schema)
+    assert(ms(out) === ms(MergeInto(snapDf, changes, "k")))
+  }
+
+  test("copyOnWrite deletes a fully-emptied partition directory instead of resurrecting its stale files") {
+    val path = "target/test_cow_full_delete"
+    val table = (0L until 12L).map(k => (k, k * 1.0, s"p${k % 3}"))
+      .toDF("k", "v", "part")
+    table.write.mode("overwrite").partitionBy("part").parquet(path)
+    // delete EVERY row of p1 (keys ≡1 mod 3); dynamic overwrite alone
+    // would leave part=p1's files behind — the resurrect trap
+    val changes = (0L until 12L).filter(_ % 3 == 1)
+      .map(k => (k, 0.0, "p1", "D")).toDF("k", "v", "part", "op")
+    val out = MergeInto.copyOnWrite(spark, path, "part", changes, "k")
+    assert(!dirFiles(path).contains("part=p1"),
+      "fully-deleted partition directory must be removed")
+    assert(out.filter($"part" === "p1").count() === 0L)
+    assert(out.count() === 8L)
+  }
 }

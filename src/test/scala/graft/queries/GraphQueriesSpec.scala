@@ -225,14 +225,16 @@ class GraphQueriesSpec extends AnyFunSuite {
     // The registry entry puts the STOPPING RULE under the oracle hash
     // by carrying rounds_run as a column; this pins the Spark side's
     // half of that contract — the column is constant, the stop is the
-    // criterion's (strictly under the 16-round budget on this graph),
-    // and stripping it leaves exactly hitsLoop unrolled to that count.
+    // criterion's (strictly under the 20-round budget on this graph;
+    // HitsProbe-measured stops: 12 at sf0.001, 17 at sf0.01, cap at
+    // sf0.1), and stripping it leaves exactly hitsLoop unrolled to
+    // that count.
     GraphQueries.clearCheckpointMemos(spark)
     val res = GraphQueries.g20_hits_converged(spark, dir)
     val rounds = res.select("rounds_run").distinct().collect()
     assert(rounds.length === 1, "rounds_run must be constant")
     val r = rounds.head.getLong(0).toInt
-    assert(r >= 2 && r < 16, s"expected a criterion stop, got $r")
+    assert(r >= 2 && r < 20, s"expected a criterion stop, got $r")
     GraphQueries.clearCheckpointMemos(spark)
     val unrolled = GraphQueries.hitsLoop(spark, dir, r)
     def sortedRows(df: org.apache.spark.sql.DataFrame) =

@@ -62,6 +62,81 @@ class CompactionSpec extends AnyFunSuite {
       ms(spark.read.parquet(frag).select(cols: _*)))
   }
 
+  test("an epoch-evolved tree compacts to the union-of-footers schema — the late column survives, NULL before its epoch") {
+    // The q53 layout composed with q51's compactor (the r15 verdict's
+    // composition defect): epoch=0 files PREDATE the `o_comment`-like
+    // late column, epoch=1 files carry it. Without mergeSchema the
+    // compactor's source read trusts one sampled footer and silently
+    // drops (or nulls) the late column depending on which epoch wins.
+    val src = "target/test_evo_src"
+    val snap = Tables(spark, dir, "orders")
+    val even = pmod(col("o_orderkey"), lit(2L)) === 0
+    snap.filter(even)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(src + "/epoch=0")
+    snap.filter(!even)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(src + "/epoch=1")
+    val out = Compaction.compact(spark, src, "target/test_evo_compact",
+      "epoch", 128L * 1024 * 1024)
+    assert(out.columns.toSet ===
+      Set("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "epoch"), s"late column lost: ${out.columns.mkString(",")}")
+    val nulls = out.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_set"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(nulls(0)._1 > 0 && nulls(0)._2 === 0L,
+      s"epoch-0 rows must carry NULL for the late column: $nulls")
+    assert(nulls(1)._1 > 0 && nulls(1)._2 === nulls(1)._1,
+      s"epoch-1 rows must keep their values: $nulls")
+    // full multiset survival under the merged schema
+    val cols = Seq("epoch", "o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderpriority").map(col)
+    val merged = spark.read.option("mergeSchema", "true").parquet(src)
+    assert(ms(out.select(cols: _*)) === ms(merged.select(cols: _*)))
+  }
+
+  test("a null partition value routes through __HIVE_DEFAULT_PARTITION__ instead of null-rejecting the directory") {
+    // filePlan lists a null directory under hive's sentinel; the plan
+    // join must coalesce to it or every row of that directory silently
+    // vanishes from the compacted tree (r15 advice — the silent-loss
+    // case the row-count assert also backstops).
+    val src = "target/test_null_part_src"
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("prio"))
+      .write.mode("overwrite").partitionBy("prio").parquet(src)
+    assert(Compaction.fileCounts(spark, src).keySet
+      .contains("__HIVE_DEFAULT_PARTITION__"))
+    val out = Compaction.compact(spark, src, "target/test_null_part_dst",
+      "prio", 128L * 1024 * 1024)
+    val srcN = spark.read.parquet(src).count()
+    assert(out.count() === srcN)
+    assert(out.filter(col("prio").isNull).count() ===
+      spark.read.parquet(src).filter(col("prio").isNull).count())
+  }
+
+  test("a hive-escaped string partition value still routes (unescaped plan keys)") {
+    // ':' is on hive's escape list — the directory is `pv=a%3Ab` while
+    // the data column renders `a:b`; filePlan unescapes so the plan
+    // join matches the column, and the row-count assert guards any
+    // residual encoding divergence.
+    val src = "target/test_esc_part_src"
+    Tables(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"),
+        concat(lit("k:"), col("r_regionkey")).as("pv"))
+      .write.mode("overwrite").partitionBy("pv").parquet(src)
+    val plan = Compaction.filePlan(spark, src, 128L * 1024 * 1024)
+    assert(plan.keys.forall(_.startsWith("k:")), s"plan keys: $plan")
+    val out = Compaction.compact(spark, src, "target/test_esc_part_dst",
+      "pv", 128L * 1024 * 1024)
+    assert(out.count() === spark.read.parquet(src).count())
+  }
+
   test("partition pruning still prunes on the compacted tree") {
     Compaction.compact(spark, frag, "target/test_compact_li_p",
       "l_smonth", 128L * 1024 * 1024)
