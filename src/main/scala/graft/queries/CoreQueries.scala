@@ -1031,6 +1031,68 @@ object CoreQueries {
       col("o_orderpriority"))
   }
 
+  private val q54Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The materialized per-partition statistics table q54 serves —
+    * ANALYZE as a LAYOUT ARTIFACT, completing the warehouse family
+    * (partitioned q47/q48, z-order q42, compaction q51, merge q52,
+    * schema q53): one row per `l_smonth` directory of the
+    * [[partitionedLineitem]] tree carrying rowcount, min/max bounds
+    * for the scan-relevant columns, and a MERGEABLE HLL sketch of
+    * `l_partkey` NDV — exactly what a table format keeps per
+    * file/partition in its manifests (Delta/Iceberg column stats;
+    * the min/max are what data skipping reads INSTEAD of footers,
+    * the NDV is what a CBO joins-orders by). Written beside the tree
+    * it describes under [[graft.sources.Layouts.root]] (the q50
+    * sidecar posture — rebuild-on-miss, re-pointed with the
+    * layouts). Scale shape: one aggregation pass at ingestion per
+    * landed partition, |directories| rows forever after — stats
+    * queries and merges never re-scan the corpus, because count,
+    * min/max, and HLL all merge associatively.
+    */
+  private def partitionStats(s: SparkSession, dir: String): DataFrame =
+    q54Memo.getOrElseUpdate((s, dir), {
+      val path = graft.sources.Layouts.root(s) + "/q54_stats_" +
+        graft.sources.Bucketing.pathDigest(dir)
+      partitionedLineitem(s, dir)
+        .groupBy(col("l_smonth"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          hll_sketch_agg(col("l_partkey"), lit(Q50LgK)).as("sk_partkey"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+
+  // ANALYZE-style per-partition column statistics
+  // ([[partitionStats]]) — the registry relation IS the stats table:
+  // exact columns (rowcount, min/max price, min/max ship timestamp)
+  // hash directly against DuckDB's re-derivation from the raw rows,
+  // and the engine-specific NDV estimate is audited in-query against
+  // the exact per-month distinct count (the q50/g07 tolerance-witness
+  // pattern: `ndv_ok` must be TRUE in both engines — Datasketches HLL
+  // is deterministic, so the boolean is stable). The exact-NDV audit
+  // pass is the audit tier, priced like q50's; at scale it runs
+  // per-landing, not per-query — production reads the stats table
+  // alone, which is |directories| rows at ANY corpus size.
+  def q54_partition_stats(s: SparkSession, dir: String): DataFrame = {
+    val exact = t(s, dir, "lineitem")
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .as("l_smonth"))
+      .agg(countDistinct(col("l_partkey")).as("ndv_exact"))
+    partitionStats(s, dir)
+      .withColumn("ndv_est", hll_sketch_estimate(col("sk_partkey")))
+      .join(exact, Seq("l_smonth"))
+      .select(col("l_smonth").cast(LongType).as("ship_month"),
+        col("n_rows"), col("min_price"), col("max_price"),
+        col("min_ship"), col("max_ship"), col("ndv_exact"),
+        (abs(col("ndv_est") - col("ndv_exact")) <=
+          col("ndv_exact") * Q50Tol).as("ndv_ok"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -1132,6 +1194,21 @@ object CoreQueries {
         |UNION ALL
         |SELECT -o_orderkey, o_custkey, o_totalprice * 0.5, '5-LOW'
         |FROM snap WHERE o_orderkey % 10 = 3""".stripMargin,
+    // the stats table re-derived from the raw rows: exact columns
+    // hash directly; the NDV estimate reduces to its tolerance
+    // witness, TRUE in the oracle (q50's pattern).
+    "q54_partition_stats" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+        |    AS ship_month,
+        |  COUNT(*) AS n_rows,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  MIN(l_shipdate) AS min_ship,
+        |  MAX(l_shipdate) AS max_ship,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_exact,
+        |  TRUE AS ndv_ok
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
     // q51 aggregates the COMPACTED tree; the oracle aggregates the
     // plain source — equality proves the fragment→compact rewrite is
     // row-exact.
@@ -1490,5 +1567,6 @@ object CoreQueries {
     "q51_compaction" -> (q51_compaction _),
     "q52_merge_upsert" -> (q52_merge_upsert _),
     "q53_schema_merge" -> (q53_schema_merge _),
+    "q54_partition_stats" -> (q54_partition_stats _),
   )
 }

@@ -117,6 +117,62 @@ object Compaction {
     *    join key. The count passes are parquet footer-count scans
     *    (no columns read), noise next to the rewrite itself.
     */
+  /** Compact a STREAMING file-sink output directory — the maintenance
+    * gap the st family and [[compact]] jointly expose: a sink dir is
+    * read through its `_spark_metadata` commit log (readers serve
+    * ONLY manifest-listed files — that is the sink's exactly-once
+    * read contract), so rewriting its files with the plain compactor
+    * would leave a manifest pointing at deleted paths and a tree
+    * Spark refuses to read. This variant keeps the contract across
+    * the rewrite:
+    *
+    *  1. read `sinkDir` VIA its manifest (`spark.read.parquet`
+    *     auto-detects `_spark_metadata`) — uncommitted stragglers
+    *     from a crashed batch are never compacted in;
+    *  2. size the output from the committed files' actual bytes (one
+    *     driver-side stat per committed file — metadata-scale, the
+    *     same |files| the read must plan anyway) and rewrite in one
+    *     explicit-width shuffle, same AQE-pinning rationale as
+    *     [[compact]];
+    *  3. re-register: write a FRESH commit log at `dstPath` declaring
+    *     the compacted files as batch 0
+    *     ([[org.apache.spark.sql.graft.ColumnBridge.writeSinkManifest]]
+    *     — Spark's own `FileStreamSinkLog` format, so the compacted
+    *     dir reads exactly like the original sink, stray files again
+    *     invisible).
+    *
+    * The compacted dir is a read-only SNAPSHOT for downstream
+    * consumers: the original query keeps appending to `sinkDir`
+    * (its checkpoint references that log; periodic re-compaction
+    * picks up newly committed batches). Unpartitioned sinks only —
+    * the shape every st entry writes; a partitioned sink compacts
+    * per-directory with the same recipe. Row-preservation asserted
+    * like [[compact]].
+    */
+  def compactStreamSink(s: SparkSession, sinkDir: String, dstPath: String,
+                        targetBytes: Long): DataFrame = {
+    val src = s.read.parquet(sinkDir) // manifest-routed listing
+    val fs = new Path(sinkDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committedBytes = src.inputFiles
+      .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val width = math.max(1L,
+      (committedBytes + targetBytes - 1) / targetBytes).toInt
+    src.repartition(width)
+      .write.mode(SaveMode.Overwrite).parquet(dstPath)
+    val dataFiles = fs.listStatus(new Path(dstPath))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+    org.apache.spark.sql.graft.ColumnBridge
+      .writeSinkManifest(s, dstPath, dataFiles.toIndexedSeq)
+    val out = s.read.parquet(dstPath)
+    val (nSrc, nDst) = (src.count(), out.count())
+    require(nSrc == nDst,
+      s"sink compaction must be row-preserving: $sinkDir has $nSrc " +
+        s"committed rows but compacted $dstPath reads $nDst")
+    out
+  }
+
   def compact(s: SparkSession, srcPath: String, dstPath: String,
               partCol: String, targetBytes: Long): DataFrame = {
     val plan = filePlan(s, srcPath, targetBytes)

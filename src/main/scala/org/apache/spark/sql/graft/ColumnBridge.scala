@@ -82,6 +82,32 @@ object ColumnBridge {
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 
+  /** Write a file-sink commit log (`_spark_metadata`) at `outputDir`
+    * declaring exactly `files` as batch 0's committed output — the
+    * re-registration step of compacting a STREAMING sink's directory:
+    * the compacted files are a fresh, complete snapshot, and readers
+    * of a dir containing `_spark_metadata` serve ONLY manifest-listed
+    * files, so a stale or partially-written stray file is invisible
+    * (the same exactly-once read contract the original sink gave).
+    * Uses Spark's own `FileStreamSinkLog` (VERSION, serialization,
+    * compaction cadence), not a hand-rolled format — the log stays
+    * readable by any Spark that can read the original sink's.
+    * `FileStreamSinkLog`/`SinkFileStatus` are `private[sql]`, hence
+    * this bridge.
+    */
+  def writeSinkManifest(spark: org.apache.spark.sql.SparkSession,
+      outputDir: String,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
+    import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
+    val logDir = new org.apache.hadoop.fs.Path(
+      outputDir, org.apache.spark.sql.execution.streaming.sinks.FileStreamSink.metadataDir)
+    val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION,
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      logDir.toString)
+    require(log.add(0L, files.map(SinkFileStatus.apply).toArray),
+      s"sink manifest batch 0 already committed at $logDir")
+  }
+
   /** Register the graft SQL functions on an ALREADY-BUILT session
     * (sessions built with `GraftExtensions` don't need this). Uses the
     * session's function registry, which is `private[sql]`.

@@ -702,4 +702,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("compactStreamSink preserves the committed relation and re-registers a manifest that keeps stray files invisible") {
+    // The maintenance loop between the st family and q51 (r16 item):
+    // a file sink's output is read via its _spark_metadata commit log,
+    // so compacting it must (a) compact only COMMITTED files and
+    // (b) leave a dir that still reads via a manifest.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "target/test_sink_compact"
+    val (outDir, cpDir, dstDir) =
+      (s"$base/out", s"$base/cp", s"$base/compacted")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val in = MemoryStream[Ev]
+    val q = in.toDF().select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode(OutputMode.Append).start()
+    try {
+      (1 to 3).foreach { b => // 3 commits → ≥3 committed data files
+        in.addData((1 to 20).map(i => ev(b * 100L + i, m = b)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // a crashed task's orphan: present on disk, absent from the log
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, stray.getPath, fs,
+      new org.apache.hadoop.fs.Path(outDir, "stray-uncommitted.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val committed = spark.read.parquet(outDir).collect()
+      .map(_.toSeq.toString).sorted.toSeq
+    assert(committed.length === 60, "manifest read must exclude the stray")
+    val out = graft.sources.Compaction.compactStreamSink(
+      spark, outDir, dstDir, 128L * 1024 * 1024)
+    assert(out.collect().map(_.toSeq.toString).sorted.toSeq === committed)
+    val dstFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    assert(dstFiles.length === 1, s"expected 1 compacted file, got " +
+      dstFiles.map(_.getPath.getName).mkString(","))
+    // the NEW manifest governs reads: a stray dropped into the
+    // compacted dir stays invisible, same contract as the original sink
+    org.apache.hadoop.fs.FileUtil.copy(fs, dstFiles.head.getPath, fs,
+      new org.apache.hadoop.fs.Path(dstDir, "stray-later.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(dstDir).collect()
+      .map(_.toSeq.toString).sorted.toSeq === committed)
+  }
 }
