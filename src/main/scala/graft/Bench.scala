@@ -142,7 +142,8 @@ object Bench {
         n.endsWith("_i10") || n.startsWith("g11") || n.startsWith("g12") ||
           n.startsWith("g13") || n.startsWith("g14") || n.startsWith("g15") ||
           n.startsWith("g19") || n.startsWith("g20") || n.startsWith("q50") ||
-          n.startsWith("q51") || n.startsWith("q53") || n.startsWith("q54") }
+          n.startsWith("q51") || n.startsWith("q53") || n.startsWith("q54") ||
+          n.startsWith("q55") }
       .map { case (k, _, c, _, _) => s"\"" + k + "\":" + n3(c) }
       .mkString("{", ",", "}")
     // Honest-cost map for the join-eliminated class (see

@@ -111,7 +111,7 @@ object Duel {
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     val which = if (args.nonEmpty) args.toSet
       else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym",
-        "bucketededges", "hits", "dpp", "bloom", "compaction")
+        "bucketededges", "hits", "dpp", "bloom", "compaction", "mergecow")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -295,6 +295,99 @@ object Duel {
       assert(frows == crows,
         s"compaction duel decoded different row counts: $frows vs $crows")
       println(f"""{"duel":"compaction","sf":"$sfDir","frag_files":$nf,"compact_files":$nc,"frag_sec":$fsec%.3f,"compact_sec":$csec%.3f,"speedup":${fsec / csec}%.2f,"scan_rows":$frows}""")
+    }
+
+    if (which("mergecow")) {
+      // CDC write-back duel: the SAME changeset applied to the same
+      // month-partitioned orders tree via MergeInto.copyOnWrite
+      // (dynamic overwrite of touched directories only) vs the naive
+      // full rewrite (merge-on-read relation written back over the
+      // whole tree). Both produce the identical relation (asserted by
+      // count + order-free hash below); the numbers that carry to
+      // 100 TB are dirs_rewritten and bytes_written — a CDC batch
+      // touching 2 of ~80 month directories should rewrite ~2/80 of
+      // the table's bytes, and the full-rewrite wall grows with the
+      // CORPUS while the COW wall grows with the batch.
+      val digest = graft.sources.Bucketing.pathDigest(sfDir)
+      val cowDir = graft.sources.Layouts.root(spark) + "/merge_cow_" + digest
+      val cowDir2 = graft.sources.Layouts.root(spark) + "/merge_cowi_" + digest
+      val fullDir = graft.sources.Layouts.root(spark) + "/merge_full_" + digest
+      def monthCol = year(col("o_orderdate")) * 100 + month(col("o_orderdate"))
+      val snapSrc = Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"), monthCol.as("o_month"))
+      snapSrc.write.mode("overwrite").partitionBy("o_month").parquet(cowDir)
+      snapSrc.write.mode("overwrite").partitionBy("o_month").parquet(cowDir2)
+      def dirStats(path: String): Map[String, (Int, Long, Long)] = {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).iterator
+          .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+          .map { d =>
+            val fls = fs.listStatus(d.getPath)
+              .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            d.getPath.getName ->
+              ((fls.length, fls.map(_.getLen).sum, fls.map(_.getModificationTime).max))
+          }.toMap
+      }
+      val before = dirStats(cowDir)
+      val snap = spark.read.parquet(cowDir)
+      // changeset confined to two mid-corpus months present at every
+      // SF (orders span 1992-01..1998-08): updates+inserts in 199801,
+      // deletes in 199806 — ~2 of ~80 directories touched
+      val (mU, mD) = (199801, 199806)
+      val mcol = col("o_month")
+      val upd = snap.filter(mcol === mU && pmod(col("o_orderkey"), lit(5L)) === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderpriority"), col("o_month"), lit("U").as("op"))
+      val del = snap.filter(mcol === mD && pmod(col("o_orderkey"), lit(5L)) === 2)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_month"), lit("D").as("op"))
+      val ins = snap.filter(mcol === mU && pmod(col("o_orderkey"), lit(5L)) === 3)
+        .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 0.5).as("o_totalprice"),
+          col("o_orderpriority"), col("o_month"), lit("I").as("op"))
+      val changes = upd.unionByName(del).unionByName(ins)
+        .localCheckpoint(true) // changeset derives from the tree the COW rewrites
+      val t0 = System.nanoTime()
+      graft.operators.MergeInto(snap, changes, "o_orderkey")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("o_month").parquet(fullDir)
+      val fullSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.operators.MergeInto.copyOnWrite(
+        spark, cowDir, "o_month", changes, "o_orderkey")
+      val cowSec = (System.nanoTime() - t1) / 1e9
+      // the immutable-partition-key fast path: affected dirs from the
+      // changeset alone — no snapshot probe scan (this changeset
+      // conforms: U/D rows carry their row's current month)
+      val t2 = System.nanoTime()
+      graft.operators.MergeInto.copyOnWrite(
+        spark, cowDir2, "o_month", changes, "o_orderkey",
+        partitionKeyImmutable = true)
+      val cowImmSec = (System.nanoTime() - t2) / 1e9
+      val after = dirStats(cowDir)
+      val rewritten = after.filter { case (d, st) => before.get(d) != Some(st) }
+      val cowBytes = rewritten.values.map(_._2).sum
+      val fullStats = dirStats(fullDir)
+      val fullBytes = fullStats.values.map(_._2).sum
+      def sig(path: String): (Long, java.math.BigDecimal) = {
+        // order-free row hash; decimal sum — a raw long sum overflows
+        // ANSI arithmetic at 150k rows of full-range xxhash64 values
+        val r = spark.read.parquet(path)
+          .agg(count(lit(1)),
+            sum(xxhash64(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("o_orderpriority"))
+              .cast("decimal(38,0)")))
+          .head()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      assert(sig(cowDir) == sig(fullDir),
+        "mergecow duel: COW and full-rewrite relations diverge")
+      assert(sig(cowDir2) == sig(fullDir),
+        "mergecow duel: immutable-key COW diverges")
+      println(f"""{"duel":"mergecow","sf":"$sfDir","dirs_total":${after.size},"dirs_rewritten":${rewritten.size},"cow_bytes":$cowBytes,"full_bytes":$fullBytes,"bytes_ratio":${fullBytes.toDouble / math.max(1L, cowBytes)}%.1f,"cow_sec":$cowSec%.3f,"cow_imm_sec":$cowImmSec%.3f,"full_sec":$fullSec%.3f}""")
     }
 
     if (which("bloom")) {

@@ -90,17 +90,33 @@ object MergeInto {
     * partition values follow the null directory like [[
     * graft.sources.Compaction]] (hive's `__HIVE_DEFAULT_PARTITION__`).
     *
+    * `partitionKeyImmutable = true` is the production fast path for
+    * the common CDC contract (the partition key never changes for an
+    * existing row, and D rows carry the row's current `partCol`):
+    * affected partitions then come straight from the CHANGESET's
+    * partition values and step 1's snapshot semi-join probe — the
+    * only full-table scan in the default path — is skipped entirely,
+    * making the whole merge proportional to the affected slice. The
+    * same pruning a table format derives from a partition predicate
+    * in the MERGE condition. If the caller breaks the contract (a
+    * touched key actually lives in an unprobed partition), its stale
+    * row SURVIVES — which is why it is an explicit opt-in, defaulted
+    * off, and spec-pinned equal to the probing path on a conforming
+    * changeset.
+    *
     * Returns the post-merge relation read back from `tablePath`.
     */
   def copyOnWrite(s: SparkSession, tablePath: String, partCol: String,
-                  changes: DataFrame, key: String): DataFrame = {
+                  changes: DataFrame, key: String,
+                  partitionKeyImmutable: Boolean = false): DataFrame = {
     val snapshot = s.read.parquet(tablePath)
     val touched = broadcast(
       changes.filter(col("op").isin("U", "D")).select(col(key)))
     val arriving = changes.filter(col("op").isin("U", "I")).drop("op")
-    val parts = snapshot.join(touched, Seq(key), "left_semi")
-      .select(col(partCol))
-      .union(arriving.select(col(partCol)))
+    val parts = (if (partitionKeyImmutable) changes.select(col(partCol))
+      else snapshot.join(touched, Seq(key), "left_semi")
+        .select(col(partCol))
+        .union(arriving.select(col(partCol))))
       .distinct().collect().map(_.get(0)).toSeq
     if (parts.isEmpty) return snapshot // empty changeset: no-op
     val (nullPart, defined) = parts.partition(_ == null)

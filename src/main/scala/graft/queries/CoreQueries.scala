@@ -737,6 +737,11 @@ object CoreQueries {
     * than the unpruned scan; with the split the same prune is ~32
     * wide). Override with `graft.partitioned.splitFiles`.
     */
+  /** Spec access to the partitioned layout (PartitionedSpec's q55
+    * counterfactual scan needs the raw tree, not a registry entry). */
+  private[graft] def partitionedLineitemForSpec(s: SparkSession,
+      dir: String): DataFrame = partitionedLineitem(s, dir)
+
   private def partitionedLineitem(s: SparkSession, dir: String): DataFrame =
     partLiMemo.getOrElseUpdate((s, dir), {
       val split = s.conf.getOption("graft.partitioned.splitFiles")
@@ -1093,6 +1098,46 @@ object CoreQueries {
           col("ndv_exact") * Q50Tol).as("ndv_ok"))
   }
 
+  /** [[q55_stats_skipping]]'s date window — mid-corpus, present at
+    * every SF (lineitem ships 1995-01..2001-11), spanning parts of
+    * 4 calendar months so the stats-driven skip keeps 4 of 83
+    * directories. Shared verbatim with the oracle.
+    */
+  private val Q55Lo = "1997-03-10"
+  private val Q55Hi = "1997-06-20"
+
+  // STATS-DRIVEN partition skipping — [[partitionStats]] consumed as
+  // the zone map it is: the predicate is on l_shipdate, a DATA column
+  // the partitioning never declared, so Spark's own partition pruning
+  // canNOT engage (q47/q48 prune on the partition column; a data-
+  // column predicate lists all 83 directories). The stats table's
+  // per-directory [min_ship, max_ship] envelopes identify the
+  // directories whose interval intersects the query window — a
+  // ≤83-row driver probe (the O9 scalar shape) — and the scan lists
+  // ONLY those (4 of 83 here; PartitionedSpec pins numPartitions).
+  // The residual exact predicate re-filters inside survivors, so the
+  // skip is superset-safe by interval algebra and the relation is
+  // layout-independent — the oracle is the plain date-window SQL.
+  // This is precisely Delta/Iceberg data skipping: manifest min/max
+  // on data columns prune files the engine would otherwise open. At
+  // 100 TB the probe reads |directories| stats rows instead of
+  // opening |files| footers; staleness is the known hazard — here
+  // both artifacts build from the same memoized tree, and a
+  // production table format versions stats WITH the snapshot.
+  def q55_stats_skipping(s: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit(Q55Lo))
+    val hi = to_timestamp(lit(Q55Hi))
+    val live = partitionStats(s, dir)
+      .filter(col("max_ship") >= lo && col("min_ship") <= hi)
+      .select(col("l_smonth"))
+      .collect().map(_.getInt(0)).toSeq
+    partitionedLineitem(s, dir)
+      .filter(col("l_smonth").isInCollection(live))
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum("l_extendedprice").as("rev"), count(lit(1)).as("n_rows"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -1208,6 +1253,17 @@ object CoreQueries {
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_exact,
         |  TRUE AS ndv_ok
         |FROM lineitem
+        |GROUP BY 1""".stripMargin,
+    // the skip is stats-internal: the oracle is the plain date-window
+    // aggregation — hash equality proves the zone-map prune lost no
+    // qualifying row.
+    "q55_stats_skipping" ->
+      s"""SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '$Q55Lo 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '$Q55Hi 00:00:00'
         |GROUP BY 1""".stripMargin,
     // q51 aggregates the COMPACTED tree; the oracle aggregates the
     // plain source — equality proves the fragment→compact rewrite is
@@ -1568,5 +1624,6 @@ object CoreQueries {
     "q52_merge_upsert" -> (q52_merge_upsert _),
     "q53_schema_merge" -> (q53_schema_merge _),
     "q54_partition_stats" -> (q54_partition_stats _),
+    "q55_stats_skipping" -> (q55_stats_skipping _),
   )
 }

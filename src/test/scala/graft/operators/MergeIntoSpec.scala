@@ -117,6 +117,28 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(ms(out) === ms(MergeInto(snapDf, changes, "k")))
   }
 
+  test("partitionKeyImmutable fast path equals the probing path on a conforming changeset") {
+    // Same table, same changeset, both write-back modes — the
+    // immutable-key path derives affected directories from the
+    // changeset alone (no snapshot probe scan) and must land the
+    // identical tree when U/D rows carry their row's current partCol.
+    val (pA, pB) = ("target/test_cow_probe", "target/test_cow_imm")
+    val table = (0L until 32L).map(k => (k, k * 1.0, s"p${k % 4}"))
+      .toDF("k", "v", "part")
+    table.write.mode("overwrite").partitionBy("part").parquet(pA)
+    table.write.mode("overwrite").partitionBy("part").parquet(pB)
+    val changes = Seq(
+      (1L, 111.0, "p1", "U"), (2L, 0.0, "p2", "D"),
+      (101L, 101.0, "p3", "I")
+    ).toDF("k", "v", "part", "op")
+    val a = MergeInto.copyOnWrite(spark, pA, "part", changes, "k")
+    val b = MergeInto.copyOnWrite(spark, pB, "part", changes, "k",
+      partitionKeyImmutable = true)
+    assert(ms(a) === ms(b))
+    // untouched p0 stayed byte-identical under the fast path too
+    assert(dirFiles(pB)("part=p0").nonEmpty)
+  }
+
   test("copyOnWrite deletes a fully-emptied partition directory instead of resurrecting its stale files") {
     val path = "target/test_cow_full_delete"
     val table = (0L until 12L).map(k => (k, k * 1.0, s"p${k % 3}"))

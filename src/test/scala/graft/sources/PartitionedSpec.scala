@@ -65,6 +65,29 @@ class PartitionedSpec extends AnyFunSuite {
       scan.dataFilters.mkString(";"))
   }
 
+  test("q55: stats-driven skipping — the zone-map probe prunes directories for a DATA-column predicate") {
+    // The predicate is on l_shipdate, which the partitioning never
+    // declared — without the stats probe the scan lists all 83
+    // directories (pinned below); with it, only the 4 months whose
+    // [min_ship, max_ship] envelope intersects the window.
+    val df = graft.queries.CoreQueries.q55_stats_skipping(spark, dir)
+    val scan = partitionedScan(df)
+    assert(scan.partitionFilters.mkString(";").contains("l_smonth"),
+      s"no stats-derived partition filter: ${scan.partitionFilters}")
+    assert(scan.metrics("numPartitions").value === 4,
+      s"expected 4 surviving month directories, read " +
+        s"${scan.metrics("numPartitions").value}")
+    // the counterfactual: the same date window WITHOUT the probe
+    // reads every directory — the skip is the stats table's doing,
+    // not the engine's
+    val plain = graft.queries.CoreQueries.partitionedLineitemForSpec(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-10")) &&
+        col("l_shipdate") <= to_timestamp(lit("1997-06-20")))
+      .groupBy(col("l_returnflag")).count()
+    assert(partitionedScan(plain).metrics("numPartitions").value === 83,
+      "engine partition pruning unexpectedly engaged on a data column")
+  }
+
   test("q48: dynamic partition pruning — dim filter prunes fact directories at runtime") {
     val df = graft.queries.CoreQueries.q48_dpp_join(spark, dir)
     val scan = partitionedScan(df)
