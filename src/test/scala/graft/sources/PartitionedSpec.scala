@@ -88,6 +88,39 @@ class PartitionedSpec extends AnyFunSuite {
       "engine partition pruning unexpectedly engaged on a data column")
   }
 
+  test("q54's statistics merge associatively — two epochs' stats combine to the union corpus's without a re-scan") {
+    // The scale claim behind ANALYZE-as-a-layout-artifact: when a new
+    // ingestion epoch lands, its partition stats MERGE into the
+    // standing table (count by addition, bounds by min/max, NDV by
+    // HLL union) — the corpus is never re-scanned. Executed here on
+    // a keyed split of lineitem: stats(epoch A) ⊕ stats(epoch B) must
+    // equal stats(A ∪ B) column for column. The HLL estimates are
+    // exactly equal at this size (sketches in exact/sparse mode);
+    // at volume the union is the documented lossless HLL merge.
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, dir, "lineitem")
+      .withColumn("m", year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+    def statsOf(df: DataFrame) = df.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+    val epochA = statsOf(li.filter(pmod(col("l_orderkey"), lit(2L)) === 0))
+    val epochB = statsOf(li.filter(pmod(col("l_orderkey"), lit(2L)) === 1))
+    val merged = epochA.unionByName(epochB).groupBy(col("m"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("min_price")).as("min_price"),
+        max(col("max_price")).as("max_price"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("ndv"))
+    val direct = statsOf(li)
+      .select(col("m"), col("n_rows"), col("min_price"), col("max_price"),
+        hll_sketch_estimate(col("sk")).as("ndv"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(rows(merged) === rows(direct))
+  }
+
   test("q48: dynamic partition pruning — dim filter prunes fact directories at runtime") {
     val df = graft.queries.CoreQueries.q48_dpp_join(spark, dir)
     val scan = partitionedScan(df)
