@@ -1098,6 +1098,47 @@ object CoreQueries {
           col("ndv_exact") * Q50Tol).as("ndv_ok"))
   }
 
+  // TIME TRAVEL / SCD reconstruction — the READ half of the CDC story
+  // whose WRITE half is q52's MERGE: given an append-only change log
+  // (op, ts per key — what a CDC connector lands), reconstruct the
+  // table AS OF a point in time. The log is synthesized
+  // deterministically from orders (epoch 1: every key inserted;
+  // epoch 2: keys ≡1 mod 7 updated, +1000; epoch 3: keys ≡2 mod 7
+  // deleted) and the entry reconstructs AS OF epoch 2 — updates
+  // applied, the later deletes NOT — via last-change-per-key ≤ T:
+  // one window over the time-filtered log partitioned by key, keep
+  // rn=1, drop 'D' survivors. Scale shape: ONE exchange keyed on the
+  // primary key over the log (bounded by |changes ≤ T|, not table ×
+  // versions); production compacts the same window incrementally per
+  // landed batch (q52 applied repeatedly) and serves snapshots from
+  // the compacted tail — this entry is the from-scratch replay that
+  // definition must equal, and what a lakehouse runs for point-in-
+  // time audits. The window's desc-ts order has no ties by
+  // construction (one change per key per epoch), so the relation is
+  // deterministic and the DuckDB twin re-derives it bit-exactly.
+  def q56_time_travel(s: SparkSession, dir: String): DataFrame = {
+    val snap = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val m = pmod(col("o_orderkey"), lit(7L))
+    val log = snap
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit("I").as("op"), lit(1L).as("change_ts"))
+      .unionByName(snap.filter(m === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("U").as("op"), lit(2L).as("change_ts")))
+      .unionByName(snap.filter(m === 2)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit("D").as("op"), lit(3L).as("change_ts")))
+    val asOf = 2L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("change_ts").desc)
+    log.filter(col("change_ts") <= asOf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
   /** [[q55_stats_skipping]]'s date window — mid-corpus, present at
     * every SF (lineitem ships 1995-01..2001-11), spanning parts of
     * 4 calendar months so the stats-driven skip keeps 4 of 83
@@ -1254,6 +1295,14 @@ object CoreQueries {
         |  TRUE AS ndv_ok
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+    // the AS-OF-2 reconstruction in closed form: epoch-3 deletes are
+    // invisible, epoch-2 updates win their keys, everything else is
+    // the epoch-1 insert — the same set algebra the window derives.
+    "q56_time_travel" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     // the skip is stats-internal: the oracle is the plain date-window
     // aggregation — hash equality proves the zone-map prune lost no
     // qualifying row.
@@ -1625,5 +1674,6 @@ object CoreQueries {
     "q53_schema_merge" -> (q53_schema_merge _),
     "q54_partition_stats" -> (q54_partition_stats _),
     "q55_stats_skipping" -> (q55_stats_skipping _),
+    "q56_time_travel" -> (q56_time_travel _),
   )
 }
