@@ -1130,13 +1130,25 @@ object CoreQueries {
       .unionByName(snap.filter(m === 2)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           lit("D").as("op"), lit(3L).as("change_ts")))
-    val asOf = 2L
+    reconstructAsOf(log, "o_orderkey", asOf = 2L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** The AS-OF reconstruction q56 registers at T=2, factored so the
+    * spec can pin the TIME DIAL itself (T=1 pre-update, T=3
+    * post-delete — regimes the fixed-T oracle can't see): keep each
+    * key's last change at or before `asOf`, drop keys whose last
+    * change is a delete. Requires at most one change per (key, ts) —
+    * the CDC-compacted log contract; ties would make rn=1
+    * non-deterministic. */
+  private[graft] def reconstructAsOf(log: DataFrame, key: String,
+      asOf: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_orderkey")).orderBy(col("change_ts").desc)
+      .partitionBy(col(key)).orderBy(col("change_ts").desc)
     log.filter(col("change_ts") <= asOf)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "D")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .drop("rn")
   }
 
   /** [[q55_stats_skipping]]'s date window — mid-corpus, present at

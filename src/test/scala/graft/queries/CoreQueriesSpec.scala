@@ -155,4 +155,27 @@ class CoreQueriesSpec extends AnyFunSuite {
     CoreQueries.q30_approx_distinct(spark, sf).collect()
       .foreach(r => assert(r.getBoolean(2)))
   }
+
+  test("reconstructAsOf walks the time dial: pre-update, update-wins, post-delete") {
+    // q56's oracle pins T=2 only; this fixture pins the DIAL — the
+    // same log replayed at each epoch boundary gives each regime.
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10.0, "I", 1L), (2L, 20.0, "I", 1L), (3L, 30.0, "I", 1L),
+      (2L, 22.0, "U", 2L),                      // update key 2 at t=2
+      (3L, 0.0, "D", 3L),                       // delete key 3 at t=3
+      (4L, 40.0, "I", 3L)                       // late insert at t=3
+    ).toDF("k", "v", "op", "change_ts")
+    def at(t: Long): Seq[(Long, Double)] =
+      CoreQueries.reconstructAsOf(log, "k", t)
+        .select(col("k"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(at(1L) === Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0),
+      "T=1: the original inserts, untouched")
+    assert(at(2L) === Seq(1L -> 10.0, 2L -> 22.0, 3L -> 30.0),
+      "T=2: the update wins its key; the later delete is invisible")
+    assert(at(3L) === Seq(1L -> 10.0, 2L -> 22.0, 4L -> 40.0),
+      "T=3: key 3 deleted, late insert visible")
+    assert(at(0L) === Seq.empty, "T before the log: empty table")
+  }
 }
