@@ -703,6 +703,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the foreachBatch snapshot sink is idempotent under batch replay, healing a torn first attempt") {
+    // Spark's foreachBatch contract: after a crash between sink
+    // success and the commit-log write, the SAME batchId is
+    // re-invoked — exactly-once therefore rests entirely on the
+    // sink's idempotence. st11's recipe (out/batch_<id>, mode
+    // overwrite) is pinned here under the worst replay: the first
+    // attempt is TORN (a partial file landed, no _SUCCESS), and the
+    // replay must fully replace it — no union of old and new files,
+    // no duplicate rows in the batch_* read.
+    import spark.implicits._
+    val out = "target/test_fb_replay"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def sink(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      batch.write.mode("overwrite").parquet(out + "/batch_" + batchId)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b1 = Seq((3L, "c")).toDF("k", "v")
+    sink(b0, 0L)
+    // torn attempt at batch 1: a stray partial file, no commit marker
+    Seq((99L, "torn")).toDF("k", "v").write
+      .mode("overwrite").parquet(out + "/batch_1")
+    fs.delete(new org.apache.hadoop.fs.Path(out + "/batch_1/_SUCCESS"), false)
+    // the replay (same batchId, same data) must heal it wholesale
+    sink(b1, 1L)
+    sink(b1, 1L) // and a second replay is a no-op on the relation
+    val rows = spark.read.parquet(out + "/batch_*").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"replay was not idempotent: $rows")
+  }
+
   test("compactStreamSink preserves the committed relation and re-registers a manifest that keeps stray files invisible") {
     // The maintenance loop between the st family and q51 (r16 item):
     // a file sink's output is read via its _spark_metadata commit log,
