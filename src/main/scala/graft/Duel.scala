@@ -111,7 +111,8 @@ object Duel {
     val n = sys.env.getOrElse("SPARK_GRAFT_NSAMPLES", "3").toInt
     val which = if (args.nonEmpty) args.toSet
       else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym",
-        "bucketededges", "hits", "dpp", "bloom", "compaction", "mergecow")
+        "bucketededges", "hits", "dpp", "bloom", "compaction", "mergecow",
+        "statsskip")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -295,6 +296,33 @@ object Duel {
       assert(frows == crows,
         s"compaction duel decoded different row counts: $frows vs $crows")
       println(f"""{"duel":"compaction","sf":"$sfDir","frag_files":$nf,"compact_files":$nc,"frag_sec":$fsec%.3f,"compact_sec":$csec%.3f,"speedup":${fsec / csec}%.2f,"scan_rows":$frows}""")
+    }
+
+    if (which("statsskip")) {
+      // Zone-map duel: q55's stats-driven directory skip vs the same
+      // date-window aggregation over the full tree (the engine's own
+      // plan for a data-column predicate — all directories listed,
+      // the predicate only prunes inside the scan). Rows decoded is
+      // the carrying number: the skip reads the window's months, the
+      // engine reads the corpus. Identical results asserted by the
+      // oracle (q55's hash); here the two legs' aggregates are
+      // compared directly.
+      // defs, not vals: a reused DataFrame lets samples 2-3 serve the
+      // agg from the first run's shuffle files (skipped map stages,
+      // 0 rows decoded) — each sample must re-plan to re-scan
+      def q55 = graft.queries.CoreQueries.q55_stats_skipping(spark, sfDir)
+      def full = graft.queries.CoreQueries
+        .partitionedLineitemForSpec(spark, sfDir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-10")) &&
+          col("l_shipdate") <= to_timestamp(lit("1997-06-20")))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice").cast("decimal(28,2)"))
+          .cast("double").as("rev"), count(lit(1)).as("n_rows"))
+      val (skipSec, skipRows) = measureScan(spark, q55, n)
+      val (fullSec, fullRows) = measureScan(spark, full, n)
+      def res(df: DataFrame) = df.collect().map(_.toSeq.toString).sorted.toSeq
+      assert(res(q55) == res(full), "statsskip duel: relations diverge")
+      println(f"""{"duel":"statsskip","sf":"$sfDir","skip_rows_decoded":$skipRows,"full_rows_decoded":$fullRows,"rows_ratio":${fullRows.toDouble / math.max(1L, skipRows)}%.1f,"skip_sec":$skipSec%.3f,"full_sec":$fullSec%.3f,"speedup":${fullSec / skipSec}%.2f}""")
     }
 
     if (which("mergecow")) {
