@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt runMain graft.Bench` stdout and parses the
+// LAST line as JSON. Two sbt behaviors broke that for four rounds
+// (BENCH_r13-r16 `parsed: null`): the default LoggedOutput strategy
+// prefixes every forked-program line with `[info] `, and sbt prints a
+// `[success] Total time…` banner after the task. Pass forked output
+// through raw and kill the banner so the bench trailer really is the
+// absolute last stdout line. (Unscoped so both `run` and `runMain`
+// inherit it, like javaOptions below.)
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — sbt's
+// lintUnused can't see that; exclude it so every run isn't prefixed
+// with a [warn] block.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

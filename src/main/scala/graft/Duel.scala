@@ -402,11 +402,17 @@ object Duel {
       val fullBytes = fullStats.values.map(_._2).sum
       def sig(path: String): (Long, java.math.BigDecimal) = {
         // order-free row hash; decimal sum — a raw long sum overflows
-        // ANSI arithmetic at 150k rows of full-range xxhash64 values
+        // ANSI arithmetic at 150k rows of full-range xxhash64 values.
+        // o_month (cast: the partition column's inferred type must not
+        // depend on which directory a row landed in) is IN the hash —
+        // the duel's whole claim is per-directory rewrite, so a row
+        // merged into the WRONG partition directory must break the
+        // equivalence assert, not just the byte tallies (r16 advice).
         val r = spark.read.parquet(path)
           .agg(count(lit(1)),
             sum(xxhash64(col("o_orderkey"), col("o_custkey"),
-              col("o_totalprice"), col("o_orderpriority"))
+              col("o_totalprice"), col("o_orderpriority"),
+              col("o_month").cast("long"))
               .cast("decimal(38,0)")))
           .head()
         (r.getLong(0), r.getDecimal(1))

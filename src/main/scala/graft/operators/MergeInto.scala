@@ -113,10 +113,19 @@ object MergeInto {
     val touched = broadcast(
       changes.filter(col("op").isin("U", "D")).select(col(key)))
     val arriving = changes.filter(col("op").isin("U", "I")).drop("op")
-    val parts = (if (partitionKeyImmutable) changes.select(col(partCol))
+    // Every collected partition value is cast to the SNAPSHOT's
+    // inferred partition type first: the changeset (immutable path)
+    // and the post-union merged relation can carry a coerced sibling
+    // type (Int vs Long), and the full-delete set test below compares
+    // boxed values — a java.lang.Integer never equals a
+    // java.lang.Long, so without the cast a live partition could fail
+    // membership and have its freshly written directory deleted.
+    val partType = snapshot.schema(partCol).dataType
+    val parts = (if (partitionKeyImmutable)
+        changes.select(col(partCol).cast(partType))
       else snapshot.join(touched, Seq(key), "left_semi")
         .select(col(partCol))
-        .union(arriving.select(col(partCol))))
+        .union(arriving.select(col(partCol).cast(partType))))
       .distinct().collect().map(_.get(0)).toSeq
     if (parts.isEmpty) return snapshot // empty changeset: no-op
     val (nullPart, defined) = parts.partition(_ == null)
@@ -128,8 +137,8 @@ object MergeInto {
     val affected = snapshot.filter(inAffected)
     val merged = apply(affected, changes, key)
       .localCheckpoint(true)
-    val survivingParts = merged.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
+    val survivingParts = merged.select(col(partCol).cast(partType))
+      .distinct().collect().map(_.get(0)).toSet
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(tablePath)

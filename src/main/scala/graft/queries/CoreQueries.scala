@@ -950,7 +950,13 @@ object CoreQueries {
     val compacted = q51Memo.getOrElseUpdate((s, dir, target), {
       val digest = graft.sources.Bucketing.pathDigest(dir)
       val frag = graft.sources.Layouts.root(s) + "/frag_li_" + digest
-      val dst = graft.sources.Layouts.root(s) + "/compact_li_" + digest
+      // targetBytes is part of the artifact identity, not just the
+      // memo key: a mid-session target change must compact into its
+      // OWN tree, or the overwrite would yank the files out from
+      // under the old target's still-memoized InMemoryFileIndex
+      // (r16 advice). frag stays target-independent and shared.
+      val dst = graft.sources.Layouts.root(s) + "/compact_li_" + digest +
+        "_t" + target
       graft.sources.PartitionedWrite.partitionedTable(
         s, t(s, dir, "lineitem"), frag, "l_smonth",
         year(col("l_shipdate")) * 100 + month(col("l_shipdate")),
