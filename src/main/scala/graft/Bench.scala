@@ -82,6 +82,38 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg
+    // STRUCTURAL metrics per query (r16 verdict item): wall-clock
+    // comparisons across rounds are confounded by hypervisor-level
+    // host noise invisible to loadavg (the r16 afternoon finding), but
+    // rows/bytes through the exchanges and scans are deterministic
+    // given the plan — the numbers that actually carry to a 1000-
+    // executor cluster. One listener accumulates task metrics; each
+    // sample resets, runs, drains the (async) listener bus, snapshots.
+    //   sw/sb = shuffle records/bytes written, ir/ib = input
+    //   records/bytes read.
+    val structural = new org.apache.spark.scheduler.SparkListener {
+      import java.util.concurrent.atomic.AtomicLong
+      val Seq(sw, sb, ir, ib) = Seq.fill(4)(new AtomicLong)
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          sw.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          sb.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ir.addAndGet(m.inputMetrics.recordsRead)
+          ib.addAndGet(m.inputMetrics.bytesRead)
+        }
+      }
+      def reset(): Unit = Seq(sw, sb, ir, ib).foreach(_.set(0))
+      def snap(): Map[String, Long] = Map(
+        "sw" -> sw.get, "sb" -> sb.get, "ir" -> ir.get, "ib" -> ib.get)
+    }
+    spark.sparkContext.addSparkListener(structural)
+    def drainAndSnap(): Map[String, Long] = {
+      org.apache.spark.sql.graft.ColumnBridge
+        .drainListenerBus(spark.sparkContext)
+      structural.snap()
+    }
     var family = ""
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
@@ -102,23 +134,34 @@ object Bench {
       // total, and the error lands in a first-class `err` map.
       var err: Option[String] = None
       val samples = (1 to nSamples).map { _ =>
+        structural.reset()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           if (err.isEmpty) err = Some(e.toString)
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, drainAndSnap())
       }
       if (debugSamples)
-        System.err.println(f"SAMPLES $name ${samples.map(t => f"$t%.3f").mkString(" ")}")
+        System.err.println(f"SAMPLES $name ${samples.map(t => f"${t._1}%.3f").mkString(" ")}")
       val unc = if (uncountedQueries(name) && err.isEmpty) {
+        structural.reset()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case e: Throwable => if (err.isEmpty) err = Some(e.toString) }
-        Some((System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Some((dt, drainAndSnap()))
       } else None
       if (name.endsWith("_i10")) graft.queries.SharedRelations.evict(spark)
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
-      (name, samples.sorted.apply(samples.length / 2), samples.head, unc, err)
+      val bySec = samples.sortBy(_._1)
+      val (medSec, medStruct) = bySec(samples.length / 2)
+      // The reported structural numbers follow the reported time: the
+      // median-time sample for the count() methodology, the full-plan
+      // pass for the uncounted class (whose count() plan drops the
+      // joins/windows the structural numbers exist to price).
+      val struct = unc.map(_._2).getOrElse(medStruct)
+      (name, medSec, samples.head._1, unc.map(_._1), err, struct)
     }
     val (failed, timed) = results.partition(_._5.isDefined)
     // 3-decimal (ms) formatting: full Double.toString made the one-line
@@ -126,7 +169,7 @@ object Bench {
     // BENCH_r09's per-query map was unrecoverable from the artifact
     // (r9 advice). Milliseconds is already below run-to-run noise.
     def n3(v: Double): String = f"$v%.3f"
-    val qs = timed.map { case (k, v, _, _, _) => s"\"" + k + "\":" + n3(v) }
+    val qs = timed.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + n3(v) }
       .mkString("{", ",", "}")
     // Per-family subtotals: regression triage is one look at this map
     // instead of a 59-entry diff.
@@ -138,19 +181,37 @@ object Bench {
     // g19's round-checkpoint memo since r14) report sample 1 too — the
     // median alone would hide the full-pass cost.
     val cold = timed
-      .filter { case (n, _, _, _, _) =>
+      .filter { case (n, _, _, _, _, _) =>
         n.endsWith("_i10") || n.startsWith("g11") || n.startsWith("g12") ||
           n.startsWith("g13") || n.startsWith("g14") || n.startsWith("g15") ||
           n.startsWith("g19") || n.startsWith("g20") || n.startsWith("q50") ||
           n.startsWith("q51") || n.startsWith("q53") || n.startsWith("q54") ||
-          n.startsWith("q55") }
-      .map { case (k, _, c, _, _) => s"\"" + k + "\":" + n3(c) }
+          n.startsWith("q55") || n.startsWith("q57") || n.startsWith("q58") }
+      .map { case (k, _, c, _, _, _) => s"\"" + k + "\":" + n3(c) }
       .mkString("{", ",", "}")
     // Honest-cost map for the join-eliminated class (see
     // uncountedQueries above): toRdd.count() time, NOT added to the
     // total — the total stays the comparable count() methodology.
     val unc = results
-      .collect { case (k, _, _, Some(u), None) => s"\"" + k + "\":" + n3(u) }
+      .collect { case (k, _, _, Some(u), None, _) => s"\"" + k + "\":" + n3(u) }
+      .mkString("{", ",", "}")
+    // Structural maps (see the listener above): per-query in the full
+    // line / BENCH_LAST.json, per-family sums in the trailer — the
+    // deterministic round-over-round basis wall-clock can't be on a
+    // noisy host.
+    def structJson(m: Map[String, Long]): String =
+      Seq("sw", "sb", "ir", "ib")
+        .map(k => s"\"" + k + "\":" + m.getOrElse(k, 0L))
+        .mkString("{", ",", "}")
+    val structQ = timed
+      .map { case (k, _, _, _, _, st) => s"\"" + k + "\":" + structJson(st) }
+      .mkString("{", ",", "}")
+    val structFam = timed.groupBy(r => famOf(r._1)).toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        val sums = Seq("sw", "sb", "ir", "ib")
+          .map(k => k -> rs.map(_._6.getOrElse(k, 0L)).sum).toMap
+        s"\"" + f + "\":" + structJson(sums)
+      }
       .mkString("{", ",", "}")
     // JSON string escape for error text (same class of escaping as
     // Verify's oracle dump — a raw quote or newline here would corrupt
@@ -165,7 +226,7 @@ object Bench {
       case c => c.toString
     } + "\""
     val errMap = failed
-      .map { case (k, _, _, _, Some(e)) => s"\"" + k + "\":" + jq(e.take(300)) }
+      .map { case (k, _, _, _, Some(e), _) => s"\"" + k + "\":" + jq(e.take(300)) }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     // Optional free-text annotation carried IN the artifact (e.g. the
@@ -173,7 +234,7 @@ object Bench {
     // must survive with its numbers, not live only in BENCH_NOTES.
     val note = sys.env.get("SPARK_GRAFT_NOTE")
       .map(t => s""","note":${jq(t)}""").getOrElse("")
-    val line = s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"families":$fams,"cold":$cold,"uncounted":$unc,"err":$errMap,"cpus":$cpus,"load_avg_start":${n3(loadStart)},"load_avg_end":${n3(loadAvg)},"sf":"$sfDir"$note}"""
+    val line = s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"families":$fams,"cold":$cold,"uncounted":$unc,"structural":$structQ,"err":$errMap,"cpus":$cpus,"load_avg_start":${n3(loadStart)},"load_avg_end":${n3(loadAvg)},"sf":"$sfDir"$note}"""
     // Teardown BEFORE the result line: the driver keeps only an output
     // tail, so the JSON must be the absolute last thing on stdout —
     // r13/r14's artifacts were `parsed: null` because state-store
@@ -207,10 +268,13 @@ object Bench {
     // Compact summary TRAILER, the absolute last stdout line: the full
     // line above is ~4 KB and the driver keeps only an output tail, so
     // its head (total, most per-query times) was cut off in r13-r15
-    // (`parsed: null` three rounds running). This ≤300-byte line
-    // carries the headline — total, query/error counts, per-family
-    // subtotals, load, sf — and parses standalone; the full per-query
-    // detail stays one line up and in target/BENCH_LAST.json.
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","n":${timed.length},"err_n":${failed.length},"families":$fams,"cpus":$cpus,"load_avg_start":${n3(loadStart)},"load_avg_end":${n3(loadAvg)},"sf":"$sfDir"}""")
+    // (`parsed: null` three rounds running). This ~1 KB line carries
+    // the headline — total, query/error counts, per-family time AND
+    // structural subtotals, load, sf — and parses standalone; the full
+    // per-query detail stays one line up and in target/BENCH_LAST.json.
+    // (build.sbt routes forked output through raw stdout and suppresses
+    // sbt's [success] banner, so this line really reaches the driver
+    // undecorated — the r16 root cause.)
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","n":${timed.length},"err_n":${failed.length},"families":$fams,"structural":$structFam,"cpus":$cpus,"load_avg_start":${n3(loadStart)},"load_avg_end":${n3(loadAvg)},"sf":"$sfDir"}""")
   }
 }
