@@ -1157,6 +1157,57 @@ object CoreQueries {
       .drop("rn")
   }
 
+  private val q57Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  // VERSIONED time travel ([[graft.sources.VersionedTable]]) — the
+  // lakehouse primitive q52 (MERGE write half) and q56 (AS-OF read
+  // half) were each one side of: a REAL versioned table is built from
+  // orders (month-partitioned, commit v0), two deterministic merge
+  // batches are COMMITTED against it (v1: q52's exact changeset —
+  // keys ≡1 mod 10 updated, ≡2 deleted, ≡3 inserted under the negated
+  // key; v2: keys ≡4 updated, ≡5 deleted), and the entry reads the
+  // table AS OF v1 — a historical snapshot whose affected-directory
+  // files batch 2 logically superseded but whose manifest still names.
+  // The oracle re-derives v1's state as set algebra over orders, so
+  // the hash pins the whole machine: append-only commit, manifest
+  // file accounting, and historical read. Scale shape: each commit's
+  // cost is the affected slice (copy-on-write decomposition, append
+  // write); the AS-OF read is one manifest (metadata) + a pruned scan
+  // of exactly the live files — never table × versions.
+  def q57_versioned_time_travel(s: SparkSession, dir: String): DataFrame = {
+    val path = q57Memo.getOrElseUpdate((s, dir), {
+      val root = graft.sources.Layouts.root(s) + "/vt_orders_" +
+        graft.sources.Bucketing.pathDigest(dir)
+      val snap0 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .as("o_month"))
+      val m = pmod(col("o_orderkey"), lit(10L))
+      def asOp(df: DataFrame, op: String) = df.withColumn("op", lit(op))
+      val b1 = asOp(snap0.filter(m === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0), "U")
+        .unionByName(asOp(snap0.filter(m === 2), "D"))
+        .unionByName(asOp(snap0.filter(m === 3)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+          .withColumn("o_orderpriority", lit("5-LOW")), "I"))
+      val b2 = asOp(snap0.filter(m === 4)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0), "U")
+        .unionByName(asOp(snap0.filter(m === 5), "D"))
+      graft.sources.VersionedTable.init(s, root, snap0, "o_month")
+      graft.sources.VersionedTable.commitMerge(
+        s, root, "o_month", b1, "o_orderkey")
+      graft.sources.VersionedTable.commitMerge(
+        s, root, "o_month", b2, "o_orderkey")
+      root
+    })
+    graft.sources.VersionedTable.snapshot(s, path, 1L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"), col("o_month").cast(LongType).as("o_month"))
+  }
+
   /** [[q55_stats_skipping]]'s date window — mid-corpus, present at
     * every SF (lineitem ships 1995-01..2001-11), spanning parts of
     * 4 calendar months so the stats-driven skip keeps 4 of 83
@@ -1321,6 +1372,26 @@ object CoreQueries {
         |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1000.0
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    // v1's state in closed form over orders (q52's algebra + the
+    // month): batch-2's later updates/deletes must be invisible, so a
+    // leaked v2 file or a lost v0 survivor both break the hash.
+    "q57_versioned_time_travel" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    o_orderpriority,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS o_month
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  o_month
+        |FROM snap WHERE o_orderkey % 10 NOT IN (1, 2)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 1000.0,
+        |  o_orderpriority, o_month
+        |FROM snap WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT -o_orderkey, o_custkey, o_totalprice * 0.5, '5-LOW',
+        |  o_month
+        |FROM snap WHERE o_orderkey % 10 = 3""".stripMargin,
     // the skip is stats-internal: the oracle is the plain date-window
     // aggregation — hash equality proves the zone-map prune lost no
     // qualifying row.
@@ -1693,5 +1764,6 @@ object CoreQueries {
     "q54_partition_stats" -> (q54_partition_stats _),
     "q55_stats_skipping" -> (q55_stats_skipping _),
     "q56_time_travel" -> (q56_time_travel _),
+    "q57_versioned_time_travel" -> (q57_versioned_time_travel _),
   )
 }
