@@ -108,7 +108,9 @@ object MergeInto {
     */
   def copyOnWrite(s: SparkSession, tablePath: String, partCol: String,
                   changes: DataFrame, key: String,
-                  partitionKeyImmutable: Boolean = false): DataFrame = {
+                  partitionKeyImmutable: Boolean = false,
+                  hooks: Seq[graft.sources.StatsStore.PostRewriteHook] = Nil)
+      : DataFrame = {
     val snapshot = s.read.parquet(tablePath)
     val touched = broadcast(
       changes.filter(col("op").isin("U", "D")).select(col(key)))
@@ -153,6 +155,12 @@ object MergeInto {
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$tablePath/$partCol=$dirName"), true)
     }
+    // Post-rewrite maintenance (r16 verdict: the maintenance verbs
+    // must maintain the stats they taught q55 to trust): each hook
+    // sees exactly the partition values this merge rewrote — a
+    // stats-sidecar hook recomputes those directories from the
+    // post-merge tree and splices, never re-scanning the corpus.
+    hooks.foreach(_.afterRewrite(s, tablePath, partCol, parts))
     s.read.parquet(tablePath)
   }
 }

@@ -1062,18 +1062,25 @@ object CoreQueries {
     * queries and merges never re-scan the corpus, because count,
     * min/max, and HLL all merge associatively.
     */
+  /** q54's column specs, shared with [[graft.sources.StatsStore]] so
+    * the registry's stats table and the incrementally-MAINTAINED
+    * sidecar (the post-rewrite hooks on merge/compaction) are one
+    * code path — PartitionedSpec pins that a hook-refreshed sidecar
+    * equals this from-scratch build. */
+  private[graft] val Q54Cols = Seq(
+    graft.sources.StatsStore.ColSpec("l_extendedprice", "min_price",
+      "max_price"),
+    graft.sources.StatsStore.ColSpec("l_shipdate", "min_ship", "max_ship"))
+  private[graft] val Q54Ndv =
+    Some(graft.sources.StatsStore.NdvSpec("l_partkey", "sk_partkey",
+      Q50LgK))
+
   private def partitionStats(s: SparkSession, dir: String): DataFrame =
     q54Memo.getOrElseUpdate((s, dir), {
       val path = graft.sources.Layouts.root(s) + "/q54_stats_" +
         graft.sources.Bucketing.pathDigest(dir)
-      partitionedLineitem(s, dir)
-        .groupBy(col("l_smonth"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("l_extendedprice")).as("min_price"),
-          max(col("l_extendedprice")).as("max_price"),
-          min(col("l_shipdate")).as("min_ship"),
-          max(col("l_shipdate")).as("max_ship"),
-          hll_sketch_agg(col("l_partkey"), lit(Q50LgK)).as("sk_partkey"))
+      graft.sources.StatsStore
+        .dirStats(partitionedLineitem(s, dir), "l_smonth", Q54Cols, Q54Ndv)
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
     })

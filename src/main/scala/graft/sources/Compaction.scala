@@ -174,7 +174,8 @@ object Compaction {
   }
 
   def compact(s: SparkSession, srcPath: String, dstPath: String,
-              partCol: String, targetBytes: Long): DataFrame = {
+              partCol: String, targetBytes: Long,
+              hooks: Seq[StatsStore.PostRewriteHook] = Nil): DataFrame = {
     val plan = filePlan(s, srcPath, targetBytes)
     val src = s.read.option("mergeSchema", "true").parquet(srcPath)
     val dataCols = src.columns.filter(_ != partCol)
@@ -210,6 +211,17 @@ object Compaction {
       s"compaction must be row-preserving: source $srcPath has $nSrc " +
         s"rows but compacted $dstPath has $nDst — a partition value's " +
         s"hive encoding diverged from its cast-to-string rendering")
+    // Directory-grain stats are INVARIANT under compaction (same rows,
+    // same partitions), but FILE-grain stats are not (new files) —
+    // a FileStatsHook here re-derives the per-file sidecar for the
+    // compacted tree. Hooks see every partition value (compaction
+    // rewrites the whole tree); null arrives as null, not the hive
+    // sentinel, matching the rewrite's own join-side convention.
+    if (hooks.nonEmpty) {
+      val parts: Seq[Any] = plan.keys.toSeq
+        .map(v => if (v == HiveDefaultPartition) null else v)
+      hooks.foreach(_.afterRewrite(s, dstPath, partCol, parts))
+    }
     out
   }
 }
