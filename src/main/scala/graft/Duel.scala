@@ -42,12 +42,14 @@ object Duel {
     val records = new AtomicLong(0L)
     val bytes = new AtomicLong(0L)
     val inputRecords = new AtomicLong(0L)
+    val inputBytes = new AtomicLong(0L)
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         inputRecords.addAndGet(m.inputMetrics.recordsRead)
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
       }
     }
   }
@@ -98,6 +100,28 @@ object Duel {
     samples.sortBy(_._1).apply(samples.length / 2)
   }
 
+  /** (median seconds, input records, input BYTES) — for duels where
+    * record tallies hide the cost (a record-level reader filter
+    * excludes non-matching rows from recordsRead even when their
+    * pages were fetched and decompressed); bytesRead still counts the
+    * fetched file bytes.
+    */
+  private def measureScanIO(spark: SparkSession, df: => DataFrame, n: Int)
+      : (Double, Long, Long) = {
+    val samples = (1 to n).map { _ =>
+      val tally = new ShuffleTally
+      spark.sparkContext.addSparkListener(tally)
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.ColumnBridge
+        .drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(tally)
+      (sec, tally.inputRecords.get(), tally.inputBytes.get())
+    }
+    samples.sortBy(_._1).apply(samples.length / 2)
+  }
+
   private def report(name: String, custom: (Double, Long, Long),
       stock: (Double, Long, Long), sf: String): Unit = {
     val (ct, cr, cb) = custom
@@ -112,7 +136,7 @@ object Duel {
     val which = if (args.nonEmpty) args.toSet
       else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym",
         "bucketededges", "hits", "dpp", "bloom", "compaction", "mergecow",
-        "statsskip")
+        "statsskip", "fileskip")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -323,6 +347,68 @@ object Duel {
       def res(df: DataFrame) = df.collect().map(_.toSeq.toString).sorted.toSeq
       assert(res(q55) == res(full), "statsskip duel: relations diverge")
       println(f"""{"duel":"statsskip","sf":"$sfDir","skip_rows_decoded":$skipRows,"full_rows_decoded":$fullRows,"rows_ratio":${fullRows.toDouble / math.max(1L, skipRows)}%.1f,"skip_sec":$skipSec%.3f,"full_sec":$fullSec%.3f,"speedup":${fullSec / skipSec}%.2f}""")
+    }
+
+    if (which("fileskip")) {
+      // File-grain zone-map duel, three legs telling the layered
+      // story of q58's intra-month window on a multi-file tree:
+      //  1. HASH-split directory (q51's frag layout), dir-grain skip:
+      //     every file spans the whole month, so neither parquet
+      //     row-group stats nor any file sidecar can prune within it —
+      //     the whole month decodes.
+      //  2. RANGE-clustered directory (q58's tree), dir-grain skip:
+      //     files tile the month by date, so parquet's OWN row-group
+      //     min/max prunes decode down to the qualifying rows — but
+      //     only after LISTING and OPENING every file of the month
+      //     (a footer read per file: the scan-time metadata cost).
+      //  3. Same tree, q58's file-grain sidecar: same decode, but the
+      //     non-qualifying files are pruned at PLAN time — never
+      //     listed, never opened. files_listed is the number that
+      //     carries to object storage, where per-file opens dominate
+      //     an intra-month query's cost at 100k files/table.
+      // Identical relations asserted; defs not vals (the statsskip
+      // lesson: a reused plan serves later samples from shuffle files,
+      // zeroing the decode tally).
+      val digest = graft.sources.Bucketing.pathDigest(sfDir)
+      val frag = graft.sources.Layouts.root(spark) + "/frag_li_" + digest
+      graft.sources.PartitionedWrite.partitionedTable(spark,
+        Tables(spark, sfDir, "lineitem"), frag, "l_smonth",
+        year(col("l_shipdate")) * 100 + month(col("l_shipdate")),
+        splitFiles = math.max(8, spark.sparkContext.defaultParallelism))
+      val (tree, stats) = graft.queries.CoreQueries
+        .rangedLineitem(spark, sfDir)
+      def window(df: DataFrame) = df
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-05")) &&
+          col("l_shipdate") <= to_timestamp(lit("1997-03-12")))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice").cast("decimal(28,2)"))
+          .cast("double").as("rev"), count(lit(1)).as("n_rows"))
+      def hashDir = window(spark.read.parquet(frag)
+        .filter(col("l_smonth") === 199703))
+      def rangeDir = window(spark.read.parquet(tree)
+        .filter(col("l_smonth") === 199703))
+      def fileSkip = graft.queries.CoreQueries
+        .q58_file_skipping(spark, sfDir)
+      val monthFiles = spark.read.parquet(stats)
+        .filter(col("l_smonth") === 199703).count()
+      val liveFiles = spark.read.parquet(stats)
+        .filter(col("max_ship") >= to_timestamp(lit("1997-03-05")) &&
+          col("min_ship") <= to_timestamp(lit("1997-03-12"))).count()
+      val (hashSec, hashRows, hashBytes) = measureScanIO(spark, hashDir, n)
+      val (dirSec, dirRows, dirBytes) = measureScanIO(spark, rangeDir, n)
+      val (fileSecT, fileRowsT, fileBytes) = measureScanIO(spark, fileSkip, n)
+      // q58's plan-time probe scans the |files|-row sidecar inside the
+      // measured window — subtract it so file_rows_decoded is the DATA
+      // decode (the dpp duel's dim-subtraction convention), and report
+      // the probe size alongside: that probe is what reading a Delta
+      // checkpoint costs, and it amortizes over every query while the
+      // skipped files' decode does not.
+      val statsProbeRows = spark.read.parquet(stats).count()
+      val fileRows = fileRowsT - statsProbeRows
+      def res(df: DataFrame) = df.collect().map(_.toSeq.toString).sorted.toSeq
+      assert(res(fileSkip) == res(rangeDir) && res(fileSkip) == res(hashDir),
+        "fileskip duel: relations diverge")
+      println(f"""{"duel":"fileskip","sf":"$sfDir","hash_rows_decoded":$hashRows,"range_rows_decoded":$dirRows,"file_rows_decoded":$fileRows,"stats_probe_rows":$statsProbeRows,"rows_ratio":${hashRows.toDouble / math.max(1L, fileRows)}%.1f,"hash_bytes_read":$hashBytes,"range_bytes_read":$dirBytes,"file_bytes_read":$fileBytes,"month_files_listed":$monthFiles,"live_files_listed":$liveFiles,"hash_sec":$hashSec%.3f,"range_sec":$dirSec%.3f,"file_sec":$fileSecT%.3f}""")
     }
 
     if (which("mergecow")) {

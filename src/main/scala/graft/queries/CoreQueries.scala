@@ -1255,6 +1255,67 @@ object CoreQueries {
       .agg(dsum("l_extendedprice").as("rev"), count(lit(1)).as("n_rows"))
   }
 
+  private val q58Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  /** [[q58_file_skipping]]'s window — deliberately INSIDE one calendar
+    * month, where directory-grain skipping (q55) bottoms out at "read
+    * the whole month" and only file-grain stats can prune further.
+    * Shared verbatim with the oracle. */
+  private val Q58Lo = "1997-03-05"
+  private val Q58Hi = "1997-03-12"
+
+  /** Range-clustered multi-file layout + its per-file stats sidecar:
+    * the month-partitioned lineitem tree written through
+    * `repartitionByRange(l_smonth, l_shipdate)`, so each directory's
+    * files TILE the month by ship date — the write pattern that makes
+    * per-file min/max worth keeping (a hash-split directory's files
+    * all span the whole month and no file-grain stat can separate
+    * them). ~4 files per month at any SF (332 range slices / 83
+    * months); the sidecar is |files| rows
+    * ([[graft.sources.StatsStore.writeFileStats]]). */
+  private[graft] def rangedLineitem(s: SparkSession, dir: String)
+      : (String, String) =
+    q58Memo.getOrElseUpdate((s, dir), {
+      val digest = graft.sources.Bucketing.pathDigest(dir)
+      val tree = graft.sources.Layouts.root(s) + "/ranged_li_" + digest
+      val stats = graft.sources.Layouts.root(s) + "/q58_fstats_" + digest
+      val li = t(s, dir, "lineitem").withColumn("l_smonth",
+        year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+      li.repartitionByRange(332, col("l_smonth"), col("l_shipdate"))
+        .write.mode("overwrite").partitionBy("l_smonth").parquet(tree)
+      graft.sources.StatsStore.writeFileStats(s, tree, stats, "l_smonth",
+        Seq(graft.sources.StatsStore.ColSpec("l_shipdate", "min_ship",
+          "max_ship")))
+      (tree, stats)
+    })
+
+  // FILE-level stats skipping — q55 one grain finer (the r16 verdict's
+  // item 5, Delta's per-file checkpoint stats): the predicate window
+  // sits INSIDE one month, so q55's zone map can only say "read all of
+  // 1997-03"; the per-file sidecar's [min_ship, max_ship] envelopes
+  // identify WHICH of that directory's date-tiled files intersect, and
+  // the scan lists only those (a |files|-row driver probe — exactly
+  // what reading a Delta checkpoint costs at plan time). The residual
+  // predicate re-filters inside survivors, so the skip is superset-
+  // safe and the relation layout-independent — the oracle is the
+  // plain date-window SQL. FileSkippingSpec pins that files really
+  // were pruned WITHIN the surviving directory; the fileskip duel
+  // measures rows-decoded against the directory-grain plan.
+  def q58_file_skipping(s: SparkSession, dir: String): DataFrame = {
+    val (tree, stats) = rangedLineitem(s, dir)
+    val lo = to_timestamp(lit(Q58Lo))
+    val hi = to_timestamp(lit(Q58Hi))
+    val live = s.read.parquet(stats)
+      .filter(col("max_ship") >= lo && col("min_ship") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    s.read.option("basePath", tree)
+      .parquet(live.map(f => s"$tree/$f").toIndexedSeq: _*)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum("l_extendedprice").as("rev"), count(lit(1)).as("n_rows"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -1399,6 +1460,17 @@ object CoreQueries {
         |SELECT -o_orderkey, o_custkey, o_totalprice * 0.5, '5-LOW',
         |  o_month
         |FROM snap WHERE o_orderkey % 10 = 3""".stripMargin,
+    // like q55, the file-grain skip is stats-internal: the oracle is
+    // the plain date-window aggregation — hash equality proves the
+    // per-file prune lost no qualifying row.
+    "q58_file_skipping" ->
+      s"""SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '$Q58Lo 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '$Q58Hi 00:00:00'
+        |GROUP BY 1""".stripMargin,
     // the skip is stats-internal: the oracle is the plain date-window
     // aggregation — hash equality proves the zone-map prune lost no
     // qualifying row.
@@ -1772,5 +1844,6 @@ object CoreQueries {
     "q55_stats_skipping" -> (q55_stats_skipping _),
     "q56_time_travel" -> (q56_time_travel _),
     "q57_versioned_time_travel" -> (q57_versioned_time_travel _),
+    "q58_file_skipping" -> (q58_file_skipping _),
   )
 }
