@@ -97,15 +97,33 @@ object ColumnBridge {
     */
   def writeSinkManifest(spark: org.apache.spark.sql.SparkSession,
       outputDir: String,
-      files: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      batchId: Long = 0L): Unit = {
     import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
     val logDir = new org.apache.hadoop.fs.Path(
       outputDir, org.apache.spark.sql.execution.streaming.sinks.FileStreamSink.metadataDir)
     val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       logDir.toString)
-    require(log.add(0L, files.map(SinkFileStatus.apply).toArray),
-      s"sink manifest batch 0 already committed at $logDir")
+    require(log.add(batchId, files.map(SinkFileStatus.apply).toArray),
+      s"sink manifest batch $batchId already committed at $logDir")
+  }
+
+  /** The latest batch id committed to a file sink's `_spark_metadata`
+    * log at `outputDir`, or -1 if the log doesn't exist yet — lets
+    * incremental sink re-compaction detect how far its appended
+    * increments actually committed (torn-increment recovery). */
+  def sinkLogLatestBatch(spark: org.apache.spark.sql.SparkSession,
+      outputDir: String): Long = {
+    import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSink, FileStreamSinkLog}
+    val logDir = new org.apache.hadoop.fs.Path(
+      outputDir, FileStreamSink.metadataDir)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) return -1L
+    val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION,
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      logDir.toString)
+    log.getLatest().map(_._1).getOrElse(-1L)
   }
 
   /** Register the graft SQL functions on an ALREADY-BUILT session

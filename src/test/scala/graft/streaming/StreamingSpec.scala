@@ -783,4 +783,113 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(dstDir).collect()
       .map(_.toSeq.toString).sorted.toSeq === committed)
   }
+
+  test("re-compaction is incremental: new batches append, prior compacted output is byte-untouched, the relation tracks the live sink") {
+    // r16 verdict item 4: the production loop re-compacts a LIVE sink
+    // on cadence — each pass must cost the new batches, not re-read
+    // and rewrite everything compacted before.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "target/test_sink_recompact"
+    val (outDir, cpDir, dstDir) =
+      (s"$base/out", s"$base/cp", s"$base/compacted")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    def dataFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+      .map(f => f.getPath.getName -> ((f.getLen, f.getModificationTime)))
+      .toMap
+    val in = MemoryStream[Ev]
+    val q = in.toDF().select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode(OutputMode.Append).start()
+    try {
+      (1 to 2).foreach { b =>
+        in.addData((1 to 20).map(i => ev(b * 100L + i, m = b)): _*)
+        q.processAllAvailable()
+      }
+      graft.sources.Compaction.compactStreamSink(
+        spark, outDir, dstDir, 128L * 1024 * 1024)
+      val firstPass = dataFiles()
+      // 3 more batches land on the LIVE sink
+      (3 to 5).foreach { b =>
+        in.addData((1 to 20).map(i => ev(b * 100L + i, m = b)): _*)
+        q.processAllAvailable()
+      }
+      val out = graft.sources.Compaction.compactStreamSink(
+        spark, outDir, dstDir, 128L * 1024 * 1024)
+      val secondPass = dataFiles()
+      // prior output byte-untouched: same names, lengths, mtimes
+      firstPass.foreach { case (name, st) =>
+        assert(secondPass.get(name) === Some(st),
+          s"re-compaction rewrote prior output file $name")
+      }
+      // the increment appended (new files exist beyond the first pass)
+      assert(secondPass.size > firstPass.size)
+      // and the compacted relation tracks the live sink exactly
+      val live = spark.read.parquet(outDir).collect()
+        .map(_.toSeq.toString).sorted.toSeq
+      assert(live.length === 100)
+      assert(out.collect().map(_.toSeq.toString).sorted.toSeq === live)
+      // an idle re-compaction (no new commits) is a no-op on the tree
+      graft.sources.Compaction.compactStreamSink(
+        spark, outDir, dstDir, 128L * 1024 * 1024)
+      assert(dataFiles() === secondPass)
+    } finally q.stop()
+  }
+
+  test("a torn compaction increment (sidecar written, batch never committed) heals on the next pass without duplicating rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "target/test_sink_recompact_torn"
+    val (outDir, cpDir, dstDir) =
+      (s"$base/out", s"$base/cp", s"$base/compacted")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val in = MemoryStream[Ev]
+    val q = in.toDF().select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1 to 20).map(i => ev(100L + i, m = 1)): _*)
+      q.processAllAvailable()
+      graft.sources.Compaction.compactStreamSink(
+        spark, outDir, dstDir, 128L * 1024 * 1024)
+      in.addData((1 to 20).map(i => ev(200L + i, m = 2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // simulate the crash window: record increment 1's sources (the
+    // newly committed files) and append its data WITHOUT committing
+    // its manifest batch — stray files on disk, sidecar ahead of log
+    val done = fs.open(new org.apache.hadoop.fs.Path(dstDir,
+      "_graft_compaction/0.sources"))
+    val gen0 = try scala.io.Source.fromInputStream(done, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSet finally done.close()
+    val fresh = spark.read.parquet(outDir).inputFiles.toSeq.sorted
+      .filterNot(gen0)
+    assert(fresh.nonEmpty)
+    val sc = fs.create(new org.apache.hadoop.fs.Path(dstDir,
+      "_graft_compaction/1.sources"), true)
+    sc.write((fresh.mkString("\n") + "\n").getBytes("UTF-8")); sc.close()
+    spark.read.parquet(fresh: _*).repartition(1)
+      .write.mode("append").parquet(dstDir) // torn: no manifest batch 1
+    // the torn increment's strays are invisible: reads still serve
+    // only increment 0
+    assert(spark.read.parquet(dstDir).count() === 20)
+    // next pass detects sidecar gen 1 > last committed batch 0,
+    // REDOES the increment from its recorded sources, and the
+    // relation matches the live sink with no duplicates
+    val out = graft.sources.Compaction.compactStreamSink(
+      spark, outDir, dstDir, 128L * 1024 * 1024)
+    val live = spark.read.parquet(outDir).collect()
+      .map(_.toSeq.toString).sorted.toSeq
+    assert(live.length === 40)
+    assert(out.collect().map(_.toSeq.toString).sorted.toSeq === live,
+      "torn-increment healing duplicated or lost rows")
+  }
 }
