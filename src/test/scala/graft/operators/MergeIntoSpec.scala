@@ -139,6 +139,54 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(dirFiles(pB)("part=p0").nonEmpty)
   }
 
+  test("an update that moves a key across partitions rewrites BOTH directories — the old loses the row, the new gains it") {
+    val path = "target/test_cow_keymove"
+    val table = (0L until 32L).map(k => (k, k * 1.0, s"p${k % 4}"))
+      .toDF("k", "v", "part")
+    table.write.mode("overwrite").partitionBy("part").parquet(path)
+    val before = dirFiles(path)
+    // k=1 currently lives in p1; the update re-homes it to p2
+    val changes = Seq((1L, 111.0, "p2", "U")).toDF("k", "v", "part", "op")
+    val out = MergeInto.copyOnWrite(spark, path, "part", changes, "k")
+    val after = dirFiles(path)
+    // p1 rewrote (lost the row via the touched-key anti-join), p2
+    // rewrote (gained it via the arriving union); p0/p3 untouched
+    Seq("part=p1", "part=p2").foreach { d =>
+      assert(after(d) !== before(d), s"$d did not rewrite on a key move")
+    }
+    Seq("part=p0", "part=p3").foreach { d =>
+      assert(after(d) === before(d), s"$d was rewritten")
+    }
+    assert(out.filter($"k" === 1L).select("part", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("p2", 111.0)))
+    assert(out.count() === 32L)
+  }
+
+  test("a key-moving update under partitionKeyImmutable breaks the contract: the stale row survives, as documented") {
+    // The fast path derives affected directories from the CHANGESET
+    // alone, so a U row carrying its NEW partition never probes the
+    // partition the key currently lives in — its stale row survives.
+    // This is the documented hazard that makes the flag an explicit
+    // opt-in; pinning it keeps the contract honest (r16 verdict
+    // item 7), and the conforming-changeset equivalence is pinned by
+    // the fast-path test above.
+    val path = "target/test_cow_keymove_imm"
+    val table = (0L until 32L).map(k => (k, k * 1.0, s"p${k % 4}"))
+      .toDF("k", "v", "part")
+    table.write.mode("overwrite").partitionBy("part").parquet(path)
+    val changes = Seq((1L, 111.0, "p2", "U")).toDF("k", "v", "part", "op")
+    val out = MergeInto.copyOnWrite(spark, path, "part", changes, "k",
+      partitionKeyImmutable = true)
+    val k1 = out.filter($"k" === 1L).select("part", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    // the new-home copy landed AND the old p1 row survived — a
+    // duplicate key, the breach the scaladoc warns about
+    assert(k1 === Seq(("p1", 1.0), ("p2", 111.0)),
+      s"immutable-key contract breach no longer behaves as documented: $k1")
+    assert(out.count() === 33L)
+  }
+
   test("copyOnWrite deletes a fully-emptied partition directory instead of resurrecting its stale files") {
     val path = "target/test_cow_full_delete"
     val table = (0L until 12L).map(k => (k, k * 1.0, s"p${k % 3}"))
