@@ -186,7 +186,8 @@ object Bench {
           n.startsWith("g13") || n.startsWith("g14") || n.startsWith("g15") ||
           n.startsWith("g19") || n.startsWith("g20") || n.startsWith("q50") ||
           n.startsWith("q51") || n.startsWith("q53") || n.startsWith("q54") ||
-          n.startsWith("q55") || n.startsWith("q57") || n.startsWith("q58") }
+          n.startsWith("q55") || n.startsWith("q57") ||
+          n.startsWith("q58") || n.startsWith("q59") }
       .map { case (k, _, c, _, _, _) => s"\"" + k + "\":" + n3(c) }
       .mkString("{", ",", "}")
     // Honest-cost map for the join-eliminated class (see

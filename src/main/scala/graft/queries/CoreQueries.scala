@@ -1316,6 +1316,61 @@ object CoreQueries {
       .agg(dsum("l_extendedprice").as("rev"), count(lit(1)).as("n_rows"))
   }
 
+  private val q59Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  // MAINTAINED statistics as the relation — the q54/q55 staleness gap
+  // closed and put under the ORACLE gate (StatsStoreSpec pins the
+  // mechanism; this pins the values at every SF): a month-partitioned
+  // orders tree gets a stats sidecar, a deterministic CDC batch
+  // confined to two months (mergecow's shape: updates+inserts in
+  // 1998-01, deletes in 1998-06) is applied via copyOnWrite with the
+  // DirStatsHook, and the ENTRY IS THE SIDECAR read back — refreshed
+  // incrementally (one pruned pass over 2 of ~80 directories, spliced
+  // by key), never recomputed from scratch. The oracle re-derives the
+  // post-merge stats from first principles (merge as set algebra →
+  // group by month), so hash equality proves BOTH splice halves: the
+  // 2 recomputed rows are right AND the ~78 carried-forward rows
+  // passed through uncorrupted. At 100 TB this is the difference
+  // between ANALYZE-after-every-merge (a corpus re-scan) and
+  // manifest-style stats that ride along with each commit.
+  def q59_maintained_stats(s: SparkSession, dir: String): DataFrame = {
+    val statsPath = q59Memo.getOrElseUpdate((s, dir), {
+      val digest = graft.sources.Bucketing.pathDigest(dir)
+      val tree = graft.sources.Layouts.root(s) + "/mstats_orders_" + digest
+      val stats = graft.sources.Layouts.root(s) + "/mstats_side_" + digest
+      val snap0 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .as("o_month"))
+      snap0.repartition(col("o_month"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(tree)
+      val cols = Seq(graft.sources.StatsStore.ColSpec("o_totalprice",
+        "min_price", "max_price"))
+      graft.sources.StatsStore.writeDirStats(s, tree, stats, "o_month", cols)
+      val (mU, mD) = (199801, 199806)
+      val m5 = pmod(col("o_orderkey"), lit(5L))
+      val mcol = col("o_month")
+      def asOp(df: DataFrame, op: String) = df.withColumn("op", lit(op))
+      val changes = asOp(snap0.filter(mcol === mU && m5 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0), "U")
+        .unionByName(asOp(snap0.filter(mcol === mD && m5 === 2), "D"))
+        .unionByName(asOp(snap0.filter(mcol === mU && m5 === 3)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+          .withColumn("o_orderpriority", lit("5-LOW")), "I"))
+        .localCheckpoint(true) // derives from the tree the COW rewrites
+      graft.operators.MergeInto.copyOnWrite(s, tree, "o_month", changes,
+        "o_orderkey",
+        hooks = Seq(graft.sources.StatsStore.DirStatsHook(stats, cols)))
+      stats
+    })
+    s.read.parquet(statsPath)
+      .select(col("o_month").cast(LongType).as("o_month"),
+        col("n_rows"), col("min_price"), col("max_price"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -1460,6 +1515,28 @@ object CoreQueries {
         |SELECT -o_orderkey, o_custkey, o_totalprice * 0.5, '5-LOW',
         |  o_month
         |FROM snap WHERE o_orderkey % 10 = 3""".stripMargin,
+    // the post-merge stats re-derived from first principles: merge as
+    // set algebra (mergecow's two-month changeset), then group by
+    // month — equality proves the incremental splice end to end.
+    "q59_maintained_stats" ->
+      """WITH snap AS (SELECT o_orderkey, o_totalprice,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS o_month
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_totalprice, o_month FROM snap
+        |  WHERE NOT (o_month = 199801 AND o_orderkey % 5 = 1)
+        |    AND NOT (o_month = 199806 AND o_orderkey % 5 = 2)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1000.0, o_month FROM snap
+        |  WHERE o_month = 199801 AND o_orderkey % 5 = 1
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_totalprice * 0.5, o_month FROM snap
+        |  WHERE o_month = 199801 AND o_orderkey % 5 = 3)
+        |SELECT o_month, COUNT(*) AS n_rows,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM merged GROUP BY 1""".stripMargin,
     // like q55, the file-grain skip is stats-internal: the oracle is
     // the plain date-window aggregation — hash equality proves the
     // per-file prune lost no qualifying row.
@@ -1845,5 +1922,6 @@ object CoreQueries {
     "q56_time_travel" -> (q56_time_travel _),
     "q57_versioned_time_travel" -> (q57_versioned_time_travel _),
     "q58_file_skipping" -> (q58_file_skipping _),
+    "q59_maintained_stats" -> (q59_maintained_stats _),
   )
 }
