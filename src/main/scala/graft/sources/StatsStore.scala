@@ -129,8 +129,18 @@ object StatsStore {
                       cols: Seq[ColSpec],
                       ndv: Option[NdvSpec] = None): DataFrame = {
     if (partVals.isEmpty) return s.read.parquet(statsPath)
-    val fresh = dirStats(slice(s, treePath, partCol, partVals),
-      partCol, cols, ndv)
+    spliceDirStats(s, statsPath, partCol, partVals,
+      dirStats(slice(s, treePath, partCol, partVals), partCol, cols, ndv))
+  }
+
+  /** Splice a recomputed directory-grain slice into the sidecar:
+    * drop every row whose partition value is in `partVals`, union
+    * `fresh` in. Factored out so readers that must compute the slice
+    * differently (a VERSIONED table aggregates its live file set,
+    * not the directory — [[VersionedTable.statsHook]]) reuse the
+    * splice semantics exactly. */
+  def spliceDirStats(s: SparkSession, statsPath: String, partCol: String,
+                     partVals: Seq[Any], fresh: DataFrame): DataFrame = {
     val affected = partVals.map(v =>
       if (v == null) Compaction.HiveDefaultPartition
       else String.valueOf(v)).toSet

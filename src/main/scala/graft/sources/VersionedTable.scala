@@ -164,7 +164,8 @@ object VersionedTable {
     * if the caller breaks the contract. */
   def commitMerge(s: SparkSession, tablePath: String, partCol: String,
                   changes: DataFrame, key: String,
-                  partitionKeyImmutable: Boolean = false): Long = {
+                  partitionKeyImmutable: Boolean = false,
+                  hooks: Seq[StatsStore.PostRewriteHook] = Nil): Long = {
     val fs = fsFor(s, tablePath)
     val v = currentVersion(s, tablePath)
     require(v >= 0, s"$tablePath is not a versioned table (no log)")
@@ -219,6 +220,99 @@ object VersionedTable {
       s"commit $v+1 on $tablePath: merged slice has $expected rows but " +
         s"the appended files hold $got — partition rendering diverged")
     writeManifest(fs, tablePath, v + 1, survivors ++ newFiles)
+    // Post-commit maintenance, the copyOnWrite hook contract — but
+    // note a plain StatsStore.DirStatsHook is WRONG on a versioned
+    // table (a directory read would also aggregate the retired
+    // history files still on disk); pass [[statsHook]], which reads
+    // through the new version's manifest.
+    hooks.foreach(_.afterRewrite(s, tablePath, partCol, parts))
+    v + 1
+  }
+
+  /** A [[StatsStore.PostRewriteHook]] that is correct on a VERSIONED
+    * table: the refresh must aggregate the LIVE file set of the
+    * latest version (a plain directory read would also count the
+    * retired history files still on disk). Splices like
+    * [[StatsStore.refreshDirStats]], reading through [[snapshot]]. */
+  def statsHook(statsPath: String, cols: Seq[StatsStore.ColSpec],
+                ndv: Option[StatsStore.NdvSpec] = None)
+      : StatsStore.PostRewriteHook = new StatsStore.PostRewriteHook {
+    def afterRewrite(s: SparkSession, treePath: String, partCol: String,
+                     rewrittenParts: Seq[Any]): Unit = {
+      if (rewrittenParts.isEmpty) return
+      val snap = snapshot(s, treePath)
+      val (nullPart, defined) = rewrittenParts.partition(_ == null)
+      val pred = (
+        (if (defined.nonEmpty) Seq(col(partCol).isInCollection(defined))
+         else Nil) ++
+        (if (nullPart.nonEmpty) Seq(col(partCol).isNull) else Nil)
+      ).reduce(_ || _)
+      StatsStore.spliceDirStats(s, statsPath, partCol, rewrittenParts,
+        StatsStore.dirStats(snap.filter(pred), partCol, cols, ndv))
+    }
+  }
+
+  /** OPTIMIZE as a commit — [[Compaction]]'s verb inside the version
+    * log: rewrite the CURRENT version's live files into
+    * ceil(bytes/target) per directory and commit the result as a new
+    * version with the IDENTICAL relation. Because the write is
+    * append-only like every commit, time travel across an optimize
+    * is free: version N-1 still reads the small files, version N the
+    * compacted ones, and [[vacuum]] reclaims the former when the
+    * retention horizon passes — exactly Delta's OPTIMIZE +
+    * VACUUM lifecycle. Returns the new version. */
+  def commitOptimize(s: SparkSession, tablePath: String, partCol: String,
+                     targetBytes: Long): Long = {
+    val fs = fsFor(s, tablePath)
+    val v = currentVersion(s, tablePath)
+    require(v >= 0, s"$tablePath is not a versioned table (no log)")
+    val live = manifest(s, tablePath, v)
+    // per-directory byte totals from the LIVE set only (metadata-
+    // scale), the filePlan shape with retired files excluded
+    val dirBytes = live.groupBy(_.split("/")(0)).map { case (d, fsn) =>
+      d -> fsn.map(f => fs.getFileStatus(new Path(tablePath, f)).getLen).sum
+    }
+    val plan = dirBytes.map { case (d, b) =>
+      d -> math.max(1L, (b + targetBytes - 1) / targetBytes).toInt }
+    val snap = snapshot(s, tablePath, v)
+    val dataCols = snap.columns.filter(_ != partCol)
+    import scala.jdk.CollectionConverters._
+    // plan keys are manifest dir names (hive-ESCAPED); the join side
+    // compares against the data column's cast-to-string rendering, so
+    // unescape like Compaction.filePlan (null sentinel stays literal)
+    val planDf = broadcast(s.createDataFrame(
+      plan.toSeq.map { case (d, nf) =>
+        val pv = d.split("=", 2)(1)
+        val un = if (pv == "__HIVE_DEFAULT_PARTITION__") pv
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(pv)
+        org.apache.spark.sql.Row(un, nf) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pv",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_nf",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))))
+    val width = math.max(1, plan.values.sum)
+    val affectedDirs = plan.keys.toSeq
+    val before = affectedDirs.flatMap(listDir(fs, tablePath, _)).toSet
+    snap
+      .join(planDf,
+        coalesce(col(partCol).cast("string"),
+          lit("__HIVE_DEFAULT_PARTITION__")) === col("_pv"))
+      .withColumn("_slot",
+        pmod(xxhash64(dataCols.map(col): _*), col("_nf").cast("long")))
+      .repartition(width, col(partCol), col("_slot"))
+      .drop("_pv", "_nf", "_slot")
+      .write.mode(SaveMode.Append).partitionBy(partCol).parquet(tablePath)
+    val newFiles = affectedDirs.flatMap(listDir(fs, tablePath, _))
+      .toSet -- before
+    val expected = snap.count()
+    val got = s.read.option("basePath", tablePath)
+      .parquet(newFiles.toSeq.sorted.map(f => s"$tablePath/$f"): _*).count()
+    require(expected == got,
+      s"optimize on $tablePath must be row-preserving: live $expected " +
+        s"rows but rewrote $got")
+    writeManifest(fs, tablePath, v + 1, newFiles.toSeq)
     v + 1
   }
 

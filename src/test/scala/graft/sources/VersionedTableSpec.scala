@@ -155,6 +155,59 @@ class VersionedTableSpec extends AnyFunSuite {
       "_graft_log/00000002.manifest")))
   }
 
+  test("OPTIMIZE is a commit: files collapse, the relation is identical, history still reads, vacuum reclaims the small files") {
+    val path = "target/test_vt_optimize"
+    // over-split v0: several files per directory
+    val wide = table.repartition(8, $"part",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"k"),
+        org.apache.spark.sql.functions.lit(4)))
+    VersionedTable.init(spark, path, wide, "part")
+    val m0 = VersionedTable.manifest(spark, path, 0L)
+    assert(m0.groupBy(_.split("/")(0)).values.exists(_.size > 1),
+      "setup failed: v0 should be multi-file per directory")
+    val exp = ms(VersionedTable.snapshot(spark, path, 0L))
+    val v1 = VersionedTable.commitOptimize(spark, path, "part",
+      targetBytes = 128L * 1024 * 1024)
+    assert(v1 === 1L)
+    val m1 = VersionedTable.manifest(spark, path, 1L)
+    // every directory collapsed to one file at the default target
+    assert(m1.groupBy(_.split("/")(0)).values.forall(_.size === 1),
+      s"optimize left multi-file directories: $m1")
+    // identical relation; nothing shared with v0 (full rewrite)
+    assert(ms(VersionedTable.snapshot(spark, path, 1L)) === exp)
+    assert(m1.toSet.intersect(m0.toSet).isEmpty)
+    // time travel across the optimize: v0 still reads the small files
+    assert(ms(VersionedTable.snapshot(spark, path, 0L)) === exp)
+    // vacuum past v0 reclaims exactly the pre-optimize files
+    val deleted = VersionedTable.vacuum(spark, path, keepFrom = 1L)
+    assert(deleted.toSet === m0.toSet)
+    assert(ms(VersionedTable.snapshot(spark, path, 1L)) === exp)
+  }
+
+  test("statsHook keeps a sidecar fresh across versioned commits, aggregating the LIVE file set, not retired history") {
+    val path = "target/test_vt_statshook"
+    val stats = "target/test_vt_statshook_side"
+    val cols = Seq(StatsStore.ColSpec("v", "min_v", "max_v"))
+    VersionedTable.init(spark, path, table, "part")
+    StatsStore.writeDirStats(spark, path, stats, "part", cols)
+    // b1 rewrites p1/p2/p9; a plain directory read after the commit
+    // would double-count p1's retired v0 file — the hook must not
+    VersionedTable.commitMerge(spark, path, "part", b1, "k",
+      hooks = Seq(VersionedTable.statsHook(stats, cols)))
+    val refreshed = spark.read.parquet(stats)
+    val scratch = StatsStore.dirStats(
+      VersionedTable.snapshot(spark, path), "part", cols)
+    assert(ms(refreshed) === ms(scratch),
+      "versioned stats hook diverged from the live-set recomputation")
+    // the retired-history hazard, concretely: p1 has BOTH v0 and v1
+    // files on disk, but its stats row counts only the live rows
+    val p1rows = refreshed.filter($"part" === "p1")
+      .select("n_rows").head().getLong(0)
+    assert(p1rows === VersionedTable.snapshot(spark, path)
+      .filter($"part" === "p1").count())
+  }
+
   test("numeric partition values survive type coercion: a Long-typed changeset commits against an Int-inferred tree, full-delete included") {
     val path = "target/test_vt_numpart"
     // directories part=0..3 infer back as INT; the changeset carries
