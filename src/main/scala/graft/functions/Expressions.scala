@@ -63,6 +63,24 @@ object GraftExpressions {
     ColumnBridge.column(ZOrder(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** SQ8 affine per-dimension quantization of a vector
+    * ([[graft.queries.SimilarityQueries.s09_knn_sq8]]):
+    * `out[i] = clamp(floor((v[i] − lo[i]) · 255 / rng[i]), 0, 255)`
+    * (0 where `rng[i] = 0`), returned as array<double> so the
+    * codegen'd [[dot]] scores the codes directly. One expression with
+    * a RUNTIME loop over the dimensions — the unrolled per-dim
+    * `array(least(greatest(floor(...))))` form generated ~13k lines
+    * of Java for dim=64 and blew janino's 64 KB method limit, so the
+    * whole encode stage silently fell back to interpreted projection
+    * (observed r17); this is the expression-split rule the PolyHash/
+    * DotProduct scaladoc states, applied to the third hot loop.
+    * Bit-identical to the unrolled form for non-NaN inputs: the same
+    * ((x − lo) · 255) / rng double sequence, floor, then the 0/255
+    * clamp.
+    */
+  def sq8(v: Column, lo: Array[Double], rng: Array[Double]): Column =
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(v), lo, rng))
+
   /** Bloom filter of a key column as a 1-row aggregate — the BUILD
     * half of explicit runtime row filtering (the row-level sibling of
     * q48's partition-level DPP). Keys go through `xxhash64` first,
@@ -203,6 +221,73 @@ object DotProduct {
       i += 1
     }
     acc
+  }
+}
+
+/** See [[GraftExpressions.sq8]]. `lo`/`rng` ride along as reference
+  * objects (driver-collected per-dim stats, 2·dim doubles — the
+  * planeWeights literal pattern), so the generated code is one static
+  * call per row regardless of dimensionality.
+  */
+case class Sq8Encode(child: Expression, lo: Seq[Double], rng: Seq[Double])
+    extends UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (lo.length == rng.length) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_sq8 lo/rng lengths differ: ${lo.length} vs ${rng.length}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8 needs array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_sq8"
+
+  private lazy val loArr = lo.toArray
+  private lazy val rngArr = rng.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sq8Encode.encode(input.asInstanceOf[ArrayData], loArr, rngArr,
+      elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sq8lo", loArr, "double[]")
+    val rngRef = ctx.addReferenceObj("sq8rng", rngArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sq8Encode.encode($c, $loRef, $rngRef, $elemIsFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+object Sq8Encode {
+  /** Per dim: t = ((x − lo)·255)/rng, floored, clamped to [0,255];
+    * 0 where rng = 0 — the exact double sequence of the unrolled
+    * least/greatest/floor form (non-NaN inputs).
+    */
+  def encode(v: ArrayData, lo: Array[Double], rng: Array[Double],
+             isFloat: Boolean): ArrayData = {
+    val n = math.min(v.numElements(), lo.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (rng(i) == 0.0) out(i) = 0.0
+      else {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        var t = Math.floor((x - lo(i)) * 255.0 / rng(i))
+        if (t < 0.0) t = 0.0
+        if (t > 255.0) t = 255.0
+        out(i) = t
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

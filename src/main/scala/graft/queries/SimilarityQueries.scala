@@ -515,18 +515,24 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val emb = t(s, dir, "embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val aggs = (0 until dim).flatMap(i => Seq(
-      min(element_at(col("embedding"), i + 1).cast(DoubleType)),
-      max(element_at(col("embedding"), i + 1).cast(DoubleType))))
-    val row = emb.agg(aggs.head, aggs.tail: _*).head()
-    val lo = Array.tabulate(dim)(i => row.getDouble(2 * i))
-    val rng = Array.tabulate(dim)(i => row.getDouble(2 * i + 1) - lo(i))
-    def codes(vcol: String) = array((0 until dim).map { i =>
-      val x = element_at(col(vcol), i + 1).cast(DoubleType)
-      if (rng(i) == 0.0) lit(0.0)
-      else least(lit(255.0), greatest(lit(0.0),
-        floor((x - lit(lo(i))) * lit(255.0) / lit(rng(i)))))
-    }: _*)
+    // per-dim (min, max) via ONE posexplode aggregation (2 agg
+    // buffers over dim·n rows), not 2·dim unrolled agg expressions —
+    // the unrolled form's generated update method blew janino's
+    // 64 KB limit at dim=64 and ran interpreted (observed r17)
+    val statRows = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast(DoubleType)).as("mn"),
+        max(col("x").cast(DoubleType)).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val lo = Array.tabulate(dim)(i => statRows(i)._1)
+    val rng = Array.tabulate(dim)(i => statRows(i)._2 - lo(i))
+    // one codegen'd expression with a runtime dim loop (the PolyHash/
+    // DotProduct rule applied to the encode — bit-identical clamp
+    // sequence, ~60 lines of generated code instead of ~13k)
+    def codes(vcol: String) =
+      graft.functions.GraftExpressions.sq8(col(vcol), lo, rng)
     val enc = emb.select(col("vec_id"), codes("embedding").as("cv"))
       .withColumn("cn", sqrt(dotExpr("cv", "cv")))
       .filter(col("cn") > 0d)

@@ -73,6 +73,40 @@ class ExpressionsSpec extends AnyFunSuite {
       err.getCause != null)
   }
 
+  test("Sq8Encode matches the unrolled least/greatest/floor form bit for bit") {
+    import spark.implicits._
+    val lo = Array(0.0, -1.0, 2.0, 5.0)
+    val rng = Array(10.0, 2.0, 0.0, 0.5)
+    val df = Seq(
+      (1L, Seq(0.0f, -1.0f, 99.0f, 5.1f)),   // lows / dead dim / interior
+      (2L, Seq(10.0f, 1.0f, -3.0f, 9.0f)),   // highs / above-range clamp
+      (3L, Seq(-5.0f, 3.0f, 0.0f, 4.0f))     // below-range clamp
+    ).toDF("id", "v")
+    val viaExpr = df.select(col("id"),
+      GraftExpressions.sq8(col("v"), lo, rng).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaUnrolled = df.select(col("id"), array((0 until 4).map { i =>
+      val x = element_at(col("v"), i + 1).cast("double")
+      if (rng(i) == 0.0) lit(0.0)
+      else least(lit(255.0), greatest(lit(0.0),
+        floor((x - lit(lo(i))) * lit(255.0) / lit(rng(i)))))
+    }: _*).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaExpr === viaUnrolled)
+    // spot values: clamps engage, dead dim is 0
+    assert(viaExpr(2L) === Seq(255.0, 255.0, 0.0, 255.0))
+    assert(viaExpr(3L) === Seq(0.0, 255.0, 0.0, 0.0))
+    // and the generated code stays bounded at ANY dimensionality:
+    // a 4096-dim encode plans and runs (the unrolled form at this
+    // width would be ~800k lines of Java)
+    val wideLo = Array.fill(4096)(0.0)
+    val wideRng = Array.fill(4096)(1.0)
+    val wide = Seq((1L, Seq.fill(4096)(0.5f))).toDF("id", "v")
+      .select(GraftExpressions.sq8(col("v"), wideLo, wideRng).as("c"))
+      .head().getSeq[Double](0)
+    assert(wide.length === 4096 && wide.forall(_ === 127.0))
+  }
+
   test("SQL registration exposes graft_polyhash and graft_dot") {
     ColumnBridge.registerGraftFunctions(spark)
     val r = spark.sql(
