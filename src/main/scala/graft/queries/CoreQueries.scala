@@ -1170,12 +1170,14 @@ object CoreQueries {
   // VERSIONED time travel ([[graft.sources.VersionedTable]]) — the
   // lakehouse primitive q52 (MERGE write half) and q56 (AS-OF read
   // half) were each one side of: a REAL versioned table is built from
-  // orders (month-partitioned, commit v0), two deterministic merge
-  // batches are COMMITTED against it (v1: q52's exact changeset —
-  // keys ≡1 mod 10 updated, ≡2 deleted, ≡3 inserted under the negated
-  // key; v2: keys ≡4 updated, ≡5 deleted), and the entry reads the
-  // table AS OF v1 — a historical snapshot whose affected-directory
-  // files batch 2 logically superseded but whose manifest still names.
+  // orders (month-partitioned, commit v0), then COMMITTED against:
+  // v1 a merge batch (q52's exact changeset — keys ≡1 mod 10 updated,
+  // ≡2 deleted, ≡3 inserted under the negated key), v2 an OPTIMIZE
+  // (full-table compaction rewrite, relation-identical), v3 a second
+  // merge (keys ≡4 updated, ≡5 deleted). The entry reads the table
+  // AS OF v1 — a historical snapshot whose files BOTH the optimize
+  // and batch 2 logically superseded but whose manifest still names,
+  // so the hash additionally pins history-readable-across-OPTIMIZE.
   // The oracle re-derives v1's state as set algebra over orders, so
   // the hash pins the whole machine: append-only commit, manifest
   // file accounting, and historical read. Scale shape: each commit's
@@ -1206,6 +1208,12 @@ object CoreQueries {
       graft.sources.VersionedTable.init(s, root, snap0, "o_month")
       graft.sources.VersionedTable.commitMerge(
         s, root, "o_month", b1, "o_orderkey")
+      // an OPTIMIZE commit between the merges (v2): the AS-OF-v1 read
+      // below must still serve the PRE-optimize files — history
+      // readable across a full-table rewrite is the property that
+      // separates a commit log from a directory
+      graft.sources.VersionedTable.commitOptimize(
+        s, root, "o_month", 128L * 1024 * 1024)
       graft.sources.VersionedTable.commitMerge(
         s, root, "o_month", b2, "o_orderkey")
       root
