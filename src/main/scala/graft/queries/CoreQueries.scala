@@ -1218,7 +1218,11 @@ object CoreQueries {
         s, root, "o_month", b2, "o_orderkey")
       root
     })
-    graft.sources.VersionedTable.snapshot(s, path, 1L)
+    // the INDEX-backed read ([[graft.sources.VersionedFileIndex]]):
+    // the scan's file universe is v1's manifest via a Catalyst
+    // FileIndex, so the oracle hash pins the table-format read path
+    // itself (spec-pinned equal to the explicit file-list form)
+    graft.sources.VersionedTable.snapshotRelation(s, path, "o_month", 1L)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority"), col("o_month").cast(LongType).as("o_month"))
   }

@@ -143,6 +143,23 @@ object VersionedTable {
       .parquet(files.map(f => s"$tablePath/$f"): _*)
   }
 
+  /** The INDEX-backed read ([[VersionedFileIndex]]): same relation as
+    * [[snapshot]], but through a Catalyst `FileIndex` whose listing
+    * is the manifest — partition pruning evaluates inside the index
+    * on historical versions, and wiring a q54-style sidecar
+    * (`statsPath` + data column → (min,max) sidecar column names)
+    * makes zone-map data skipping automatic for ANY query over the
+    * relation. The table-format integration shape (Delta's
+    * TahoeFileIndex); [[snapshot]] stays as the dependency-free file-
+    * list form. */
+  def snapshotRelation(s: SparkSession, tablePath: String, partCol: String,
+                       version: Long = -1L,
+                       statsPath: Option[String] = None,
+                       statsCols: Map[String, (String, String)] = Map.empty)
+      : DataFrame =
+    VersionedFileIndex.relation(s, tablePath, partCol, version,
+      statsPath, statsCols)
+
   /** Apply a CDC changeset (same contract as
     * [[graft.operators.MergeInto]]: key + op 'U'|'D'|'I' + payload
     * incl. `partCol`) as a new COMMIT, and return its version.

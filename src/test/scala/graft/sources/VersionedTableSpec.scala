@@ -208,6 +208,83 @@ class VersionedTableSpec extends AnyFunSuite {
       .filter($"part" === "p1").count())
   }
 
+  private def scanOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.FileSourceScanExec = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case s: FileSourceScanExec => Seq(s); case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(scans)
+    }
+    df.collect()
+    scans(df.queryExecution.executedPlan).head
+  }
+
+  test("the index-backed relation serves every version identically, prunes partitions inside the index, and never lists retired files") {
+    val path = "target/test_vt_index"
+    VersionedTable.init(spark, path, table, "part")
+    VersionedTable.commitMerge(spark, path, "part", b1, "k")
+    VersionedTable.commitMerge(spark, path, "part", b2, "k")
+    (0L to 2L).foreach { v =>
+      assert(ms(VersionedTable.snapshotRelation(spark, path, "part", v)) ===
+        ms(VersionedTable.snapshot(spark, path, v)),
+        s"index-backed read diverged at version $v")
+    }
+    // partition pruning evaluates INSIDE the index, on a HISTORICAL
+    // version: one directory listed of the five live at v1
+    val pruned = VersionedTable.snapshotRelation(spark, path, "part", 1L)
+      .filter($"part" === "p1")
+    val scan = scanOf(pruned)
+    assert(scan.metrics("numPartitions").value === 1,
+      s"expected 1 directory, read ${scan.metrics("numPartitions").value}")
+    // the plan's whole file universe is v1's manifest — retired v0
+    // files and later v2 files never appear (compare by the relative
+    // dir/file suffix: inputFiles are absolute URIs)
+    def rel2(f: String) = f.split("/").takeRight(2).mkString("/")
+    val m1 = VersionedTable.manifest(spark, path, 1L).map(rel2).toSet
+    val planned = VersionedTable.snapshotRelation(spark, path, "part", 1L)
+      .inputFiles.map(rel2).toSet
+    assert(planned === m1, "index file universe is not the manifest")
+  }
+
+  test("a stats sidecar wired into the index makes zone-map skipping automatic for any data-column predicate") {
+    val path = "target/test_vt_index_stats"
+    val stats = "target/test_vt_index_stats_side"
+    // v spans [(part+1)*10, (part+1)*10+7] per partition — DISJOINT
+    // envelopes, so a v-window identifies directories (the shared
+    // `table`'s v = k interleaves across partitions, where no zone
+    // map can separate anything)
+    val disjoint = (0L until 32L)
+      .map(k => (k, s"n$k", (k % 4 + 1) * 10.0 + k / 4, s"p${k % 4}"))
+      .toDF("k", "name", "v", "part")
+    VersionedTable.init(spark, path, disjoint, "part")
+    val cols = Seq(StatsStore.ColSpec("v", "min_v", "max_v"))
+    StatsStore.writeDirStats(spark, path, stats, "part", cols)
+    val rel = VersionedTable.snapshotRelation(spark, path, "part",
+      statsPath = Some(stats), statsCols = Map("v" -> (("min_v", "max_v"))))
+    // window [20, 27] is exactly p1's envelope
+    val q = rel.filter($"v" >= 20.0 && $"v" <= 27.0)
+    val scan = scanOf(q)
+    assert(scan.metrics("numPartitions").value === 1,
+      s"stats skip read ${scan.metrics("numPartitions").value} " +
+        "directories, expected 1")
+    // superset safety: identical relation to the unassisted read
+    val plain = VersionedTable.snapshot(spark, path)
+      .filter($"v" >= 20.0 && $"v" <= 27.0)
+    assert(ms(q) === ms(plain))
+    // an unsupported predicate shape prunes nothing and stays correct
+    val odd = rel.filter(($"v" * 2.0) >= 40.0 && ($"v" * 2.0) <= 54.0)
+    assert(ms(odd) === ms(VersionedTable.snapshot(spark, path)
+      .filter(($"v" * 2.0) >= 40.0 && ($"v" * 2.0) <= 54.0)))
+  }
+
   test("numeric partition values survive type coercion: a Long-typed changeset commits against an Int-inferred tree, full-delete included") {
     val path = "target/test_vt_numpart"
     // directories part=0..3 infer back as INT; the changeset carries
