@@ -1306,23 +1306,24 @@ object CoreQueries {
   // item 5, Delta's per-file checkpoint stats): the predicate window
   // sits INSIDE one month, so q55's zone map can only say "read all of
   // 1997-03"; the per-file sidecar's [min_ship, max_ship] envelopes
-  // identify WHICH of that directory's date-tiled files intersect, and
-  // the scan lists only those (a |files|-row driver probe — exactly
-  // what reading a Delta checkpoint costs at plan time). The residual
-  // predicate re-filters inside survivors, so the skip is superset-
-  // safe and the relation layout-independent — the oracle is the
-  // plain date-window SQL. FileSkippingSpec pins that files really
-  // were pruned WITHIN the surviving directory; the fileskip duel
-  // measures rows-decoded against the directory-grain plan.
+  // identify WHICH of that directory's date-tiled files intersect.
+  // The skip runs INSIDE the scan's own planning
+  // ([[graft.sources.ZoneMapFileIndex]]): the date predicate below is
+  // an ordinary filter, the index translates it into an interval
+  // probe of the |files|-row sidecar (exactly what reading a Delta
+  // checkpoint costs at plan time) and the non-intersecting files are
+  // never planned. The same predicate still runs in the scan as the
+  // exact residual, so the skip is superset-safe and the relation
+  // layout-independent — the oracle is the plain date-window SQL.
+  // FileSkippingSpec pins the within-directory file pruning (scan
+  // numFiles metric); the fileskip duel measures rows-decoded against
+  // the directory-grain plan.
   def q58_file_skipping(s: SparkSession, dir: String): DataFrame = {
     val (tree, stats) = rangedLineitem(s, dir)
     val lo = to_timestamp(lit(Q58Lo))
     val hi = to_timestamp(lit(Q58Hi))
-    val live = s.read.parquet(stats)
-      .filter(col("max_ship") >= lo && col("min_ship") <= hi)
-      .select(col("file")).collect().map(_.getString(0)).sorted
-    s.read.option("basePath", tree)
-      .parquet(live.map(f => s"$tree/$f").toIndexedSeq: _*)
+    graft.sources.ZoneMapFileIndex.relation(s, tree, "l_smonth", stats,
+      Map("l_shipdate" -> (("min_ship", "max_ship"))))
       .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi)
       .groupBy(col("l_returnflag"))
       .agg(dsum("l_extendedprice").as("rev"), count(lit(1)).as("n_rows"))

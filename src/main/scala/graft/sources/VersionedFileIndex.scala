@@ -57,26 +57,13 @@ class VersionedFileIndex(
         value -> files.map(f => fs.getFileStatus(new Path(tablePath, f)))
       }
 
-  /** Partition type by the same narrow inference hive-style reads
-    * use for this table's keys: all-int → int, all-long → long, else
-    * string (the layouts in this repo key on int months and short
-    * strings; richer inference belongs to the writer's catalog). */
-  private val partType: DataType = {
-    val vs = byDir.map(_._1).filter(_ != null)
-    if (vs.nonEmpty && vs.forall(v => scala.util.Try(v.toInt).isSuccess))
-      IntegerType
-    else if (vs.nonEmpty && vs.forall(v => scala.util.Try(v.toLong).isSuccess))
-      LongType
-    else StringType
-  }
+  /** Partition type by the narrow hive-style inference shared with
+    * [[ZoneMapFileIndex]] (int → long → string; the layouts in this
+    * repo key on int months and short strings — richer inference
+    * belongs to the writer's catalog). */
+  private val partType: DataType = ZoneMap.inferPartType(byDir.map(_._1))
 
-  private def valueOf(raw: String): Any =
-    if (raw == null) null
-    else partType match {
-      case IntegerType => raw.toInt
-      case LongType => raw.toLong
-      case _ => UTF8String.fromString(raw)
-    }
+  private def valueOf(raw: String): Any = ZoneMap.valueOf(raw, partType)
 
   override val partitionSchema: StructType =
     StructType(Seq(StructField(partCol, partType, nullable = true)))
@@ -96,44 +83,15 @@ class VersionedFileIndex(
     * supported conjunct — superset-safe: only recognized comparison
     * shapes on columns with recorded envelopes ever prune. */
   private def statsSurvivors(dataFilters: Seq[Expression])
-      : Option[Set[String]] = {
-    if (statsPath.isEmpty || statsCols.isEmpty) return None
-    def probe(attr: String, mk: ((String, String)) => Option[
-        org.apache.spark.sql.Column]): Option[org.apache.spark.sql.Column] =
-      statsCols.get(attr).flatMap(mk)
-    val conjuncts = dataFilters.flatMap { f =>
-      def litCol(l: Literal) = ColumnBridge.column(l)
-      f match {
-        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-          probe(a.name, { case (_, mx) => Some(col(mx) >= litCol(l)) })
-        case GreaterThan(a: AttributeReference, l: Literal) =>
-          probe(a.name, { case (_, mx) => Some(col(mx) > litCol(l)) })
-        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-          probe(a.name, { case (mn, _) => Some(col(mn) <= litCol(l)) })
-        case LessThan(a: AttributeReference, l: Literal) =>
-          probe(a.name, { case (mn, _) => Some(col(mn) < litCol(l)) })
-        case EqualTo(a: AttributeReference, l: Literal) =>
-          probe(a.name, { case (mn, mx) =>
-            Some(col(mn) <= litCol(l) && col(mx) >= litCol(l)) })
-        // flipped literal-first renderings
-        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-          probe(a.name, { case (mn, _) => Some(col(mn) <= litCol(l)) })
-        case GreaterThan(l: Literal, a: AttributeReference) =>
-          probe(a.name, { case (mn, _) => Some(col(mn) < litCol(l)) })
-        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-          probe(a.name, { case (_, mx) => Some(col(mx) >= litCol(l)) })
-        case LessThan(l: Literal, a: AttributeReference) =>
-          probe(a.name, { case (_, mx) => Some(col(mx) > litCol(l)) })
-        case _ => None
+      : Option[Set[String]] =
+    statsPath.flatMap { sp =>
+      ZoneMap.envelopePredicate(dataFilters, statsCols).map { pred =>
+        s.read.parquet(sp)
+          .filter(pred)
+          .select(col(partCol).cast("string"))
+          .collect().map(_.getString(0)).toSet
       }
     }
-    if (conjuncts.isEmpty) return None
-    val pred = conjuncts.reduce(_ && _)
-    Some(s.read.parquet(statsPath.get)
-      .filter(pred)
-      .select(col(partCol).cast("string"))
-      .collect().map(_.getString(0)).toSet)
-  }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])

@@ -48,6 +48,43 @@ class FileSkippingSpec extends AnyFunSuite {
       s"$leaked qualifying rows live in files the stats skipped")
   }
 
+  test("the index plans only the intersecting files: scan numFiles < month files, relation exact") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case s: FileSourceScanExec => Seq(s); case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(scans)
+    }
+    val q = graft.queries.CoreQueries.q58_file_skipping(spark, dir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    val scan = scans(q.queryExecution.executedPlan).head
+    val (tree, stats) = graft.queries.CoreQueries.rangedLineitem(spark, dir)
+    val marchFiles = spark.read.parquet(stats)
+      .filter($"l_smonth" === 199703).count()
+    val planned = scan.metrics("numFiles").value
+    assert(planned > 0 && planned < marchFiles,
+      s"index planned $planned files; expected fewer than the " +
+        s"$marchFiles in the window's month")
+    // and the pruned plan equals the plain tree read — superset safety
+    // through the index path
+    val plain = spark.read.parquet(tree)
+      .filter($"l_shipdate" >= to_timestamp(lit("1997-03-05")) &&
+        $"l_shipdate" <= to_timestamp(lit("1997-03-12")))
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_extendedprice".cast("decimal(28,2)")).cast("double"),
+        count(lit(1)))
+    assert(rows.map(_.toSeq.toString).sorted.toSeq ===
+      plain.collect().map(_.toSeq.toString).sorted.toSeq)
+  }
+
   test("the sidecar is file-complete: its rows cover exactly the tree's data files") {
     val (tree, stats) = graft.queries.CoreQueries.rangedLineitem(spark, dir)
     val inStats = spark.read.parquet(stats)
