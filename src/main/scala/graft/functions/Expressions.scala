@@ -81,6 +81,17 @@ object GraftExpressions {
   def sq8(v: Column, lo: Array[Double], rng: Array[Double]): Column =
     ColumnBridge.column(Sq8Encode(ColumnBridge.expression(v), lo, rng))
 
+  /** URI-percent-decode of a path fragment — what reconciles
+    * `input_file_name()` (which renders the file's URI, so a
+    * hive-escaped directory like `c=a b` appears as `c=a%20b`) with
+    * the raw `FileStatus` names a [[graft.sources.ZoneMapFileIndex]]
+    * builds its keys from. `java.net.URI`'s path decoding, NOT
+    * `URLDecoder` (form decoding would corrupt a literal `+` into a
+    * space). An unparseable fragment passes through unchanged.
+    */
+  def uriDecode(c: Column): Column =
+    ColumnBridge.column(UriDecode(ColumnBridge.expression(c)))
+
   /** Bloom filter of a key column as a 1-row aggregate — the BUILD
     * half of explicit runtime row filtering (the row-level sibling of
     * q48's partition-level DPP). Keys go through `xxhash64` first,
@@ -224,6 +235,45 @@ object DotProduct {
   }
 }
 
+/** See [[GraftExpressions.uriDecode]]. One static call per row under
+  * whole-stage codegen, like every expression here.
+  */
+case class UriDecode(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_uridecode needs a string input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_uridecode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UriDecode.decode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UriDecode.decode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UriDecode =
+    copy(child = newChild)
+}
+
+object UriDecode {
+  /** URI path decoding (`%20` → space, `%25` → `%`), literal `+`
+    * preserved; a fragment `java.net.URI` rejects passes through
+    * unchanged (fail-open — an undecodable key can at worst miss a
+    * sidecar match, never corrupt one).
+    */
+  def decode(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    val out = try {
+      val p = new java.net.URI(raw).getPath
+      if (p == null) raw else p
+    } catch { case _: java.net.URISyntaxException => raw }
+    UTF8String.fromString(out)
+  }
+}
+
 /** See [[GraftExpressions.sq8]]. `lo`/`rng` ride along as reference
   * objects (driver-collected per-dim stats, 2·dim doubles — the
   * planeWeights literal pattern), so the generated code is one static
@@ -269,7 +319,11 @@ case class Sq8Encode(child: Expression, lo: Seq[Double], rng: Seq[Double])
 object Sq8Encode {
   /** Per dim: t = ((x − lo)·255)/rng, floored, clamped to [0,255];
     * 0 where rng = 0 — the exact double sequence of the unrolled
-    * least/greatest/floor form (non-NaN inputs).
+    * least/greatest/floor form (non-NaN inputs). A NULL element
+    * (containsNull=true inputs) encodes as the defined sentinel 0.0
+    * rather than reading the null slot's garbage bytes (r17 advice) —
+    * the engine's vector columns never carry null elements, so this
+    * is a guard rail, not a hot branch.
     */
   def encode(v: ArrayData, lo: Array[Double], rng: Array[Double],
              isFloat: Boolean): ArrayData = {
@@ -277,7 +331,7 @@ object Sq8Encode {
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
-      if (rng(i) == 0.0) out(i) = 0.0
+      if (rng(i) == 0.0 || v.isNullAt(i)) out(i) = 0.0
       else {
         val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
         var t = Math.floor((x - lo(i)) * 255.0 / rng(i))

@@ -59,11 +59,18 @@ object StatsStore {
   /** Per-file stats relation: like [[dirStats]] plus a `file` column
     * holding the data file's path RELATIVE to the tree root
     * (`partCol=v/part-…`), extracted from `input_file_name` — the
-    * same relative-path identity [[VersionedTable]]'s manifests use. */
+    * same relative-path identity [[VersionedTable]]'s manifests use.
+    * `input_file_name` renders the file's URI, so the fragment is
+    * percent-DECODED ([[graft.functions.GraftExpressions.uriDecode]])
+    * to match the raw `FileStatus` rendering the consuming index
+    * ([[ZoneMapFileIndex]]) keys on — without it, a partition value
+    * hive-escapes to characters URI-encoding rewrites (space, `%`)
+    * would never match and, even fail-open, never skip (r17 advice). */
   def fileStats(df: DataFrame, partCol: String, cols: Seq[ColSpec],
                 ndv: Option[NdvSpec] = None): DataFrame =
     df.withColumn("file",
-        regexp_extract(input_file_name(), "([^/]+=[^/]+/[^/]+)$", 1))
+        graft.functions.GraftExpressions.uriDecode(
+          regexp_extract(input_file_name(), "([^/]+=[^/]+/[^/]+)$", 1)))
       .groupBy(col(partCol), col("file"))
       .agg(count(lit(1)).as("n_rows"), aggs(cols, ndv): _*)
 

@@ -3,12 +3,11 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A Catalyst [[FileIndex]] over one VERSION of a
   * [[VersionedTable]] — the architecture a table format plugs into
@@ -19,54 +18,73 @@ import org.apache.spark.unsafe.types.UTF8String
   * index at planning time:
   *
   *  - `partitionFilters` evaluate against each live directory's
-  *    partition value — ordinary partition pruning, on a historical
-  *    version;
+  *    partition values — ordinary partition pruning, on a historical
+  *    version, over ONE OR MORE partition columns (a
+  *    (month, source)-style layout prunes on either or both);
   *  - `dataFilters` consult the (optional) q54-style stats sidecar:
   *    a conjunct of comparisons on a column with recorded [min, max]
-  *    envelopes keeps only intersecting directories — q55's
-  *    zone-map skip, AUTOMATIC for any query over the relation
-  *    instead of hand-written in the query function. Unsupported
-  *    predicate shapes prune nothing (superset-safe by
-  *    construction); the residual predicate still runs in the scan.
+  *    envelopes drops directories whose envelope DEFINITIVELY misses
+  *    the window — q55's zone-map skip, AUTOMATIC for any query over
+  *    the relation instead of hand-written in the query function.
+  *    Unsupported predicate shapes prune nothing, a directory absent
+  *    from the sidecar (or with null bounds) stays live, and the
+  *    null partition directory participates through the sidecar's
+  *    own null row — fail-open at every edge (superset-safe by
+  *    construction; the residual predicate still runs in the scan).
   *
   * The sidecar probe is a |directories|-row local query at planning
-  * time — exactly what reading a format's checkpoint stats costs.
+  * time — exactly what reading a format's checkpoint stats costs —
+  * MEMOIZED per canonical envelope predicate: Catalyst may call
+  * `listFiles` several times per query (and again under AQE
+  * re-planning), and the probe is a Spark action; one sidecar job per
+  * distinct predicate, not per call ([[probeRuns]] pins it).
   * Instances are per-version immutable ([[refresh]] is a no-op);
   * [[VersionedTable.snapshotRelation]] wires one into a
   * `HadoopFsRelation` so the reader is Spark's own parquet scan with
   * all its pushdown intact.
   */
 class VersionedFileIndex(
-    s: SparkSession, tablePath: String, partCol: String, version: Long,
+    s: SparkSession, tablePath: String, partCols: Seq[String], version: Long,
     statsPath: Option[String] = None,
     statsCols: Map[String, (String, String)] = Map.empty)
     extends FileIndex {
 
+  require(partCols.nonEmpty, "a versioned table has >= 1 partition column")
+
   private val fs = new Path(tablePath)
     .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** (partition value rendering, file statuses) per live directory. */
-  private val byDir: Seq[(String, Seq[FileStatus])] =
+  /** (per-column unescaped value renderings, file statuses) per live
+    * directory, ordered by the manifest's directory path (never by
+    * the unescaped values, which are null for
+    * `__HIVE_DEFAULT_PARTITION__`). */
+  private val byDir: Seq[(List[String], Seq[FileStatus])] =
     VersionedTable.manifest(s, tablePath, version)
-      .groupBy(_.split("/")(0)).toSeq.sortBy(_._1)
+      .groupBy(f => f.substring(0, f.lastIndexOf('/'))).toSeq.sortBy(_._1)
       .map { case (dir, files) =>
-        val raw = dir.split("=", 2)(1)
-        val value = if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        val raws = dir.split("/").toList.map { seg =>
+          val r = seg.split("=", 2)(1)
+          if (r == "__HIVE_DEFAULT_PARTITION__") null
           else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(raw)
-        value -> files.map(f => fs.getFileStatus(new Path(tablePath, f)))
+            .unescapePathName(r)
+        }
+        raws -> files.map(f => fs.getFileStatus(new Path(tablePath, f)))
       }
 
-  /** Partition type by the narrow hive-style inference shared with
-    * [[ZoneMapFileIndex]] (int → long → string; the layouts in this
-    * repo key on int months and short strings — richer inference
-    * belongs to the writer's catalog). */
-  private val partType: DataType = ZoneMap.inferPartType(byDir.map(_._1))
-
-  private def valueOf(raw: String): Any = ZoneMap.valueOf(raw, partType)
+  /** Per-column partition type by the narrow hive-style inference
+    * shared with [[ZoneMapFileIndex]] (int → long → string; the
+    * layouts in this repo key on int months and short strings —
+    * richer inference belongs to the writer's catalog). */
+  private val partTypes: Seq[DataType] =
+    partCols.indices.map(i => ZoneMap.inferPartType(byDir.map(_._1(i))))
 
   override val partitionSchema: StructType =
-    StructType(Seq(StructField(partCol, partType, nullable = true)))
+    StructType(partCols.zip(partTypes).map { case (c, t) =>
+      StructField(c, t, nullable = true) })
+
+  private def rowOf(raws: List[String]): InternalRow =
+    InternalRow.fromSeq(raws.zip(partTypes).map { case (r, t) =>
+      ZoneMap.valueOf(r, t) })
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
@@ -78,41 +96,51 @@ class VersionedFileIndex(
   override def inputFiles: Array[String] =
     byDir.iterator.flatMap(_._2).map(_.getPath.toString).toArray
 
-  /** Directories surviving the stats sidecar for `dataFilters` (as
-    * partition-value renderings), or None when no sidecar / no
-    * supported conjunct — superset-safe: only recognized comparison
-    * shapes on columns with recorded envelopes ever prune. */
-  private def statsSurvivors(dataFilters: Seq[Expression])
-      : Option[Set[String]] =
+  private val probeMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Set[List[String]]]
+  /** Sidecar Spark actions actually run — the memoization pin. */
+  private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Directories (as per-column partition-value renderings, nulls
+    * preserved) whose sidecar envelope definitively misses
+    * `dataFilters`, or None when no sidecar / no supported conjunct.
+    * Fail-open per [[ZoneMap.prunedSet]]: a directory the sidecar
+    * doesn't list — including the null partition when its row is
+    * absent — is never pruned. */
+  private def prunedDirs(dataFilters: Seq[Expression])
+      : Option[Set[List[String]]] =
     statsPath.flatMap { sp =>
       ZoneMap.envelopePredicate(dataFilters, statsCols).map { pred =>
-        s.read.parquet(sp)
-          .filter(pred)
-          .select(col(partCol).cast("string"))
-          .collect().map(_.getString(0)).toSet
+        probeMemo.getOrElseUpdate(pred.toString, {
+          probeRuns.incrementAndGet()
+          ZoneMap.prunedSet(s, sp,
+            partCols.map(c => col(c).cast("string")), pred)
+        })
       }
     }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
-    // bind the (single-column) partition predicate to slot 0
+    // bind each partition column's predicate to its slot
+    val slot = partCols.zipWithIndex.toMap
     val partPred = partitionFilters.reduceOption(
       org.apache.spark.sql.catalyst.expressions.And.apply).map { e =>
       Predicate.create(e.transform {
-        case a: AttributeReference if a.name == partCol =>
-          BoundReference(0, partType, nullable = true)
+        case a: AttributeReference if slot.contains(a.name) =>
+          BoundReference(slot(a.name), partTypes(slot(a.name)),
+            nullable = true)
       })
     }
-    val fromStats = statsSurvivors(dataFilters)
+    val pruned = prunedDirs(dataFilters)
     byDir.iterator
-      .map { case (raw, files) => (raw, valueOf(raw), files) }
-      .filter { case (raw, v, _) =>
-        partPred.forall(_.eval(InternalRow(v))) &&
-          fromStats.forall(live => raw != null && live.contains(raw))
+      .map { case (raws, files) => (raws, rowOf(raws), files) }
+      .filter { case (raws, row, _) =>
+        partPred.forall(_.eval(row)) &&
+          pruned.forall(p => !p.contains(raws))
       }
-      .map { case (_, v, files) =>
-        PartitionDirectory(InternalRow(v), files.toArray)
+      .map { case (_, row, files) =>
+        PartitionDirectory(row, files.toArray)
       }
       .toSeq
   }
@@ -121,25 +149,38 @@ class VersionedFileIndex(
 /** Companion read API — see [[VersionedTable.snapshotRelation]]. */
 object VersionedFileIndex {
 
+  /** Single-partition-column form of [[relationMulti]]. */
+  def relation(s: SparkSession, tablePath: String, partCol: String,
+               version: Long = -1L, statsPath: Option[String] = None,
+               statsCols: Map[String, (String, String)] = Map.empty)
+      : DataFrame =
+    relationMulti(s, tablePath, Seq(partCol), version, statsPath, statsCols)
+
   /** The index-backed DataFrame over version `v` of the table:
     * Spark's parquet scan over a `HadoopFsRelation` whose listing IS
     * the manifest. `stats` optionally wires a q54-style sidecar for
     * automatic zone-map skipping: data column → (min, max) sidecar
-    * column names. */
-  def relation(s: SparkSession, tablePath: String, partCol: String,
-               version: Long = -1L, statsPath: Option[String] = None,
-               statsCols: Map[String, (String, String)] = Map.empty)
+    * column names (the sidecar must carry every partition column). */
+  def relationMulti(s: SparkSession, tablePath: String,
+                    partCols: Seq[String], version: Long = -1L,
+                    statsPath: Option[String] = None,
+                    statsCols: Map[String, (String, String)] = Map.empty)
       : DataFrame = {
     val v = if (version < 0) VersionedTable.currentVersion(s, tablePath)
       else version
-    val idx = new VersionedFileIndex(s, tablePath, partCol, v,
+    val idx = new VersionedFileIndex(s, tablePath, partCols, v,
       statsPath, statsCols)
     val first = idx.inputFiles.headOption.getOrElse(
       throw new IllegalArgumentException(
         s"version $v of $tablePath has no live files"))
-    // data schema from one footer: every file of a version shares the
-    // writer's schema (commits write whole relations)
-    val dataSchema = s.read.parquet(first).schema
+    // data schema from the version's RECORDED schema when the log has
+    // one (schema-evolution commits mix files with and without the
+    // late column — the recorded schema serves nulls for the carried
+    // files), else from one footer (every file of a non-evolved
+    // version shares the writer's schema).
+    val dataSchema = VersionedTable.schemaOf(s, tablePath, v)
+      .map(st => StructType(st.filterNot(f => partCols.contains(f.name))))
+      .getOrElse(s.read.parquet(first).schema)
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, idx.partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet

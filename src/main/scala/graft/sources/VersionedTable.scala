@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A VERSIONED hive-partitioned table — the commit-log primitive that
   * unites the warehouse family's write half
@@ -19,12 +20,22 @@ import org.apache.spark.sql.functions._
   * deliberately the same shape as the tree [[PartitionedWrite]]
   * produces, plus one `_graft_log/` directory of manifests.
   *
-  * Layout:
+  * Layout (one or MORE partition columns — a (month, source)-style
+  * table nests one directory level per column):
   * {{{
-  *   table/partCol=v/part-*.parquet      data files, APPEND-ONLY
+  *   table/pc1=v/pc2=w/part-*.parquet    data files, APPEND-ONLY
   *   table/_graft_log/00000000.manifest  one relative file path per line
+  *   table/_graft_log/00000000.schema    the version's schema (JSON)
   *   table/_graft_log/00000001.manifest  ...
   * }}}
+  *
+  * The `.schema` sidecar versions the SCHEMA with the snapshot
+  * (Delta's metadata action): a commit may EVOLVE the schema
+  * ([[commitMerge]]'s `evolveSchema` — an arriving column widens the
+  * relation, carried rows serve null), and every historical read
+  * serves its own version's schema. It is written BEFORE the
+  * manifest, so a torn commit (schema present, manifest absent) is
+  * invisible — the manifest is the sole commit point.
   *
   * Scale shape — why this is the 100 TB design and not a toy:
   *  - a commit lists and diffs ONLY the affected partition
@@ -42,10 +53,12 @@ import org.apache.spark.sql.functions._
   * Single-writer contract: commits are serialized by the caller (a
   * production log store arbitrates with putIfAbsent; here the manifest
   * write refuses to clobber an existing version, so a lost race fails
-  * loudly instead of corrupting the log). Partition values must
-  * render stably through hive's directory encoding — the same
-  * contract [[Compaction]] documents; the row-preservation assert in
-  * [[commitMerge]] catches a divergence.
+  * loudly instead of corrupting the log — and
+  * [[commitMergeWithRetry]] turns that loud failure into the
+  * optimistic-concurrency retry loop real log stores run). Partition
+  * values must render stably through hive's directory encoding — the
+  * same contract [[Compaction]] documents; the row-preservation
+  * assert in [[commitMerge]] catches a divergence.
   */
 object VersionedTable {
 
@@ -58,13 +71,27 @@ object VersionedTable {
   private def manifestPath(tablePath: String, v: Long): Path =
     new Path(logDir(tablePath), f"$v%08d.manifest")
 
+  private def schemaPath(tablePath: String, v: Long): Path =
+    new Path(logDir(tablePath), f"$v%08d.schema")
+
   private def isDataFile(p: Path): Boolean = {
     val n = p.getName
     !n.startsWith("_") && !n.startsWith(".")
   }
 
-  /** Data files directly under `dir`, as paths relative to
-    * `tablePath` — empty if the directory doesn't exist yet. */
+  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+
+  private def dirNameOf(partCols: Seq[String], values: Seq[Any]): String =
+    partCols.zip(values).map { case (c, pv) =>
+      val seg = if (pv == null) HiveNull
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(pv))
+      s"$c=$seg"
+    }.mkString("/")
+
+  /** Data files directly under `dirName` (a RELATIVE path, one or more
+    * `col=value` segments), as paths relative to `tablePath` — empty
+    * if the directory doesn't exist yet. */
   private def listDir(fs: FileSystem, tablePath: String,
                       dirName: String): Set[String] = {
     val d = new Path(tablePath, dirName)
@@ -73,6 +100,27 @@ object VersionedTable {
       .filter(f => f.isFile && isDataFile(f.getPath))
       .map(f => s"$dirName/${f.getPath.getName}").toSet
   }
+
+  /** Every LEAF partition directory of the tree (relative paths),
+    * found by descending `col=value`-named directories — depth-
+    * agnostic, so single- and multi-column layouts walk alike. */
+  private def leafDirs(fs: FileSystem, tablePath: String): Seq[String] = {
+    def walk(rel: String): Seq[String] = {
+      val here = new Path(tablePath, rel)
+      val kids = fs.listStatus(here)
+      val subs = kids.iterator
+        .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+        .map(d => s"$rel/${d.getPath.getName}").toSeq
+      val hasData = kids.exists(f => f.isFile && isDataFile(f.getPath))
+      (if (hasData) Seq(rel) else Nil) ++ subs.flatMap(walk)
+    }
+    fsStatusDirs(fs, tablePath).flatMap(walk)
+  }
+
+  private def fsStatusDirs(fs: FileSystem, tablePath: String): Seq[String] =
+    fs.listStatus(new Path(tablePath)).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .map(_.getPath.getName).toSeq
 
   /** Versions present in the log, ascending; empty for a non-table. */
   def versions(s: SparkSession, tablePath: String): Seq[Long] = {
@@ -97,6 +145,39 @@ object VersionedTable {
     finally in.close()
   }
 
+  /** The RECORDED schema of version `v` (data columns in file order,
+    * partition columns last), or None for tables/versions written
+    * before schema logging — readers then fall back to footer
+    * inference, the pre-evolution behavior. */
+  def schemaOf(s: SparkSession, tablePath: String, v: Long)
+      : Option[StructType] = {
+    val fs = fsFor(s, tablePath)
+    val p = schemaPath(tablePath, v)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(DataType.fromJson(json).asInstanceOf[StructType])
+    }
+  }
+
+  /** Record version `v`'s schema. Written BEFORE the manifest (the
+    * commit point), so it tolerates a torn predecessor: an existing
+    * file for an uncommitted version is replaced. */
+  private def writeSchema(fs: FileSystem, tablePath: String, v: Long,
+                          schema: StructType): Unit = {
+    val dst = schemaPath(tablePath, v)
+    fs.mkdirs(logDir(tablePath))
+    val tmp = new Path(logDir(tablePath), s".${dst.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"schema write lost the rename race for version $v at $dst")
+  }
+
   /** Atomic, non-clobbering manifest write: tmp file + rename, and the
     * rename refuses an existing target — a racing second writer of the
     * same version fails instead of splitting history. */
@@ -113,34 +194,51 @@ object VersionedTable {
       s"manifest commit lost the rename race for version $v at $dst")
   }
 
-  /** Create the table: write `df` (which must carry `partCol`) as the
-    * hive-partitioned tree at `tablePath` and commit it as version 0.
-    * Rebuild-on-miss like every [[Layouts]] artifact: an existing tree
-    * (and its log) is replaced wholesale. Returns the v0 relation. */
+  /** Create the table: write `df` (which must carry every partition
+    * column) as the hive-partitioned tree at `tablePath` and commit it
+    * as version 0. Rebuild-on-miss like every [[Layouts]] artifact: an
+    * existing tree (and its log) is replaced wholesale. Returns the v0
+    * relation. */
   def init(s: SparkSession, tablePath: String, df: DataFrame,
-           partCol: String): DataFrame = {
+           partCol: String): DataFrame =
+    initMulti(s, tablePath, df, Seq(partCol))
+
+  /** Multi-partition-column [[init]]: one nested directory level per
+    * column, in order. */
+  def initMulti(s: SparkSession, tablePath: String, df: DataFrame,
+                partCols: Seq[String]): DataFrame = {
+    require(partCols.nonEmpty, "a versioned table needs >= 1 partition column")
     val fs = fsFor(s, tablePath)
     fs.delete(new Path(tablePath), true)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tablePath)
-    val dirs = fs.listStatus(new Path(tablePath)).iterator
-      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
-      .map(_.getPath.getName).toSeq
-    writeManifest(fs, tablePath, 0L,
-      dirs.flatMap(listDir(fs, tablePath, _)))
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(tablePath)
+    val files = leafDirs(fs, tablePath).flatMap(listDir(fs, tablePath, _))
+    val dataCols = df.columns.filterNot(partCols.contains)
+    writeSchema(fs, tablePath, 0L,
+      StructType((dataCols ++ partCols).map(df.schema(_))))
+    writeManifest(fs, tablePath, 0L, files)
     snapshot(s, tablePath, 0L)
   }
 
   /** Read the table AS OF `version` (default: latest): the manifest's
     * exact file list with `basePath` partition discovery, so the
-    * partition column and its pruning work on historical versions
-    * exactly as on a plain tree. */
+    * partition column(s) and their pruning work on historical versions
+    * exactly as on a plain tree. When the log records the version's
+    * schema, the read serves exactly that schema — files written
+    * before a schema evolution serve null for the late columns. */
   def snapshot(s: SparkSession, tablePath: String,
                version: Long = -1L): DataFrame = {
     val v = if (version < 0) currentVersion(s, tablePath) else version
     val files = manifest(s, tablePath, v)
     require(files.nonEmpty, s"version $v of $tablePath has no live files")
-    s.read.option("basePath", tablePath)
-      .parquet(files.map(f => s"$tablePath/$f"): _*)
+    val paths = files.map(f => s"$tablePath/$f")
+    schemaOf(s, tablePath, v) match {
+      case Some(st) =>
+        s.read.schema(st).option("basePath", tablePath).parquet(paths: _*)
+          .select(st.fieldNames.map(col).toIndexedSeq: _*)
+      case None =>
+        s.read.option("basePath", tablePath).parquet(paths: _*)
+    }
   }
 
   /** The INDEX-backed read ([[VersionedFileIndex]]): same relation as
@@ -160,9 +258,19 @@ object VersionedTable {
     VersionedFileIndex.relation(s, tablePath, partCol, version,
       statsPath, statsCols)
 
+  /** Multi-partition-column [[snapshotRelation]]. */
+  def snapshotRelationMulti(s: SparkSession, tablePath: String,
+                            partCols: Seq[String], version: Long = -1L,
+                            statsPath: Option[String] = None,
+                            statsCols: Map[String, (String, String)] =
+                              Map.empty): DataFrame =
+    VersionedFileIndex.relationMulti(s, tablePath, partCols, version,
+      statsPath, statsCols)
+
   /** Apply a CDC changeset (same contract as
     * [[graft.operators.MergeInto]]: key + op 'U'|'D'|'I' + payload
-    * incl. `partCol`) as a new COMMIT, and return its version.
+    * incl. the partition column(s)) as a new COMMIT, and return its
+    * version.
     *
     * The merge itself is [[graft.operators.MergeInto.apply]] over the
     * current snapshot FILTERED to the affected partitions — the
@@ -178,41 +286,82 @@ object VersionedTable {
     * `partitionKeyImmutable` is the same production fast path as
     * copyOnWrite's: affected partitions from the changeset alone, no
     * snapshot probe — and the same documented stale-survivor hazard
-    * if the caller breaks the contract. */
+    * if the caller breaks the contract.
+    *
+    * `evolveSchema = true` lets the changeset carry columns the
+    * snapshot lacks: the commit widens the relation (carried rows
+    * serve a typed null), records the evolved schema in the log, and
+    * HISTORICAL versions keep serving their own narrower schema —
+    * Delta's schema-evolution-on-merge. With the default `false`, an
+    * arriving unknown column is an ERROR (fail loudly, never silently
+    * drop — the r17 verdict's contract). */
   def commitMerge(s: SparkSession, tablePath: String, partCol: String,
                   changes: DataFrame, key: String,
                   partitionKeyImmutable: Boolean = false,
-                  hooks: Seq[StatsStore.PostRewriteHook] = Nil): Long = {
+                  hooks: Seq[StatsStore.PostRewriteHook] = Nil,
+                  evolveSchema: Boolean = false): Long =
+    commitMergeMulti(s, tablePath, Seq(partCol), changes, key,
+      partitionKeyImmutable, hooks, evolveSchema)
+
+  /** Multi-partition-column [[commitMerge]]. Post-rewrite hooks are
+    * single-column machinery ([[StatsStore.PostRewriteHook]] carries
+    * one `partCol`) — pass them through the single-column entry
+    * point. */
+  def commitMergeMulti(s: SparkSession, tablePath: String,
+                       partCols: Seq[String], changes: DataFrame,
+                       key: String,
+                       partitionKeyImmutable: Boolean = false,
+                       hooks: Seq[StatsStore.PostRewriteHook] = Nil,
+                       evolveSchema: Boolean = false): Long = {
+    require(partCols.nonEmpty)
+    require(hooks.isEmpty || partCols.size == 1,
+      "post-rewrite hooks are single-partition-column machinery")
     val fs = fsFor(s, tablePath)
     val v = currentVersion(s, tablePath)
     require(v >= 0, s"$tablePath is not a versioned table (no log)")
     val prev = manifest(s, tablePath, v)
-    val snap = snapshot(s, tablePath, v)
+    val snap0 = snapshot(s, tablePath, v)
+    // schema evolution: a changeset column the snapshot lacks widens
+    // the relation; carried rows serve a typed null. Without the
+    // opt-in it is an error — never a silent drop.
+    val newCols = changes.columns
+      .filterNot(c => c == "op" || snap0.columns.contains(c)).toSeq
+    require(evolveSchema || newCols.isEmpty,
+      s"changeset carries column(s) ${newCols.mkString(", ")} the " +
+        "snapshot lacks — pass evolveSchema = true to widen the schema")
+    val snap = if (newCols.isEmpty) snap0
+      else snap0.select(snap0.columns.map(col).toIndexedSeq ++
+        newCols.map(c => lit(null).cast(changes.schema(c).dataType).as(c)): _*)
     val touched = broadcast(
       changes.filter(col("op").isin("U", "D")).select(col(key)))
     val arriving = changes.filter(col("op").isin("U", "I")).drop("op")
-    // cast to the snapshot's partition type — the boxed-equality
+    // cast to the snapshot's partition types — the boxed-equality
     // hazard documented at MergeInto.copyOnWrite
-    val partType = snap.schema(partCol).dataType
-    val parts = (if (partitionKeyImmutable)
-        changes.select(col(partCol).cast(partType))
-      else snap.join(touched, Seq(key), "left_semi")
-        .select(col(partCol))
-        .union(arriving.select(col(partCol).cast(partType))))
-      .distinct().collect().map(_.get(0)).toSeq
+    val partTypes = partCols.map(c => snap.schema(c).dataType)
+    def partSel(df: DataFrame) = df.select(
+      partCols.zip(partTypes).map { case (c, t) => col(c).cast(t) }
+        .toIndexedSeq: _*)
+    val parts: Seq[Seq[Any]] = (if (partitionKeyImmutable)
+        partSel(changes)
+      else partSel(snap.join(touched, Seq(key), "left_semi"))
+        .union(partSel(arriving)))
+      .distinct().collect().map(_.toSeq).toSeq
     if (parts.isEmpty) return v // empty changeset: no new version
-    val (nullPart, defined) = parts.partition(_ == null)
-    val inAffected = (
-      (if (defined.nonEmpty) Seq(col(partCol).isInCollection(defined))
-       else Nil) ++
-      (if (nullPart.nonEmpty) Seq(col(partCol).isNull) else Nil)
-    ).reduce(_ || _)
-    val affectedDirs = parts.map { pv =>
-      val dirName = if (pv == null) "__HIVE_DEFAULT_PARTITION__"
-      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(String.valueOf(pv))
-      s"$partCol=$dirName"
-    }
+    // single column keeps the isInCollection (→ Catalyst In) shape;
+    // multi-column is an OR of per-column conjunctions over the
+    // |affected dirs| tuples — bounded by the batch's footprint
+    val inAffected = if (partCols.size == 1) {
+      val (nullPart, defined) = parts.map(_.head).partition(_ == null)
+      ((if (defined.nonEmpty)
+          Seq(col(partCols.head).isInCollection(defined)) else Nil) ++
+        (if (nullPart.nonEmpty) Seq(col(partCols.head).isNull) else Nil)
+      ).reduce(_ || _)
+    } else parts.map { tuple =>
+      partCols.zip(tuple).map { case (c, pv) =>
+        if (pv == null) col(c).isNull else col(c) === lit(pv)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val affectedDirs = parts.map(dirNameOf(partCols, _))
     val before = affectedDirs.flatMap(listDir(fs, tablePath, _)).toSet
     val merged = graft.operators.MergeInto(snap.filter(inAffected),
       changes, key)
@@ -220,8 +369,11 @@ object VersionedTable {
     // resolved at planning, so writing into the directories being read
     // is safe — no localCheckpoint needed (copyOnWrite pays one only
     // because dynamic OVERWRITE deletes the files it reads).
-    merged.select(snap.columns.map(col): _*)
-      .write.mode(SaveMode.Append).partitionBy(partCol).parquet(tablePath)
+    val dataCols = snap.columns.filterNot(partCols.contains)
+    val outCols = dataCols ++ partCols
+    merged.select(outCols.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Append).partitionBy(partCols: _*)
+      .parquet(tablePath)
     val newFiles = affectedDirs.flatMap(listDir(fs, tablePath, _))
       .toSet -- before
     val survivors = prev.filterNot(f =>
@@ -231,19 +383,65 @@ object VersionedTable {
     // the untouched survivors. Cheap footer-count audit, same
     // rationale as Compaction's.
     val expected = merged.count()
-    val got = s.read.option("basePath", tablePath)
-      .parquet(newFiles.toSeq.sorted.map(f => s"$tablePath/$f"): _*).count()
+    val got = if (newFiles.isEmpty) 0L
+      else s.read.option("basePath", tablePath)
+        .parquet(newFiles.toSeq.sorted.map(f => s"$tablePath/$f"): _*).count()
     require(expected == got,
       s"commit $v+1 on $tablePath: merged slice has $expected rows but " +
         s"the appended files hold $got — partition rendering diverged")
+    preCommitHook()
+    // schema BEFORE manifest: the manifest is the sole commit point
+    val schemaSrc = merged.select(outCols.map(col).toIndexedSeq: _*).schema
+    writeSchema(fs, tablePath, v + 1, schemaSrc)
     writeManifest(fs, tablePath, v + 1, survivors ++ newFiles)
     // Post-commit maintenance, the copyOnWrite hook contract — but
     // note a plain StatsStore.DirStatsHook is WRONG on a versioned
     // table (a directory read would also aggregate the retired
     // history files still on disk); pass [[statsHook]], which reads
     // through the new version's manifest.
-    hooks.foreach(_.afterRewrite(s, tablePath, partCol, parts))
+    hooks.foreach(_.afterRewrite(s, tablePath, partCols.head,
+      parts.map(_.head)))
     v + 1
+  }
+
+  /** Test seam: invoked after a merge commit's data write and row
+    * audit, immediately before its manifest write — lets a spec
+    * interleave a RACING writer at exactly the window where the
+    * optimistic-concurrency conflict arises, deterministically
+    * (racing two real Spark writes would contend on the shared
+    * `_temporary` staging directory instead). Default no-op. */
+  private[sources] var preCommitHook: () => Unit = () => ()
+
+  /** [[commitMerge]] under OPTIMISTIC CONCURRENCY: when the commit
+    * loses the manifest race to another writer (the loud
+    * "already committed" / "lost the rename race" failure), re-read
+    * the NOW-current version, re-diff, and re-commit — the
+    * retry-with-rebase loop a production log store's putIfAbsent
+    * arbitration implies. Safe because a lost attempt's appended data
+    * files are never named by any manifest: the retry re-lists the
+    * affected directories BEFORE its own append, so the strays stay
+    * structurally invisible and [[vacuum]] eventually sweeps them.
+    * Only version conflicts retry; any other failure (the
+    * row-preservation audit, say) stays loud. */
+  def commitMergeWithRetry(s: SparkSession, tablePath: String,
+                           partCol: String, changes: DataFrame, key: String,
+                           partitionKeyImmutable: Boolean = false,
+                           hooks: Seq[StatsStore.PostRewriteHook] = Nil,
+                           maxAttempts: Int = 5): Long = {
+    var attempt = 1
+    while (true) {
+      try {
+        return commitMerge(s, tablePath, partCol, changes, key,
+          partitionKeyImmutable, hooks)
+      } catch {
+        case e: IllegalArgumentException
+            if attempt < maxAttempts &&
+              (e.getMessage.contains("already committed") ||
+                e.getMessage.contains("lost the rename race")) =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** A [[StatsStore.PostRewriteHook]] that is correct on a VERSIONED
@@ -286,9 +484,10 @@ object VersionedTable {
     val live = manifest(s, tablePath, v)
     // per-directory byte totals from the LIVE set only (metadata-
     // scale), the filePlan shape with retired files excluded
-    val dirBytes = live.groupBy(_.split("/")(0)).map { case (d, fsn) =>
-      d -> fsn.map(f => fs.getFileStatus(new Path(tablePath, f)).getLen).sum
-    }
+    val dirBytes = live.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .map { case (d, fsn) =>
+        d -> fsn.map(f => fs.getFileStatus(new Path(tablePath, f)).getLen).sum
+      }
     val plan = dirBytes.map { case (d, b) =>
       d -> math.max(1L, (b + targetBytes - 1) / targetBytes).toInt }
     val snap = snapshot(s, tablePath, v)
@@ -300,7 +499,7 @@ object VersionedTable {
     val planDf = broadcast(s.createDataFrame(
       plan.toSeq.map { case (d, nf) =>
         val pv = d.split("=", 2)(1)
-        val un = if (pv == "__HIVE_DEFAULT_PARTITION__") pv
+        val un = if (pv == HiveNull) pv
           else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(pv)
         org.apache.spark.sql.Row(un, nf) }.asJava,
@@ -315,12 +514,65 @@ object VersionedTable {
     snap
       .join(planDf,
         coalesce(col(partCol).cast("string"),
-          lit("__HIVE_DEFAULT_PARTITION__")) === col("_pv"))
+          lit(HiveNull)) === col("_pv"))
       .withColumn("_slot",
-        pmod(xxhash64(dataCols.map(col): _*), col("_nf").cast("long")))
+        pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*),
+          col("_nf").cast("long")))
       .repartition(width, col(partCol), col("_slot"))
       .drop("_pv", "_nf", "_slot")
       .write.mode(SaveMode.Append).partitionBy(partCol).parquet(tablePath)
+    commitRewrite(s, fs, tablePath, v, snap, affectedDirs, before,
+      Seq(partCol))
+  }
+
+  /** OPTIMIZE ZORDER BY as a commit — [[commitOptimize]]'s rewrite
+    * routed through [[ZOrderedWrite]]'s cluster key (the composition
+    * Delta ships as its single most-used maintenance verb): the
+    * CURRENT version's rows are re-binned so that, within each
+    * partition directory, files tile the (dimA, dimB) plane as
+    * near-square z-ranges — parquet min/max row-group pruning then
+    * works for predicates on EITHER or BOTH dims, where a 1-D sort
+    * bounds only its own column. Relation-IDENTICAL (the z-value
+    * never reaches the data — it exists only in the exchange and the
+    * in-task sort), history reads across it, vacuum reclaims the
+    * pre-optimize files: a commit like any other.
+    *
+    * `filesPerDir` sizes the range split (per directory, approximate:
+    * range boundaries come from Spark's reservoir sample over the
+    * whole table, so per-directory file counts are proportional to
+    * row share). At 100 TB pick ≈ one row-group-multiple per file,
+    * exactly [[ZOrderedWrite.write]]'s dial. */
+  def commitOptimizeZOrder(s: SparkSession, tablePath: String,
+                           partCol: String, dimA: String, dimB: String,
+                           filesPerDir: Int = 1): Long = {
+    val fs = fsFor(s, tablePath)
+    val v = currentVersion(s, tablePath)
+    require(v >= 0, s"$tablePath is not a versioned table (no log)")
+    val live = manifest(s, tablePath, v)
+    val affectedDirs = live.map(f => f.substring(0, f.lastIndexOf('/')))
+      .distinct
+    val snap = snapshot(s, tablePath, v)
+    val width = math.max(1, affectedDirs.size * math.max(1, filesPerDir))
+    val before = affectedDirs.flatMap(listDir(fs, tablePath, _)).toSet
+    // EXPLICIT width: a count-free repartitionByRange is AQE-
+    // coalescible on small inputs, which would fold the planned
+    // z-tiling into one file (the PartitionedWrite/Compaction lesson)
+    snap.withColumn("_zv", ZOrderedWrite.zvalColumn(snap, dimA, dimB))
+      .repartitionByRange(width, col(partCol), col("_zv"))
+      .sortWithinPartitions(col(partCol), col("_zv"))
+      .drop("_zv")
+      .write.mode(SaveMode.Append).partitionBy(partCol).parquet(tablePath)
+    commitRewrite(s, fs, tablePath, v, snap, affectedDirs, before,
+      Seq(partCol))
+  }
+
+  /** Shared tail of the full-rewrite commits ([[commitOptimize]],
+    * [[commitOptimizeZOrder]]): collect the appended files, audit row
+    * preservation, carry the schema, commit. */
+  private def commitRewrite(s: SparkSession, fs: FileSystem,
+                            tablePath: String, v: Long, snap: DataFrame,
+                            affectedDirs: Seq[String], before: Set[String],
+                            partCols: Seq[String]): Long = {
     val newFiles = affectedDirs.flatMap(listDir(fs, tablePath, _))
       .toSet -- before
     val expected = snap.count()
@@ -329,14 +581,28 @@ object VersionedTable {
     require(expected == got,
       s"optimize on $tablePath must be row-preserving: live $expected " +
         s"rows but rewrote $got")
+    val dataCols = snap.columns.filterNot(partCols.contains)
+    writeSchema(fs, tablePath, v + 1,
+      StructType((dataCols ++ partCols).map(snap.schema(_))))
     writeManifest(fs, tablePath, v + 1, newFiles.toSeq)
     v + 1
   }
 
-  /** Reclaim history older than `keepFrom`: delete every manifest with
+  /** Reclaim history older than `keepFrom`: drop every version with
     * version < keepFrom and every data file referenced ONLY by those
-    * manifests. Snapshots ≥ keepFrom are untouched (their shared files
+    * versions. Snapshots ≥ keepFrom are untouched (their shared files
     * are retained). Returns the deleted data-file paths (relative).
+    *
+    * CRASH-CONSISTENT ordering (r17 verdict item 7): the dropped
+    * manifests are deleted FIRST, the orphaned data files swept
+    * SECOND — so the invariant "every manifest that exists is fully
+    * readable" holds through a crash at any point. A torn vacuum
+    * (manifests gone, some orphans left) re-runs to completion: the
+    * orphan sweep keys off the SURVIVING manifests, not the dropped
+    * list. (The reverse order would leave manifests naming deleted
+    * files — a time-travel read would FileNotFound instead of
+    * failing cleanly as "version vacuumed".)
+    *
     * The one verb that is inherently O(|physical files|): it must
     * sweep the tree for orphans — production runs it on the same
     * retention cadence Delta's VACUUM does. */
@@ -347,19 +613,28 @@ object VersionedTable {
     val (drop, keep) = all.partition(_ < keepFrom)
     require(keep.nonEmpty, s"vacuum would delete every version of " +
       s"$tablePath (keepFrom=$keepFrom, latest=${all.lastOption.orNull})")
+    // 1. drop the manifests (and their schema sidecars) — from this
+    //    point every existing manifest references only retained files
+    drop.foreach { dv =>
+      fs.delete(manifestPath(tablePath, dv), false)
+      fs.delete(schemaPath(tablePath, dv), false)
+    }
+    // 2. sweep data files no SURVIVING manifest references
     val live = keep.flatMap(manifest(s, tablePath, _)).toSet
-    val dirs = fs.listStatus(new Path(tablePath)).iterator
-      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
-      .map(_.getPath.getName).toSeq
+    val dirs = leafDirs(fs, tablePath)
     val orphans = dirs.flatMap(listDir(fs, tablePath, _))
       .filterNot(live).sorted
     orphans.foreach(f => fs.delete(new Path(tablePath, f), false))
-    // drop now-empty partition directories so the tree stays listable
-    dirs.foreach { d =>
-      val p = new Path(tablePath, d)
-      if (fs.listStatus(p).isEmpty) fs.delete(p, false)
+    // 3. drop now-empty partition directories (leaves first, then any
+    //    emptied parents) so the tree stays listable
+    dirs.sortBy(-_.length).foreach { d =>
+      var p = new Path(tablePath, d)
+      while (p.getName.contains("=") && fs.exists(p) &&
+          fs.listStatus(p).isEmpty) {
+        fs.delete(p, false)
+        p = p.getParent
+      }
     }
-    drop.foreach(v => fs.delete(manifestPath(tablePath, v), false))
     orphans
   }
 }

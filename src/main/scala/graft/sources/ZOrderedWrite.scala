@@ -65,12 +65,18 @@ object ZOrderedWrite {
     * int); a 3-dim request should re-derive the width (10 bits/dim),
     * not reuse this.
     */
-  def write(spark: SparkSession, df: DataFrame, dimA: String, dimB: String,
-            nFiles: Int, path: String): DataFrame = {
-    val r = df.agg(max(col(dimA)), max(col(dimB)),
-      min(col(dimA)), min(col(dimB))).head()
-    // empty input: nulls from the aggregate — write the (empty)
-    // frame with a constant z-value rather than NPE on getLong
+  /** The z-cluster key for `df`'s (dimA, dimB): one 2-scalar driver
+    * aggregate for the dim maxima (the normalize step), then the
+    * codegen'd interleave — shared by [[write]] and
+    * [[VersionedTable.commitOptimizeZOrder]] so OPTIMIZE ZORDER is a
+    * composition of the proven layout operator, not a re-derivation.
+    * Enforces the non-negative integral-dims contract. */
+  private[sources] def zvalColumn(df: DataFrame, dimA: String,
+                                  dimB: String): org.apache.spark.sql.Column = {
+    val r = df.agg(max(col(dimA).cast("long")), max(col(dimB).cast("long")),
+      min(col(dimA).cast("long")), min(col(dimB).cast("long"))).head()
+    // empty input: nulls from the aggregate — key by a constant 0
+    // z-value rather than NPE on getLong
     val (mxA, mxB) = (if (r.isNullAt(0)) 0L else r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1))
     Seq((dimA, 2), (dimB, 3)).foreach { case (d, i) =>
@@ -78,8 +84,13 @@ object ZOrderedWrite {
         s"z-order dim '$d' has negative values (min=${r.getLong(i)}): " +
           "the interleave treats keys as unsigned — shift or clamp first")
     }
-    df.withColumn("zval", GraftExpressions.zorder(
-        norm(col(dimA), mxA), norm(col(dimB), mxB)))
+    GraftExpressions.zorder(
+      norm(col(dimA).cast("long"), mxA), norm(col(dimB).cast("long"), mxB))
+  }
+
+  def write(spark: SparkSession, df: DataFrame, dimA: String, dimB: String,
+            nFiles: Int, path: String): DataFrame = {
+    df.withColumn("zval", zvalColumn(df, dimA, dimB))
       .repartitionByRange(nFiles, col("zval"))
       .sortWithinPartitions(col("zval"))
       .write.mode("overwrite").parquet(path)

@@ -5,20 +5,28 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared zone-map machinery for the stats-consulting file indexes
   * ([[VersionedFileIndex]], directory grain over a versioned
-  * manifest; [[ZoneMapFileIndex]], FILE grain over a plain tree):
-  * translate a scan's data filters into an interval-intersection
-  * predicate over a [[StatsStore]] sidecar's min/max envelope
-  * columns. Only recognized comparison shapes on columns with
-  * recorded envelopes contribute — anything else prunes NOTHING, so
-  * the skip is superset-safe by construction and the scan's residual
-  * predicate does the exact filtering.
+  * manifest; [[ZoneMapFileIndex]], file OR directory grain over a
+  * plain tree): translate a scan's data filters into an
+  * interval-intersection predicate over a [[StatsStore]] sidecar's
+  * min/max envelope columns. Only recognized comparison shapes on
+  * columns with recorded envelopes contribute — anything else prunes
+  * NOTHING, so the skip is superset-safe by construction and the
+  * scan's residual predicate does the exact filtering.
+  *
+  * The prune itself is FAIL-OPEN, the Delta stats posture (r17
+  * advice): an index only ever drops a file/directory whose sidecar
+  * row is PRESENT and whose envelope DEFINITIVELY misses the window.
+  * A key the sidecar doesn't know (stale or partial sidecar — e.g. a
+  * compaction run without its stats hook, or a partition that landed
+  * after the last ANALYZE) and a row whose envelope columns are null
+  * both degrade to "no skipping", never to missing rows.
   */
 object ZoneMap {
 
@@ -61,6 +69,23 @@ object ZoneMap {
     conjuncts.reduceOption(_ && _)
   }
 
+  /** One sidecar read → the PRUNED key set: rows where the envelope
+    * predicate is definitively FALSE. A null predicate result (null
+    * envelope bounds) keeps the row live — fail-open — and keys
+    * absent from the sidecar are never in the set, so they are
+    * likewise kept by construction. Keys are the sidecar's string
+    * renderings of `keyCols` in order, nulls preserved (the
+    * `__HIVE_DEFAULT_PARTITION__` directory's row). */
+  private[sources] def prunedSet(s: SparkSession, statsPath: String,
+                                 keyCols: Seq[Column], pred: Column)
+      : Set[List[String]] =
+    s.read.parquet(statsPath)
+      .filter(not(coalesce(pred, lit(true))))
+      .select(keyCols: _*)
+      .collect()
+      .map(r => keyCols.indices.map(r.getString).toList)
+      .toSet
+
   /** Narrow hive-style partition-value type inference shared by the
     * indexes: all-int → int, all-long → long, else string. */
   private[sources] def inferPartType(values: Seq[String]): DataType = {
@@ -82,29 +107,49 @@ object ZoneMap {
 }
 
 /** A Catalyst [[FileIndex]] over a PLAIN hive-partitioned tree with a
-  * per-FILE stats sidecar ([[StatsStore.writeFileStats]]) — Delta's
-  * checkpoint-stats skipping as an index: `listFiles` prunes whole
-  * directories via partition filters AND individual files via the
-  * sidecar's per-file min/max envelopes, so an intra-partition window
-  * never plans the partition's non-intersecting files at all. This is
-  * [[graft.queries.CoreQueries.q58_file_skipping]]'s machinery moved
-  * from the query function into the scan's own planning — automatic
-  * for any query over the relation. The sidecar probe is a
-  * |files|-row local query at planning time; unsupported predicate
-  * shapes prune nothing (superset-safe, see [[ZoneMap]]).
+  * [[StatsStore]] sidecar — Delta's checkpoint-stats skipping as an
+  * index, at either grain:
+  *
+  *  - FILE grain (`dirGrain = false`, sidecar from
+  *    [[StatsStore.writeFileStats]]): `listFiles` prunes whole
+  *    directories via partition filters AND individual files via the
+  *    sidecar's per-file min/max envelopes, so an intra-partition
+  *    window never plans the partition's non-intersecting files at
+  *    all — [[graft.queries.CoreQueries.q58_file_skipping]]'s
+  *    machinery.
+  *  - DIRECTORY grain (`dirGrain = true`, sidecar from
+  *    [[StatsStore.writeDirStats]]): the sidecar is keyed by the
+  *    partition value and prunes whole directories for a DATA-column
+  *    predicate the partitioning never declared —
+  *    [[graft.queries.CoreQueries.q55_stats_skipping]]'s skip, moved
+  *    from a hand-written driver probe in the query function into the
+  *    scan's own planning, automatic for any query over the relation.
+  *
+  * The sidecar probe is a |files|- (or |directories|-) row local
+  * query at planning time, MEMOIZED per canonical envelope predicate:
+  * Catalyst calls `listFiles` more than once per query (and again
+  * under AQE re-planning), and the probe is a Spark action — one
+  * sidecar job per distinct predicate, not per call (spec-pinned via
+  * [[probeRuns]]). Unsupported predicate shapes prune nothing, and
+  * the prune is fail-open per [[ZoneMap]] — superset-safe.
   */
 class ZoneMapFileIndex(
     s: SparkSession, treePath: String, partCol: String,
-    statsPath: String, statsCols: Map[String, (String, String)])
+    statsPath: String, statsCols: Map[String, (String, String)],
+    dirGrain: Boolean = false)
     extends FileIndex {
 
   private val fs = new Path(treePath)
     .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** (partition value rendering, relative path → status) per dir. */
+  /** (partition value rendering, relative path → status) per dir,
+    * ordered by DIRECTORY NAME — never by the unescaped value, which
+    * is null for `__HIVE_DEFAULT_PARTITION__` and would NPE the sort
+    * (r17 advice). */
   private val byDir: Seq[(String, Map[String, FileStatus])] =
     fs.listStatus(new Path(treePath)).iterator
       .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .toSeq.sortBy(_.getPath.getName)
       .map { d =>
         val raw = d.getPath.getName.split("=", 2)(1)
         val value = if (raw == "__HIVE_DEFAULT_PARTITION__") null
@@ -115,7 +160,7 @@ class ZoneMapFileIndex(
             && !f.getPath.getName.startsWith("."))
           .map(f => s"${d.getPath.getName}/${f.getPath.getName}" -> f)
           .toMap
-      }.toSeq.sortBy(_._1)
+      }
 
   private val partType: DataType =
     ZoneMap.inferPartType(byDir.map(_._1))
@@ -133,12 +178,22 @@ class ZoneMapFileIndex(
   override def inputFiles: Array[String] =
     byDir.iterator.flatMap(_._2.values).map(_.getPath.toString).toArray
 
-  /** Relative paths of files whose envelopes intersect, or None when
-    * the filters carry no supported conjunct. */
-  private def liveFiles(dataFilters: Seq[Expression]): Option[Set[String]] =
+  private val probeMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Set[List[String]]]
+  /** Sidecar Spark actions actually run — the memoization pin. */
+  private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Keys (relative file paths, or partition renderings at directory
+    * grain) whose recorded envelope definitively misses the filters,
+    * or None when the filters carry no supported conjunct. Fail-open:
+    * see [[ZoneMap.prunedSet]]. */
+  private def prunedKeys(dataFilters: Seq[Expression]): Option[Set[String]] =
     ZoneMap.envelopePredicate(dataFilters, statsCols).map { pred =>
-      s.read.parquet(statsPath).filter(pred)
-        .select(col("file")).collect().map(_.getString(0)).toSet
+      probeMemo.getOrElseUpdate(pred.toString, {
+        probeRuns.incrementAndGet()
+        val key = if (dirGrain) col(partCol).cast("string") else col("file")
+        ZoneMap.prunedSet(s, statsPath, Seq(key), pred)
+      }).map(_.head)
     }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -151,16 +206,21 @@ class ZoneMapFileIndex(
           BoundReference(0, partType, nullable = true)
       })
     }
-    val live = liveFiles(dataFilters)
+    val pruned = prunedKeys(dataFilters)
     byDir.iterator
-      .map { case (raw, files) => (ZoneMap.valueOf(raw, partType), files) }
-      .filter { case (v, _) => partPred.forall(_.eval(InternalRow(v))) }
-      .map { case (v, files) =>
-        val kept = live match {
-          case Some(set) => files.collect {
-            case (rel, st) if set.contains(rel) => st }.toArray
-          case None => files.values.toArray
-        }
+      .map { case (raw, files) => (raw, ZoneMap.valueOf(raw, partType), files) }
+      .filter { case (raw, v, _) =>
+        partPred.forall(_.eval(InternalRow(v))) &&
+          !(dirGrain && pruned.exists(_.contains(raw)))
+      }
+      .map { case (_, v, files) =>
+        val kept =
+          if (dirGrain) files.values.toArray
+          else pruned match {
+            case Some(set) => files.collect {
+              case (rel, st) if !set.contains(rel) => st }.toArray
+            case None => files.values.toArray
+          }
         PartitionDirectory(InternalRow(v), kept)
       }
       .filter(_.files.nonEmpty)
@@ -169,14 +229,26 @@ class ZoneMapFileIndex(
 }
 
 object ZoneMapFileIndex {
-  /** Index-backed DataFrame over the tree, per-file skipping wired. */
+  /** Index-backed DataFrame over the tree, per-FILE skipping wired
+    * (sidecar from [[StatsStore.writeFileStats]]). */
   def relation(s: SparkSession, treePath: String, partCol: String,
                statsPath: String,
-               statsCols: Map[String, (String, String)]): DataFrame = {
-    val idx = new ZoneMapFileIndex(s, treePath, partCol, statsPath,
-      statsCols)
+               statsCols: Map[String, (String, String)]): DataFrame =
+    wire(s, new ZoneMapFileIndex(s, treePath, partCol, statsPath, statsCols))
+
+  /** Index-backed DataFrame over the tree, per-DIRECTORY skipping
+    * wired (sidecar from [[StatsStore.writeDirStats]] — q54's stats
+    * table consumed inside the scan's planning). */
+  def dirRelation(s: SparkSession, treePath: String, partCol: String,
+                  statsPath: String,
+                  statsCols: Map[String, (String, String)]): DataFrame =
+    wire(s, new ZoneMapFileIndex(s, treePath, partCol, statsPath, statsCols,
+      dirGrain = true))
+
+  private def wire(s: SparkSession, idx: ZoneMapFileIndex): DataFrame = {
     val first = idx.inputFiles.headOption.getOrElse(
-      throw new IllegalArgumentException(s"$treePath has no data files"))
+      throw new IllegalArgumentException(
+        s"${idx.rootPaths.head} has no data files"))
     val dataSchema = s.read.parquet(first).schema
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, idx.partitionSchema, dataSchema, None,

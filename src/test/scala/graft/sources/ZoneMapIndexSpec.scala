@@ -1,0 +1,121 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[ZoneMapFileIndex]]'s round-18 hardening on inline data: a null
+  * partition directory neither crashes index construction (the r17
+  * sort NPE) nor gets silently pruned; the file-grain prune FAILS
+  * OPEN for files the sidecar doesn't know (stale sidecar after an
+  * unhooked rewrite); the plan-time probe memoizes; and the
+  * directory-grain mode serves q55's skip inside the scan's planning.
+  */
+class ZoneMapIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case s: FileSourceScanExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children }
+      here ++ kids.flatMap(scans)
+    }
+    df.collect()
+    scans(df.queryExecution.executedPlan).head
+  }
+
+  private def ms(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.map(col)
+    df.select(cols.toIndexedSeq: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  test("a null partition directory survives index construction AND the dir-grain stats prune") {
+    val tree = "target/test_zmi_null"
+    val stats = "target/test_zmi_null_side"
+    // p0: v [10,17]; p1: v [20,27]; null partition: v [24,31]
+    val rows = (0 until 8).map(k => (k.toLong, 10.0 + k, "p0")) ++
+      (8 until 16).map(k => (k.toLong, 12.0 + k, "p1")) ++
+      (16 until 24).map(k => (k.toLong, 8.0 + k, null: String))
+    val df = rows.toDF("k", "v", "part")
+    df.write.mode("overwrite").partitionBy("part").parquet(tree)
+    StatsStore.writeDirStats(spark, tree, stats, "part",
+      Seq(StatsStore.ColSpec("v", "min_v", "max_v")))
+    // construction alone used to NPE on sorting the null rendering
+    val rel = ZoneMapFileIndex.dirRelation(spark, tree, "part", stats,
+      Map("v" -> (("min_v", "max_v"))))
+    // window [24,27] intersects p1 and the NULL directory, not p0
+    val q = rel.filter($"v" >= 24.0 && $"v" <= 27.0)
+    val plain = spark.read.parquet(tree)
+      .filter($"v" >= 24.0 && $"v" <= 27.0)
+    assert(ms(q) === ms(plain),
+      "dir-grain skip lost the null partition's qualifying rows")
+    assert(q.filter($"part".isNull).count() === 4L)
+    assert(scanOf(q).metrics("numPartitions").value === 2)
+  }
+
+  test("file-grain prune fails OPEN: files a stale sidecar doesn't know stay planned") {
+    val tree = "target/test_zmi_stale"
+    val stats = "target/test_zmi_stale_side"
+    val df = (0 until 32).map(k => (k.toLong, 10.0 + k, s"p${k / 16}"))
+      .toDF("k", "v", "part")
+    df.repartitionByRange(4, $"part", $"v")
+      .write.mode("overwrite").partitionBy("part").parquet(tree)
+    StatsStore.writeFileStats(spark, tree, stats, "part",
+      Seq(StatsStore.ColSpec("v", "min_v", "max_v")))
+    // rewrite p1's files WITHOUT a stats hook — new file names the
+    // sidecar has never seen (the stale-sidecar hazard)
+    val p1 = spark.read.parquet(s"$tree/part=p1").localCheckpoint(true)
+    p1.repartition(2).write.mode("overwrite").parquet(s"$tree/part=p1")
+    val rel = ZoneMapFileIndex.relation(spark, tree, "part", stats,
+      Map("v" -> (("min_v", "max_v"))))
+    // the window's rows now live ONLY in sidecar-unknown files
+    val q = rel.filter($"v" >= 30.0 && $"v" <= 35.0)
+    assert(q.count() === 6L,
+      "fail-closed prune dropped sidecar-absent files")
+    // and pruning still engages where the sidecar IS fresh: a p0
+    // window plans fewer than the tree's total files (p0's fresh rows
+    // prune to the intersecting file; p1's unknown files all stay —
+    // that is fail-open, not a missed prune)
+    val q0 = rel.filter($"v" >= 10.0 && $"v" <= 12.0)
+    val total = rel.inputFiles.length
+    val p0Files = spark.read.parquet(stats)
+      .filter($"part" === "p0").count()
+    assert(p0Files >= 2)
+    assert(scanOf(q0).metrics("numFiles").value < total,
+      s"no pruning at all: planned $total of $total files")
+  }
+
+  test("the plan-time probe memoizes: one sidecar job per predicate across repeated listFiles") {
+    val tree = "target/test_zmi_memo"
+    val stats = "target/test_zmi_memo_side"
+    val df = (0 until 32).map(k => (k.toLong, 10.0 + k, s"p${k / 16}"))
+      .toDF("k", "v", "part")
+    df.repartitionByRange(4, $"part", $"v")
+      .write.mode("overwrite").partitionBy("part").parquet(tree)
+    StatsStore.writeFileStats(spark, tree, stats, "part",
+      Seq(StatsStore.ColSpec("v", "min_v", "max_v")))
+    val idx = new ZoneMapFileIndex(spark, tree, "part", stats,
+      Map("v" -> (("min_v", "max_v"))))
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.DoubleType
+    val v = AttributeReference("v", DoubleType)()
+    val filters = Seq[Expression](
+      GreaterThanOrEqual(v, Literal(12.0)), LessThanOrEqual(v, Literal(15.0)))
+    val first = idx.listFiles(Nil, filters)
+    val second = idx.listFiles(Nil, filters)
+    assert(first.map(_.files.toSeq) === second.map(_.files.toSeq))
+    assert(idx.probeRuns.get() === 1L,
+      s"expected 1 memoized sidecar probe, ran ${idx.probeRuns.get()}")
+    // a DIFFERENT predicate is its own probe
+    idx.listFiles(Nil, Seq[Expression](LessThan(v, Literal(11.0))))
+    assert(idx.probeRuns.get() === 2L)
+  }
+}
