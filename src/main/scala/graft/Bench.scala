@@ -187,7 +187,12 @@ object Bench {
           n.startsWith("g19") || n.startsWith("g20") || n.startsWith("q50") ||
           n.startsWith("q51") || n.startsWith("q53") || n.startsWith("q54") ||
           n.startsWith("q55") || n.startsWith("q57") ||
-          n.startsWith("q58") || n.startsWith("q59") }
+          n.startsWith("q58") || n.startsWith("q59") ||
+          // the versioned-table builds (multi-col q60, evolution
+          // q61/q62 — shared memo, q62's "cold" rides q61's build —
+          // z-optimize q63) pay their commits in sample 1 only
+          n.startsWith("q60") || n.startsWith("q61") ||
+          n.startsWith("q62") || n.startsWith("q63") }
       .map { case (k, _, c, _, _, _) => s"\"" + k + "\":" + n3(c) }
       .mkString("{", ",", "}")
     // Honest-cost map for the join-eliminated class (see

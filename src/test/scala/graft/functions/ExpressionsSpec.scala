@@ -107,6 +107,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(wide.length === 4096 && wide.forall(_ === 127.0))
   }
 
+  test("Sq8Encode encodes a NULL array element as the defined 0.0 sentinel") {
+    import spark.implicits._
+    val lo = Array(0.0, 0.0)
+    val rng = Array(10.0, 10.0)
+    // containsNull=true input: slot 0 null, slot 1 live
+    val df = Seq(Tuple1(Seq[Option[Double]](None, Some(5.0))))
+      .toDF("v").select(col("v").cast("array<double>").as("v"))
+    val got = df.select(GraftExpressions.sq8(col("v"), lo, rng))
+      .head().getSeq[Double](0)
+    assert(got === Seq(0.0, 127.0),
+      "null slot must encode as the sentinel, not the slot's garbage bytes")
+  }
+
+  test("UriDecode reconciles input_file_name renderings with raw file names") {
+    import spark.implicits._
+    val cases = Seq(
+      "part=a%20b/f-1.parquet" -> "part=a b/f-1.parquet",   // escaped space
+      "part=a%2525b/f.parquet" -> "part=a%25b/f.parquet",   // hive-escaped %
+      "part=199703/f.parquet" -> "part=199703/f.parquet",   // untouched
+      "part=a+b/f.parquet" -> "part=a+b/f.parquet"          // literal + kept
+    )
+    val got = cases.map(_._1).toDF("s")
+      .select(GraftExpressions.uriDecode(col("s"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+  }
+
   test("SQL registration exposes graft_polyhash and graft_dot") {
     ColumnBridge.registerGraftFunctions(spark)
     val r = spark.sql(

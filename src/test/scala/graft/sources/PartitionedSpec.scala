@@ -69,11 +69,15 @@ class PartitionedSpec extends AnyFunSuite {
     // The predicate is on l_shipdate, which the partitioning never
     // declared — without the stats probe the scan lists all 83
     // directories (pinned below); with it, only the 4 months whose
-    // [min_ship, max_ship] envelope intersects the window.
+    // [min_ship, max_ship] envelope intersects the window. Since r18
+    // the skip runs INSIDE the scan's planning (ZoneMapFileIndex in
+    // directory grain), so there is NO partition filter to pin — the
+    // 4-of-83 numPartitions metric is the whole story, and the query
+    // function carries no driver-side collect.
     val df = graft.queries.CoreQueries.q55_stats_skipping(spark, dir)
     val scan = partitionedScan(df)
-    assert(scan.partitionFilters.mkString(";").contains("l_smonth"),
-      s"no stats-derived partition filter: ${scan.partitionFilters}")
+    assert(!scan.partitionFilters.mkString(";").contains("l_smonth"),
+      s"unexpected hand-planted partition filter: ${scan.partitionFilters}")
     assert(scan.metrics("numPartitions").value === 4,
       s"expected 4 surviving month directories, read " +
         s"${scan.metrics("numPartitions").value}")

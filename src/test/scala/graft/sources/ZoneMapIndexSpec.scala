@@ -93,6 +93,46 @@ class ZoneMapIndexSpec extends AnyFunSuite {
       s"no pruning at all: planned $total of $total files")
   }
 
+  test("hive-escaped partition values: sidecar file keys match the index's FileStatus keys (URI-decode round-trip)") {
+    val tree = "target/test_zmi_escape"
+    val stats = "target/test_zmi_escape_side"
+    // values hive-escapes to % sequences ('a:b' → a%3Ab) and a space
+    // (kept literal by hive, URI-encoded by input_file_name) — the
+    // r17-advice divergence between input_file_name's URI rendering
+    // and the FileStatus names the index keys on
+    val df = (0 until 16)
+      .map(k => (k.toLong, 10.0 + k, if (k < 8) "a:b" else "x y"))
+      .toDF("k", "v", "part")
+    df.repartitionByRange(4, $"part", $"v")
+      .write.mode("overwrite").partitionBy("part").parquet(tree)
+    StatsStore.writeFileStats(spark, tree, stats, "part",
+      Seq(StatsStore.ColSpec("v", "min_v", "max_v")))
+    // the sidecar's keys are exactly the on-disk relative paths
+    val inStats = spark.read.parquet(stats)
+      .select("file").collect().map(_.getString(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(tree)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(root).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .flatMap(d => fs.listStatus(d.getPath).iterator
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+        .map(f => s"${d.getPath.getName}/${f.getPath.getName}"))
+      .toSet
+    assert(inStats === onDisk,
+      s"key divergence: only-stats=${inStats -- onDisk} " +
+        s"only-disk=${onDisk -- inStats}")
+    assert(onDisk.exists(_.startsWith("part=a%3Ab/")), onDisk)
+    // and the skip ENGAGES through the matched keys (were they
+    // divergent, fail-open would keep everything — correct but skipless)
+    val rel = ZoneMapFileIndex.relation(spark, tree, "part", stats,
+      Map("v" -> (("min_v", "max_v"))))
+    val q = rel.filter($"v" >= 10.0 && $"v" <= 12.0)
+    assert(ms(q) === ms(spark.read.parquet(tree)
+      .filter($"v" >= 10.0 && $"v" <= 12.0)))
+    assert(scanOf(q).metrics("numFiles").value < onDisk.size)
+  }
+
   test("the plan-time probe memoizes: one sidecar job per predicate across repeated listFiles") {
     val tree = "target/test_zmi_memo"
     val stats = "target/test_zmi_memo_side"
