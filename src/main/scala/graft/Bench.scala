@@ -190,9 +190,15 @@ object Bench {
           n.startsWith("q58") || n.startsWith("q59") ||
           // the versioned-table builds (multi-col q60, evolution
           // q61/q62 — shared memo, q62's "cold" rides q61's build —
-          // z-optimize q63) pay their commits in sample 1 only
+          // z-optimize q63) pay their commits in sample 1 only;
+          // q64/q65 ride q57's memoized table, q66's sample 1 builds
+          // the bloom sidecar
           n.startsWith("q60") || n.startsWith("q61") ||
-          n.startsWith("q62") || n.startsWith("q63") }
+          n.startsWith("q62") || n.startsWith("q63") ||
+          n.startsWith("q64") || n.startsWith("q65") ||
+          n.startsWith("q66") ||
+          // st13's sample 1 builds the versioned ingest table
+          n.startsWith("st13") }
       .map { case (k, _, c, _, _, _) => s"\"" + k + "\":" + n3(c) }
       .mkString("{", ",", "}")
     // Honest-cost map for the join-eliminated class (see

@@ -136,7 +136,7 @@ object Duel {
     val which = if (args.nonEmpty) args.toSet
       else Set("topk", "bitmap", "band", "hist", "zorder", "bucketedsym",
         "bucketededges", "hits", "dpp", "bloom", "compaction", "mergecow",
-        "statsskip", "fileskip", "vtzorder")
+        "statsskip", "fileskip", "vtzorder", "bloomskip")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -458,6 +458,57 @@ object Duel {
       assert(res(fileSkip) == res(rangeDir) && res(fileSkip) == res(hashDir),
         "fileskip duel: relations diverge")
       println(f"""{"duel":"fileskip","sf":"$sfDir","hash_rows_decoded":$hashRows,"range_rows_decoded":$dirRows,"file_rows_decoded":$fileRows,"stats_probe_rows":$statsProbeRows,"rows_ratio":${hashRows.toDouble / math.max(1L, fileRows)}%.1f,"hash_bytes_read":$hashBytes,"range_bytes_read":$dirBytes,"file_bytes_read":$fileBytes,"month_files_listed":$monthFiles,"live_files_listed":$liveFiles,"hash_sec":$hashSec%.3f,"range_sec":$dirSec%.3f,"file_sec":$fileSecT%.3f}""")
+    }
+
+    if (which("bloomskip")) {
+      // Bloom-sidecar duel: a POINT LOOKUP on a column the layout
+      // doesn't cluster (l_partkey on q58's ship-date-tiled tree).
+      // Every file's partkey min/max spans ~the whole domain, so
+      // neither the dir-grain nor the envelope file-grain skip can
+      // prune ANYTHING — the stock leg decodes whatever parquet's own
+      // row-group partkey stats fail to exclude (≈ the table). The
+      // bloom leg probes the |files|-row sidecar at plan time and
+      // lists only the files that might contain the key (no false
+      // negatives; ~3% FPs re-checked by the pushed residual). The
+      // files_listed pair is the number that carries to object
+      // storage: at 100k files/table a needle query opens a handful
+      // of files instead of all of them. Probe rows subtracted and
+      // reported separately, the fileskip convention.
+      val (tree, stats) = graft.queries.CoreQueries
+        .bloomedLineitem(spark, sfDir)
+      def lookup(df: DataFrame) = df
+        .filter(col("l_partkey") === 17L)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice").cast("decimal(28,2)"))
+          .cast("double").as("rev"), count(lit(1)).as("n_rows"))
+      def plain = lookup(spark.read.parquet(tree))
+      def bloomed = graft.queries.CoreQueries
+        .q66_bloom_skipping(spark, sfDir)
+      val totalFiles = spark.read.parquet(stats).count()
+      val (plainSec, plainRows, plainBytes) = measureScanIO(spark, plain, n)
+      val (bSec, bRowsT, bBytes) = measureScanIO(spark, bloomed, n)
+      val bRows = bRowsT - totalFiles // plan-time probe, reported apart
+      val listedFiles = {
+        // the files the bloom actually kept, from the executed plan
+        import org.apache.spark.sql.execution._
+        import org.apache.spark.sql.execution.adaptive._
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+          val here = p match {
+            case s: FileSourceScanExec => Seq(s); case _ => Nil }
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case other => other.children }
+          here ++ kids.flatMap(scans)
+        }
+        val q = bloomed
+        q.collect()
+        scans(q.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).max
+      }
+      def res(df: DataFrame) = df.collect().map(_.toSeq.toString).sorted.toSeq
+      assert(res(bloomed) == res(plain), "bloomskip duel: relations diverge")
+      println(f"""{"duel":"bloomskip","sf":"$sfDir","bloom_rows_decoded":$bRows,"plain_rows_decoded":$plainRows,"stats_probe_rows":$totalFiles,"rows_ratio":${plainRows.toDouble / math.max(1L, bRows)}%.1f,"bloom_bytes_read":$bBytes,"plain_bytes_read":$plainBytes,"files_listed":$listedFiles,"files_total":$totalFiles,"bloom_sec":$bSec%.3f,"plain_sec":$plainSec%.3f}""")
     }
 
     if (which("mergecow")) {

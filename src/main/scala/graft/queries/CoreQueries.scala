@@ -1551,6 +1551,134 @@ object CoreQueries {
       .agg(dsum("l_extendedprice").as("rev"), count(lit(1)).as("n_rows"))
   }
 
+  // CHANGE DATA FEED — the version log's row-level CDC READ
+  // ([[graft.sources.VersionedTable.changeFeed]], Delta's
+  // `table_changes`): the v0→v1 feed of q57's versioned table, every
+  // change event the merge commit produced tagged insert / delete /
+  // update_preimage / update_postimage + the producing version. The
+  // feed derives from the MANIFEST DIFF — the files only v0 names
+  // hold the before-state of each rewritten directory, the files only
+  // v1 names the after-state — so it reads exactly the commit's
+  // copy-on-write footprint (never the table) and joins before↔after
+  // once on the primary key; carried rows (rewritten file, identical
+  // payload) emit nothing. The oracle re-derives all four event
+  // classes from the changeset definition, so the hash pins the
+  // classification AND the carried-row exclusion across every
+  // rewritten directory. Scale shape: |changed slice| I/O + one
+  // slice-sized exchange; a commit flagged dataChange=false (q57's v2
+  // OPTIMIZE) is skipped at metadata cost — the flag is what keeps a
+  // CDC consumer O(changes) across compactions.
+  def q64_change_feed(s: SparkSession, dir: String): DataFrame = {
+    q57_versioned_time_travel(s, dir) // build-if-cold (memoized table)
+    val path = q57Memo((s, dir))
+    graft.sources.VersionedTable.changeFeed(s, path, 0L, 1L, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"), col("o_month").cast(LongType).as("o_month"),
+        col("change_type"), col("change_version"))
+  }
+
+  // INCREMENTAL VIEW MAINTENANCE off the change feed — the reason CDF
+  // exists: a downstream aggregate (revenue + row count per month)
+  // maintained from v0's base aggregate plus the TELESCOPED deltas of
+  // every feed event across v0→v3 (update = post − pre, insert = +,
+  // delete = −; the v2 OPTIMIZE contributes nothing via its
+  // dataChange=false flag, at metadata cost). Deltas are exact
+  // DECIMAL arithmetic, so base + Σdeltas equals the direct aggregate
+  // of the FINAL state bit-for-bit — which is precisely what the
+  // oracle computes, closed-form over orders. At 100 TB this is the
+  // difference between re-aggregating the corpus per refresh and one
+  // pass over each commit's changed slice — the materialized-view
+  // maintenance loop every warehouse runs on its CDC feeds.
+  def q65_cdf_maintenance(s: SparkSession, dir: String): DataFrame = {
+    q57_versioned_time_travel(s, dir) // build-if-cold (memoized table)
+    val path = q57Memo((s, dir))
+    val vt = graft.sources.VersionedTable
+    // scale 3, not the house scale 2: the v1 inserts carry *0.5 of a
+    // 2-dp price — a THREE-decimal value, which a scale-2 cast must
+    // ROUND, and Spark (shortest-repr HALF_UP) and DuckDB (exact
+    // binary expansion) round a borderline double in opposite
+    // directions. At scale 3 every value in play is exact — no
+    // rounding ever happens, so the cast is engine-independent.
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 3))
+    val base = vt.snapshot(s, path, 0L)
+      .groupBy(col("o_month"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev0"),
+        count(lit(1)).as("n0"))
+    val delta = vt.changeFeed(s, path, 0L, 3L, "o_orderkey")
+      .withColumn("d_rev", when(
+          col("change_type").isin("insert", "update_postimage"),
+          dec(col("o_totalprice")))
+        .otherwise(-dec(col("o_totalprice"))))
+      .withColumn("d_n", when(col("change_type") === "insert", 1L)
+        .when(col("change_type") === "delete", -1L).otherwise(0L))
+      .groupBy(col("o_month"))
+      .agg(sum(col("d_rev")).as("drev"), sum(col("d_n")).as("dn"))
+    base.join(delta, Seq("o_month"), "full_outer")
+      .select(col("o_month").cast(LongType).as("o_month"),
+        (coalesce(col("rev0"), lit(0).cast(DecimalType(38, 3))) +
+          coalesce(col("drev"), lit(0).cast(DecimalType(38, 3))))
+          .cast(DoubleType).as("rev"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"))
+      .filter(col("n_rows") > 0)
+  }
+
+  private val q66Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  /** The point-lookup key q66 probes — a partkey populated at every
+    * SF (TPC-H partkeys are dense from 1). Shared verbatim with the
+    * oracle. */
+  private val Q66Part = 17L
+
+  /** Build-if-cold the per-file BLOOM sidecar over q58's
+    * range-clustered lineitem tree. The tree clusters files by SHIP
+    * DATE, so for `l_partkey` every file's min/max envelope spans
+    * ~the whole part domain — the regime where zone maps cannot skip
+    * a single file and only a membership sketch can. One bloom per
+    * (file, l_partkey), constant-size (64Ki expected items — above
+    * any file's distinct-partkey count at the oracle SFs and a fixed
+    * ~80 KB/file at ANY corpus size, the constant-size-by-
+    * construction rule). */
+  private[graft] def bloomedLineitem(s: SparkSession, dir: String)
+      : (String, String) =
+    q66Memo.getOrElseUpdate((s, dir), {
+      val (tree, _) = rangedLineitem(s, dir)
+      val stats = graft.sources.Layouts.root(s) + "/q66_bstats_" +
+        graft.sources.Bucketing.pathDigest(dir)
+      graft.sources.StatsStore.writeFileStats(s, tree, stats, "l_smonth",
+        cols = Nil,
+        blooms = Seq(graft.sources.StatsStore.BloomSpec(
+          "l_partkey", "bf_partkey", 65536L)))
+      (tree, stats)
+    })
+
+  // BLOOM-FILTER file skipping — the skipping tier q55/q58 canNOT
+  // serve: a POINT LOOKUP on a column the layout doesn't cluster
+  // (l_partkey on the ship-date-tiled tree), where every file's
+  // min/max envelope spans the whole domain and interval algebra
+  // keeps everything. The per-file bloom sidecar answers "does this
+  // file possibly contain the key?" at plan time
+  // ([[graft.sources.ZoneMapFileIndex]]'s bloom tier): no false
+  // negatives, so pruning on "definitely absent" is superset-safe;
+  // the equality predicate still runs in the scan as the exact
+  // residual, absorbing false positives. This is Delta's bloom
+  // filter index / parquet's bloom pages as an index-level skip. At
+  // 100 TB a point lookup reads |files| sidecar rows + the ~handful
+  // of files that truly contain the key, instead of opening every
+  // footer in the partition — the difference between O(table) and
+  // O(answer) for needle queries. The bloomskip duel measures rows
+  // decoded vs the plain tree; ZoneMapIndexSpec pins numFiles,
+  // fail-open on null/absent blooms, and IN-list probing.
+  def q66_bloom_skipping(s: SparkSession, dir: String): DataFrame = {
+    val (tree, stats) = bloomedLineitem(s, dir)
+    graft.sources.ZoneMapFileIndex.relation(s, tree, "l_smonth", stats,
+      Map.empty, Map("l_partkey" -> "bf_partkey"))
+      .filter(col("l_partkey") === Q66Part)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum("l_extendedprice").as("rev"), count(lit(1)).as("n_rows"))
+  }
+
   /** DuckDB twin of [[graft.functions.ZOrder.spread]] as a CTE ladder
     * (5 shift/mask steps per dimension; decimal mask literals — every
     * intermediate stays under 2⁶³ for 31-bit inputs, so DuckDB's
@@ -1769,6 +1897,66 @@ object CoreQueries {
         |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
         |    AS o_month
         |FROM orders""".stripMargin,
+    // the v0→v1 feed in closed form: the merge changeset's four event
+    // classes re-derived from its definition — hash equality pins the
+    // manifest-diff classification and that carried rows (every
+    // untouched row of every rewritten directory) emit nothing.
+    "q64_change_feed" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    o_orderpriority,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS o_month
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  o_month, 'update_preimage' AS change_type,
+        |  CAST(1 AS BIGINT) AS change_version
+        |FROM snap WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 1000.0,
+        |  o_orderpriority, o_month, 'update_postimage', 1
+        |FROM snap WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  o_month, 'delete', 1
+        |FROM snap WHERE o_orderkey % 10 = 2
+        |UNION ALL
+        |SELECT -o_orderkey, o_custkey, o_totalprice * 0.5, '5-LOW',
+        |  o_month, 'insert', 1
+        |FROM snap WHERE o_orderkey % 10 = 3""".stripMargin,
+    // the maintained aggregate must equal the direct aggregate of the
+    // FINAL (v3) state: v1's merge + v3's merge applied to orders in
+    // closed form (the v2 optimize changes nothing), then grouped —
+    // exact decimal arithmetic makes base + telescoped deltas
+    // bit-equal to this.
+    "q65_cdf_maintenance" ->
+      """WITH snap AS (SELECT o_orderkey, o_totalprice,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS o_month
+        |  FROM orders),
+        |final AS (
+        |  SELECT o_month,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 10 = 4 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS p
+        |  FROM snap WHERE o_orderkey % 10 NOT IN (2, 5)
+        |  UNION ALL
+        |  SELECT o_month, o_totalprice * 0.5 FROM snap
+        |  WHERE o_orderkey % 10 = 3)
+        |SELECT o_month,
+        |  CAST(SUM(CAST(p AS DECIMAL(28,3))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n_rows
+        |FROM final GROUP BY 1""".stripMargin,
+    // the bloom skip is stats-internal: the oracle is the plain point
+    // lookup — hash equality proves the membership prune lost no
+    // qualifying row (no false negatives, residual absorbs the false
+    // positives).
+    "q66_bloom_skipping" ->
+      s"""SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_partkey = $Q66Part
+        |GROUP BY 1""".stripMargin,
     // the z-ordered OPTIMIZE is relation-preserving: the oracle is the
     // plain 2-D box aggregation over the raw table.
     "q63_optimize_zorder" ->
@@ -2168,5 +2356,8 @@ object CoreQueries {
     "q61_schema_evolution" -> (q61_schema_evolution _),
     "q62_evolution_history" -> (q62_evolution_history _),
     "q63_optimize_zorder" -> (q63_optimize_zorder _),
+    "q64_change_feed" -> (q64_change_feed _),
+    "q65_cdf_maintenance" -> (q65_cdf_maintenance _),
+    "q66_bloom_skipping" -> (q66_bloom_skipping _),
   )
 }

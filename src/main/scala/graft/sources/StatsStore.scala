@@ -44,10 +44,21 @@ object StatsStore {
   /** NDV sketch spec: HLL of `src` into column `name` at `lgK`. */
   final case class NdvSpec(src: String, name: String, lgK: Int)
 
-  private def aggs(cols: Seq[ColSpec], ndv: Option[NdvSpec]): Seq[Column] =
+  /** Bloom spec: a membership sketch of `src` into binary column
+    * `name`, sized for `expectedItems` distinct values PER KEY (per
+    * file at file grain) — constant-size by construction, the
+    * ANN-codebook rule applied to stats. Serves equality/IN skipping
+    * on columns the layout doesn't cluster, where min/max envelopes
+    * are useless ([[ZoneMapFileIndex]]'s `bloomCols`). */
+  final case class BloomSpec(src: String, name: String, expectedItems: Long)
+
+  private def aggs(cols: Seq[ColSpec], ndv: Option[NdvSpec],
+                   blooms: Seq[BloomSpec] = Nil): Seq[Column] =
     cols.flatMap(c => Seq(min(col(c.src)).as(c.minName),
       max(col(c.src)).as(c.maxName))) ++
-      ndv.map(n => hll_sketch_agg(col(n.src), lit(n.lgK)).as(n.name))
+      ndv.map(n => hll_sketch_agg(col(n.src), lit(n.lgK)).as(n.name)) ++
+      blooms.map(b => graft.functions.GraftExpressions
+        .bloomAgg(col(b.src), b.expectedItems).as(b.name))
 
   /** Per-directory stats relation of `df` (not yet materialized):
     * (partCol, n_rows, min/max per ColSpec, optional NDV sketch). */
@@ -67,12 +78,13 @@ object StatsStore {
     * hive-escapes to characters URI-encoding rewrites (space, `%`)
     * would never match and, even fail-open, never skip (r17 advice). */
   def fileStats(df: DataFrame, partCol: String, cols: Seq[ColSpec],
-                ndv: Option[NdvSpec] = None): DataFrame =
+                ndv: Option[NdvSpec] = None,
+                blooms: Seq[BloomSpec] = Nil): DataFrame =
     df.withColumn("file",
         graft.functions.GraftExpressions.uriDecode(
           regexp_extract(input_file_name(), "([^/]+=[^/]+/[^/]+)$", 1)))
       .groupBy(col(partCol), col("file"))
-      .agg(count(lit(1)).as("n_rows"), aggs(cols, ndv): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs(cols, ndv, blooms): _*)
 
   /** Compute and overwrite the full sidecar for the tree at
     * `treePath`. One pass at creation; [[refreshDirStats]] maintains
@@ -88,8 +100,9 @@ object StatsStore {
   /** Full per-file sidecar, creation-time twin of [[writeDirStats]]. */
   def writeFileStats(s: SparkSession, treePath: String, statsPath: String,
                      partCol: String, cols: Seq[ColSpec],
-                     ndv: Option[NdvSpec] = None): DataFrame = {
-    fileStats(s.read.parquet(treePath), partCol, cols, ndv)
+                     ndv: Option[NdvSpec] = None,
+                     blooms: Seq[BloomSpec] = Nil): DataFrame = {
+    fileStats(s.read.parquet(treePath), partCol, cols, ndv, blooms)
       .write.mode(SaveMode.Overwrite).parquet(statsPath)
     s.read.parquet(statsPath)
   }
@@ -166,10 +179,11 @@ object StatsStore {
   def refreshFileStats(s: SparkSession, treePath: String, statsPath: String,
                        partCol: String, partVals: Seq[Any],
                        cols: Seq[ColSpec],
-                       ndv: Option[NdvSpec] = None): DataFrame = {
+                       ndv: Option[NdvSpec] = None,
+                       blooms: Seq[BloomSpec] = Nil): DataFrame = {
     if (partVals.isEmpty) return s.read.parquet(statsPath)
     val fresh = fileStats(slice(s, treePath, partCol, partVals),
-      partCol, cols, ndv)
+      partCol, cols, ndv, blooms)
     val affected = partVals.map(v =>
       if (v == null) Compaction.HiveDefaultPartition
       else String.valueOf(v)).toSet
@@ -208,12 +222,13 @@ object StatsStore {
     * compaction must refresh even though directory-grain stats are
     * invariant under it (same rows, new files). */
   final case class FileStatsHook(statsPath: String, cols: Seq[ColSpec],
-                                 ndv: Option[NdvSpec] = None)
+                                 ndv: Option[NdvSpec] = None,
+                                 blooms: Seq[BloomSpec] = Nil)
       extends PostRewriteHook {
     def afterRewrite(s: SparkSession, treePath: String, partCol: String,
                      rewrittenParts: Seq[Any]): Unit = {
       refreshFileStats(s, treePath, statsPath, partCol, rewrittenParts,
-        cols, ndv)
+        cols, ndv, blooms)
       ()
     }
   }

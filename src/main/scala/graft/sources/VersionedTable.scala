@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** A VERSIONED hive-partitioned table — the commit-log primitive that
   * unites the warehouse family's write half
@@ -73,6 +73,9 @@ object VersionedTable {
 
   private def schemaPath(tablePath: String, v: Long): Path =
     new Path(logDir(tablePath), f"$v%08d.schema")
+
+  private def propsPath(tablePath: String, v: Long): Path =
+    new Path(logDir(tablePath), f"$v%08d.props")
 
   private def isDataFile(p: Path): Boolean = {
     val n = p.getName
@@ -160,6 +163,44 @@ object VersionedTable {
       finally in.close()
       Some(DataType.fromJson(json).asInstanceOf[StructType])
     }
+  }
+
+  /** Whether version `v` CHANGED ROWS, or only rearranged them —
+    * Delta's per-commit `dataChange` flag. A maintenance rewrite
+    * ([[commitOptimize]] / [[commitOptimizeZOrder]]) records `false`;
+    * merge commits and any version written before flag logging
+    * default to `true` (the safe direction: an unknown commit must be
+    * diffed, never skipped). [[changeFeed]] uses this to serve an
+    * EMPTY feed across a pure rewrite without reading a single data
+    * file — the alternative is a full-table before/after diff that
+    * proves row-for-row equality the flag already promises (the spec
+    * pins both paths agree). */
+  def dataChangeOf(s: SparkSession, tablePath: String, v: Long): Boolean = {
+    val fs = fsFor(s, tablePath)
+    val p = propsPath(tablePath, v)
+    if (!fs.exists(p)) true
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      !txt.linesIterator.contains("dataChange=false")
+    }
+  }
+
+  /** Record version `v`'s commit properties (currently just the
+    * dataChange flag). Written BEFORE the manifest, like the schema —
+    * the manifest stays the sole commit point. */
+  private def writeProps(fs: FileSystem, tablePath: String, v: Long,
+                         dataChange: Boolean): Unit = {
+    val dst = propsPath(tablePath, v)
+    fs.mkdirs(logDir(tablePath))
+    val tmp = new Path(logDir(tablePath), s".${dst.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"dataChange=$dataChange\n".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"props write lost the rename race for version $v at $dst")
   }
 
   /** Record version `v`'s schema. Written BEFORE the manifest (the
@@ -266,6 +307,93 @@ object VersionedTable {
                               Map.empty): DataFrame =
     VersionedFileIndex.relationMulti(s, tablePath, partCols, version,
       statsPath, statsCols)
+
+  /** Row-level CHANGE DATA FEED from `fromV` (exclusive) to `toV`
+    * (inclusive) — Delta's `table_changes`: every row-change event the
+    * commits in that range produced, tagged
+    * `change_type ∈ ('insert' | 'delete' | 'update_preimage' |
+    * 'update_postimage')` plus the `change_version` that produced it.
+    * A row an update touched emits BOTH images; a row a commit merely
+    * carried (rewritten file, identical payload) emits nothing.
+    *
+    * Derivation is the MANIFEST DIFF, one consecutive version pair at
+    * a time: the files only `fromV` names hold the before-state of
+    * every rewritten directory, the files only `toV` names the
+    * after-state — so the feed reads exactly the CHANGED SLICE (the
+    * commit's copy-on-write footprint), never the table, and joins
+    * before↔after once on the primary key (one exchange sized by the
+    * slice). Commits flagged `dataChange=false` ([[commitOptimize]] /
+    * [[commitOptimizeZOrder]]) are skipped without reading ANY data —
+    * the flag is the difference between an O(metadata) and an
+    * O(table) feed across a compaction, which is why Delta records it
+    * per commit (the spec pins the skipped diff is genuinely empty).
+    *
+    * Events are emitted per COMMIT, not collapsed across the range —
+    * a key updated in two commits yields two update pairs, which is
+    * what makes the feed a valid incremental-maintenance input
+    * (deltas telescope; [[graft.queries.CoreQueries.q65_cdf_maintenance]]).
+    * Each step serves its own head version's schema; across a schema
+    * evolution the union aligns by name, pre-evolution images serving
+    * typed nulls for late columns. */
+  def changeFeed(s: SparkSession, tablePath: String, fromV: Long,
+                 toV: Long, key: String): DataFrame = {
+    val to = if (toV < 0) currentVersion(s, tablePath) else toV
+    require(fromV >= 0 && fromV < to,
+      s"changeFeed needs 0 <= fromV < toV (got $fromV..$to)")
+    val steps = (fromV until to).flatMap { v =>
+      if (!dataChangeOf(s, tablePath, v + 1)) None
+      else Some(diffFeed(s, tablePath, v, v + 1, key))
+    }
+    if (steps.isEmpty) {
+      // every commit in range was a pure rewrite: empty feed, head
+      // version's schema
+      val st = schemaOf(s, tablePath, to)
+        .getOrElse(snapshot(s, tablePath, to).schema)
+      val full = StructType(st.fields ++ Seq(
+        StructField("change_type", StringType, nullable = false),
+        StructField("change_version", LongType, nullable = false)))
+      s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), full)
+    } else steps.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** One consecutive pair's feed from the raw manifest diff — the
+    * fallback [[changeFeed]] takes when the commit may have changed
+    * rows. Exposed to the spec so the `dataChange=false` skip can be
+    * pinned against the diff it avoids (both must be empty). */
+  private[sources] def diffFeed(s: SparkSession, tablePath: String,
+                                fromV: Long, toV: Long, key: String)
+      : DataFrame = {
+    val mFrom = manifest(s, tablePath, fromV).toSet
+    val mTo = manifest(s, tablePath, toV).toSet
+    val removed = (mFrom -- mTo).toSeq.sorted
+    val added = (mTo -- mFrom).toSeq.sorted
+    val st = schemaOf(s, tablePath, toV)
+      .getOrElse(snapshot(s, tablePath, toV).schema)
+    def slice(files: Seq[String]): DataFrame =
+      if (files.isEmpty) s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), st)
+      else s.read.schema(st).option("basePath", tablePath)
+        .parquet(files.map(f => s"$tablePath/$f"): _*)
+        .select(st.fieldNames.map(col).toIndexedSeq: _*)
+    val cols = st.fieldNames.toSeq
+    val after = slice(added)
+    val before = slice(removed)
+      .select(cols.map(c => col(c).as(s"_b_$c")).toIndexedSeq: _*)
+    val j = before.join(after, col(s"_b_$key") === col(key), "full_outer")
+    // payload-identical (null-safe over every column) = carried row
+    val same = cols.map(c => col(s"_b_$c") <=> col(c)).reduce(_ && _)
+    def img(prefix: String, ct: String) = struct(
+      (cols.map(c => col(prefix + c).as(c)) :+
+        lit(ct).as("change_type")).toIndexedSeq: _*)
+    val events = when(col(key).isNull, array(img("_b_", "delete")))
+      .when(col(s"_b_$key").isNull, array(img("", "insert")))
+      .when(!same, array(img("_b_", "update_preimage"),
+        img("", "update_postimage")))
+      .otherwise(lit(null)) // carried row: explode(null) emits nothing
+    j.select(explode(events).as("_ev"), lit(toV).as("change_version"))
+      .select(col("_ev.*"), col("change_version"))
+  }
 
   /** Apply a CDC changeset (same contract as
     * [[graft.operators.MergeInto]]: key + op 'U'|'D'|'I' + payload
@@ -401,6 +529,57 @@ object VersionedTable {
     // through the new version's manifest.
     hooks.foreach(_.afterRewrite(s, tablePath, partCols.head,
       parts.map(_.head)))
+    v + 1
+  }
+
+  /** APPEND-ONLY ingest commit — the landing verb streaming ingestion
+    * runs (Delta's `mode(Append)` write): `df`'s rows land as fresh
+    * files in their partition directories and the new manifest is
+    * previous ∪ new — NO file is retired, so the commit is
+    * append-only by construction and a downstream streaming reader
+    * ([[VersionedStreamSource]]) serves exactly the added files as
+    * one increment. Contrast [[commitMerge]], which rewrites each
+    * affected directory's state (retiring its old files) even for a
+    * pure-insert changeset. Schema must match the current snapshot's
+    * (evolution goes through commitMerge). Returns the new version;
+    * an empty `df` commits nothing and returns the current one. */
+  def commitAppend(s: SparkSession, tablePath: String,
+                   partCols: Seq[String], df: DataFrame): Long = {
+    val fs = fsFor(s, tablePath)
+    val v = currentVersion(s, tablePath)
+    require(v >= 0, s"$tablePath is not a versioned table (no log)")
+    val prev = manifest(s, tablePath, v)
+    val snapSchema = schemaOf(s, tablePath, v)
+      .getOrElse(snapshot(s, tablePath, v).schema)
+    require(df.columns.toSet == snapSchema.fieldNames.toSet,
+      s"append schema ${df.columns.sorted.mkString(",")} must match the " +
+        s"table's ${snapSchema.fieldNames.sorted.mkString(",")} — evolve " +
+        "through commitMerge(evolveSchema = true)")
+    val partTypes = partCols.map(c => snapSchema(c).dataType)
+    val parts: Seq[Seq[Any]] = df.select(
+        partCols.zip(partTypes).map { case (c, t) => col(c).cast(t) }
+          .toIndexedSeq: _*)
+      .distinct().collect().map(_.toSeq).toSeq
+    if (parts.isEmpty) return v
+    val affectedDirs = parts.map(dirNameOf(partCols, _))
+    val before = affectedDirs.flatMap(listDir(fs, tablePath, _)).toSet
+    val dataCols = snapSchema.fieldNames.filterNot(partCols.contains)
+    val outCols = dataCols ++ partCols
+    df.select(outCols.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Append).partitionBy(partCols: _*)
+      .parquet(tablePath)
+    val newFiles = affectedDirs.flatMap(listDir(fs, tablePath, _))
+      .toSet -- before
+    val expected = df.count()
+    val got = if (newFiles.isEmpty) 0L
+      else s.read.option("basePath", tablePath)
+        .parquet(newFiles.toSeq.sorted.map(f => s"$tablePath/$f"): _*).count()
+    require(expected == got,
+      s"append commit on $tablePath: batch has $expected rows but the " +
+        s"landed files hold $got — partition rendering diverged")
+    preCommitHook()
+    writeSchema(fs, tablePath, v + 1, snapSchema)
+    writeManifest(fs, tablePath, v + 1, prev ++ newFiles)
     v + 1
   }
 
@@ -584,6 +763,9 @@ object VersionedTable {
     val dataCols = snap.columns.filterNot(partCols.contains)
     writeSchema(fs, tablePath, v + 1,
       StructType((dataCols ++ partCols).map(snap.schema(_))))
+    // a pure rewrite rearranges rows without changing any — record it,
+    // so the change feed can skip this version without a diff
+    writeProps(fs, tablePath, v + 1, dataChange = false)
     writeManifest(fs, tablePath, v + 1, newFiles.toSeq)
     v + 1
   }
@@ -618,6 +800,7 @@ object VersionedTable {
     drop.foreach { dv =>
       fs.delete(manifestPath(tablePath, dv), false)
       fs.delete(schemaPath(tablePath, dv), false)
+      fs.delete(propsPath(tablePath, dv), false)
     }
     // 2. sweep data files no SURVIVING manifest references
     val live = keep.flatMap(manifest(s, tablePath, _)).toSet

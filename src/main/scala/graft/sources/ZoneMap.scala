@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Predicate, XxHash64}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -86,6 +86,65 @@ object ZoneMap {
       .map(r => keyCols.indices.map(r.getString).toList)
       .toSet
 
+  /** Equality conjuncts usable for BLOOM probing: data column →
+    * candidate literal values, from `=` (either literal order) and
+    * `IN`/`InSet` shapes on columns with a recorded bloom sidecar.
+    * Anything else contributes nothing — like the envelope shapes,
+    * unrecognized predicates prune NOTHING (fail-open). The analyzer
+    * has already promoted the literal to the column's type, so the
+    * probe hashes exactly what [[graft.functions.GraftExpressions
+    * .bloomAgg]] hashed at build time. */
+  def equalityProbes(dataFilters: Seq[Expression],
+                     bloomCols: Map[String, String])
+      : Seq[(String, Seq[Literal])] = {
+    if (bloomCols.isEmpty) return Nil
+    dataFilters.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if bloomCols.contains(a.name) => Some(a.name -> Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if bloomCols.contains(a.name) => Some(a.name -> Seq(l))
+      case In(a: AttributeReference, vs)
+          if bloomCols.contains(a.name) &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        Some(a.name -> vs.map(_.asInstanceOf[Literal]))
+      case InSet(a: AttributeReference, vs)
+          if bloomCols.contains(a.name) =>
+        Some(a.name -> vs.toSeq.map(v => Literal(v, a.dataType)))
+      case _ => None
+    }
+  }
+
+  /** Driver-side bloom probe: keys whose sidecar bloom DEFINITIVELY
+    * excludes every candidate value — a bloom has no false negatives,
+    * so "might contain none of them" is a proof of absence and the
+    * prune stays superset-safe. A null bloom cell keeps its key live
+    * (fail-open), and keys absent from the sidecar are never in the
+    * returned set. The sidecar is |files| (or |directories|) rows —
+    * metadata-scale, same cost class as the envelope probe. */
+  private[sources] def bloomPrunedSet(s: SparkSession, statsPath: String,
+                                      keyCols: Seq[Column], bloomCol: String,
+                                      lits: Seq[Literal])
+      : Set[List[String]] = {
+    val hashes = lits.map { l =>
+      new XxHash64(Seq(l)).eval(InternalRow.empty).asInstanceOf[Long]
+    }
+    s.read.parquet(statsPath)
+      .select((keyCols :+ col(bloomCol)).toIndexedSeq: _*)
+      .collect()
+      .iterator
+      .flatMap { r =>
+        val cell = r.get(keyCols.size)
+        if (cell == null) None // fail-open: unknown bloom never prunes
+        else {
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(cell.asInstanceOf[Array[Byte]]))
+          if (hashes.exists(bf.mightContainLong)) None
+          else Some(keyCols.indices.map(r.getString).toList)
+        }
+      }
+      .toSet
+  }
+
   /** Narrow hive-style partition-value type inference shared by the
     * indexes: all-int → int, all-long → long, else string. */
   private[sources] def inferPartType(values: Seq[String]): DataType = {
@@ -136,7 +195,8 @@ object ZoneMap {
 class ZoneMapFileIndex(
     s: SparkSession, treePath: String, partCol: String,
     statsPath: String, statsCols: Map[String, (String, String)],
-    dirGrain: Boolean = false)
+    dirGrain: Boolean = false,
+    bloomCols: Map[String, String] = Map.empty)
     extends FileIndex {
 
   private val fs = new Path(treePath)
@@ -183,18 +243,39 @@ class ZoneMapFileIndex(
   /** Sidecar Spark actions actually run — the memoization pin. */
   private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
+  private def keyCol =
+    if (dirGrain) col(partCol).cast("string") else col("file")
+
   /** Keys (relative file paths, or partition renderings at directory
-    * grain) whose recorded envelope definitively misses the filters,
-    * or None when the filters carry no supported conjunct. Fail-open:
-    * see [[ZoneMap.prunedSet]]. */
-  private def prunedKeys(dataFilters: Seq[Expression]): Option[Set[String]] =
-    ZoneMap.envelopePredicate(dataFilters, statsCols).map { pred =>
-      probeMemo.getOrElseUpdate(pred.toString, {
+    * grain) whose recorded stats DEFINITIVELY exclude the filters —
+    * the union of the min/max envelope prune and the per-key BLOOM
+    * prune (equality/IN predicates on columns with a recorded bloom,
+    * where the envelope is useless when the column isn't clustered) —
+    * or None when the filters carry no supported conjunct for either
+    * tier. Both tiers are fail-open: see [[ZoneMap.prunedSet]] /
+    * [[ZoneMap.bloomPrunedSet]]; each distinct probe memoizes its own
+    * Spark action. */
+  private def prunedKeys(dataFilters: Seq[Expression]): Option[Set[String]] = {
+    val env = ZoneMap.envelopePredicate(dataFilters, statsCols).map { pred =>
+      probeMemo.getOrElseUpdate("env:" + pred.toString, {
         probeRuns.incrementAndGet()
-        val key = if (dirGrain) col(partCol).cast("string") else col("file")
-        ZoneMap.prunedSet(s, statsPath, Seq(key), pred)
-      }).map(_.head)
+        ZoneMap.prunedSet(s, statsPath, Seq(keyCol), pred)
+      })
     }
+    val blooms = ZoneMap.equalityProbes(dataFilters, bloomCols).map {
+      case (dataCol, lits) =>
+        val memoKey = "bloom:" + dataCol + ":" +
+          lits.map(_.toString).sorted.mkString(",")
+        probeMemo.getOrElseUpdate(memoKey, {
+          probeRuns.incrementAndGet()
+          ZoneMap.bloomPrunedSet(s, statsPath, Seq(keyCol),
+            bloomCols(dataCol), lits)
+        })
+    }
+    val all = env.toSeq ++ blooms
+    if (all.isEmpty) None
+    else Some(all.reduce(_ ++ _).map(_.head))
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
@@ -230,11 +311,19 @@ class ZoneMapFileIndex(
 
 object ZoneMapFileIndex {
   /** Index-backed DataFrame over the tree, per-FILE skipping wired
-    * (sidecar from [[StatsStore.writeFileStats]]). */
+    * (sidecar from [[StatsStore.writeFileStats]]): min/max envelopes
+    * via `statsCols`, and optionally per-file BLOOM filters via
+    * `bloomCols` (data column → sidecar bloom column) for
+    * equality/IN predicates on columns the layout doesn't cluster —
+    * where every file's min/max envelope spans the whole domain and
+    * only a membership sketch can separate them (Delta's bloom
+    * filter index). */
   def relation(s: SparkSession, treePath: String, partCol: String,
                statsPath: String,
-               statsCols: Map[String, (String, String)]): DataFrame =
-    wire(s, new ZoneMapFileIndex(s, treePath, partCol, statsPath, statsCols))
+               statsCols: Map[String, (String, String)],
+               bloomCols: Map[String, String] = Map.empty): DataFrame =
+    wire(s, new ZoneMapFileIndex(s, treePath, partCol, statsPath, statsCols,
+      bloomCols = bloomCols))
 
   /** Index-backed DataFrame over the tree, per-DIRECTORY skipping
     * wired (sidecar from [[StatsStore.writeDirStats]] — q54's stats

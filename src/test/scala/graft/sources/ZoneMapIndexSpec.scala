@@ -158,4 +158,101 @@ class ZoneMapIndexSpec extends AnyFunSuite {
     idx.listFiles(Nil, Seq[Expression](LessThan(v, Literal(11.0))))
     assert(idx.probeRuns.get() === 2L)
   }
+
+  // ---------------------------------------------------------------
+  // the BLOOM tier: equality/IN skipping where envelopes can't
+  // ---------------------------------------------------------------
+
+  /** ids 0..31 range-clustered into 4 files (2 per partition), bloom
+    * sidecar on id, NO envelope columns wired — any skip below is the
+    * bloom's alone. */
+  private def bloomFixture(tree: String, stats: String) = {
+    val df = (0 until 32).map(k => (k.toLong, 10.0 + k, s"p${k / 16}"))
+      .toDF("id", "v", "part")
+    df.repartitionByRange(4, $"part", $"id")
+      .write.mode("overwrite").partitionBy("part").parquet(tree)
+    StatsStore.writeFileStats(spark, tree, stats, "part", cols = Nil,
+      blooms = Seq(StatsStore.BloomSpec("id", "bf_id", 1024L)))
+  }
+
+  test("bloom prune: a point lookup plans only files that might contain the key") {
+    val tree = "target/test_zmi_bloom"
+    val stats = "target/test_zmi_bloom_side"
+    bloomFixture(tree, stats)
+    val rel = ZoneMapFileIndex.relation(spark, tree, "part", stats,
+      Map.empty, Map("id" -> "bf_id"))
+    val q = rel.filter($"id" === 5L)
+    assert(ms(q) === ms(spark.read.parquet(tree).filter($"id" === 5L)))
+    // id=5 lives in exactly one file; false positives could add at
+    // most the other files' blooms (deterministic — pinned < total)
+    val planned = scanOf(q).metrics("numFiles").value
+    assert(planned < 4, s"bloom pruned nothing: planned $planned of 4")
+    // a key NOT in the table prunes everything (zero files, zero rows)
+    assert(rel.filter($"id" === 999L).count() === 0L)
+  }
+
+  test("bloom IN-list: a file is pruned only when NO candidate might be present") {
+    val tree = "target/test_zmi_bloom_in"
+    val stats = "target/test_zmi_bloom_in_side"
+    bloomFixture(tree, stats)
+    val rel = ZoneMapFileIndex.relation(spark, tree, "part", stats,
+      Map.empty, Map("id" -> "bf_id"))
+    // 5 (first p0 file) and 20 (first p1 file): both files planned,
+    // the other two pruned; result exact
+    val q = rel.filter($"id".isin(5L, 20L))
+    assert(ms(q) ===
+      ms(spark.read.parquet(tree).filter($"id".isin(5L, 20L))))
+    assert(scanOf(q).metrics("numFiles").value < 4)
+  }
+
+  test("bloom prune fails OPEN: a null bloom cell keeps its file planned") {
+    val tree = "target/test_zmi_bloom_null"
+    val stats = "target/test_zmi_bloom_null_side"
+    bloomFixture(tree, stats)
+    // null out the bloom of the file holding id=5 — as after a stats
+    // refresh that didn't recompute blooms
+    val side = spark.read.parquet(stats).localCheckpoint(true)
+    import org.apache.spark.sql.functions.{min => fmin, when => fwhen, lit => flit}
+    val target = side.filter($"part" === "p0")
+      .orderBy($"file").select("file").collect().map(_.getString(0))
+    val withNull = side.withColumn("bf_id",
+      fwhen($"file" === target.head, flit(null)).otherwise($"bf_id"))
+    withNull.write.mode("overwrite").parquet(stats)
+    val rel = ZoneMapFileIndex.relation(spark, tree, "part", stats,
+      Map.empty, Map("id" -> "bf_id"))
+    // a lookup for a key in the NULLED file still finds it
+    val inNulled = spark.read.parquet(s"$tree/${target.head}")
+      .select("id").collect().map(_.getLong(0)).min
+    assert(rel.filter($"id" === inNulled).count() === 1L,
+      "fail-closed bloom prune dropped the null-cell file")
+  }
+
+  test("bloom probes memoize and compose with the envelope tier") {
+    val tree = "target/test_zmi_bloom_memo"
+    val stats = "target/test_zmi_bloom_memo_side"
+    val df = (0 until 32).map(k => (k.toLong, 10.0 + k, s"p${k / 16}"))
+      .toDF("id", "v", "part")
+    df.repartitionByRange(4, $"part", $"id")
+      .write.mode("overwrite").partitionBy("part").parquet(tree)
+    StatsStore.writeFileStats(spark, tree, stats, "part",
+      cols = Seq(StatsStore.ColSpec("v", "min_v", "max_v")),
+      blooms = Seq(StatsStore.BloomSpec("id", "bf_id", 1024L)))
+    val idx = new ZoneMapFileIndex(spark, tree, "part", stats,
+      Map("v" -> (("min_v", "max_v"))), bloomCols = Map("id" -> "bf_id"))
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val id = AttributeReference("id", LongType)()
+    val v = AttributeReference("v", DoubleType)()
+    // equality + range together: one bloom probe + one envelope probe
+    val filters = Seq[Expression](
+      EqualTo(id, Literal(5L)), LessThanOrEqual(v, Literal(20.0)))
+    val first = idx.listFiles(Nil, filters)
+    idx.listFiles(Nil, filters)
+    assert(idx.probeRuns.get() === 2L,
+      s"expected 2 memoized probes (bloom + envelope), " +
+        s"ran ${idx.probeRuns.get()}")
+    // both tiers engaged: only id=5's file (which also satisfies the
+    // envelope) survives
+    assert(first.map(_.files.length).sum < 4)
+  }
 }
