@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.streaming.{BandRow, Ev, StreamOps}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, struct, unix_millis}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, month, pmod, struct, unix_millis, year}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Batch twins of the streaming operators
@@ -605,6 +605,69 @@ object StreamQueries {
       laterBatches = Seq(evs.where(ms >= t0)))
   }
 
+  private val st13Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Build-if-cold the APPEND-ONLY versioned ingest table st13
+    * streams: orders in three key-sliced commits — v0 `init`, v1/v3
+    * [[graft.sources.VersionedTable.commitAppend]] (the ingest verb:
+    * new files land, NOTHING is retired) — with an OPTIMIZE at v2
+    * between the appends, whose `dataChange=false` files the stream
+    * must NOT re-serve. */
+  private def ingestOrders(s: SparkSession, dir: String): String =
+    st13Memo.getOrElseUpdate((s, dir), {
+      val root = graft.sources.Layouts.root(s) + "/vt_ingest_" +
+        graft.sources.Bucketing.pathDigest(dir)
+      val snap = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .as("o_month"))
+      val m = pmod(col("o_orderkey"), lit(3L))
+      graft.sources.VersionedTable.init(s, root, snap.filter(m === 0),
+        "o_month")
+      graft.sources.VersionedTable.commitAppend(s, root, Seq("o_month"),
+        snap.filter(m === 1))
+      graft.sources.VersionedTable.commitOptimize(s, root, "o_month",
+        128L * 1024 * 1024)
+      graft.sources.VersionedTable.commitAppend(s, root, Seq("o_month"),
+        snap.filter(m === 2))
+      root
+    })
+
+  /** STREAMING read of the VERSIONED TABLE — the commit log consumed
+    * as the stream ([[graft.sources.VersionedStreamSource]], Delta's
+    * streaming source shape, registered as `graft-versioned`):
+    * offsets are version numbers, each micro-batch reads exactly the
+    * files its commit range ADDED (metadata diff + the new data,
+    * never the table), and the v2 OPTIMIZE between the appends is
+    * skipped via its `dataChange=false` flag — its compacted files
+    * hold EVERY row again, so a re-serve would double the count and
+    * break the hash: the oracle gate checks the no-duplicate
+    * property, not a spec assertion. The sink is the production
+    * parquet file sink with its `_spark_metadata` exactly-once log;
+    * VersionedStreamSpec pins restart-resume, startingVersion,
+    * admission control, and the change-commit refusal. At 100 TB
+    * this is the table-format-to-stream bridge: ingest lands as
+    * append commits, downstream consumers ride the log without ever
+    * re-scanning the corpus.
+    */
+  def st13_versioned_stream(s: SparkSession, dir: String): DataFrame = {
+    val table = ingestOrders(s, dir)
+    withStreamRun(s) { (_, outDir, cpDir, delete) =>
+      val src = s.readStream.format("graft-versioned")
+        .option("path", table).load()
+      val outSchema = src.schema
+      val q = src.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally stopAndUnload(q)
+      delete(cpDir)
+      s.read.schema(outSchema).parquet(outDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_month").cast("long").as("o_month"))
+    }
+  }
+
   /** Watermark delay (ms) of [[st04_late_data]] — interpolated into
     * the oracle so the two sides can't silently desync.
     */
@@ -750,6 +813,15 @@ object StreamQueries {
     // the kill-and-restart must be invisible in the relation.
     "st05_windowed_stream" -> WindowedStreamSql,
     "st12_restart_stream" -> WindowedStreamSql,
+    // st13 streams the whole versioned ingest table (3 append commits
+    // = all of orders; the optimize contributes nothing) — the oracle
+    // is the plain projection, and any double-served or dropped
+    // commit breaks rows + hash.
+    "st13_versioned_stream" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |    AS o_month
+        |FROM orders""".stripMargin,
     "st06_sessions_stream" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
@@ -808,5 +880,6 @@ object StreamQueries {
     "st10_running_stats_stream" -> (st10_running_stats_stream _),
     "st11_running_stats_update" -> (st11_running_stats_update _),
     "st12_restart_stream" -> (st12_restart_stream _),
+    "st13_versioned_stream" -> (st13_versioned_stream _),
   )
 }

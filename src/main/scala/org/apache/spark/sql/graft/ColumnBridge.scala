@@ -61,6 +61,21 @@ object ColumnBridge {
     org.apache.spark.sql.classic.SparkSession.builder()
       .sparkContext(sc).getOrCreate()
 
+  /** Re-wrap a batch DataFrame's physical rows as a STREAMING frame —
+    * what a DSv1 streaming `Source.getBatch` must return (the
+    * FileStreamSource recipe: the engine rejects a non-streaming
+    * child under a streaming sink). `internalCreateDataFrame` is
+    * `private[sql]`, hence this bridge.
+    */
+  def asStreamingFrame(spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      batch.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.toRdd,
+      batch.schema, isStreaming = true)
+  }
+
   /** Block until every queued listener event is delivered — lets a
     * measurement harness read task-metric tallies after an action
     * (events post async). `listenerBus` is `private[spark]`, hence
