@@ -197,8 +197,8 @@ object Bench {
           n.startsWith("q62") || n.startsWith("q63") ||
           n.startsWith("q64") || n.startsWith("q65") ||
           n.startsWith("q66") ||
-          // st13's sample 1 builds the versioned ingest table
-          n.startsWith("st13") }
+          // st13/st14's sample 1 builds their versioned tables
+          n.startsWith("st13") || n.startsWith("st14") }
       .map { case (k, _, c, _, _, _) => s"\"" + k + "\":" + n3(c) }
       .mkString("{", ",", "}")
     // Honest-cost map for the join-eliminated class (see

@@ -1568,9 +1568,16 @@ object CoreQueries {
   // slice-sized exchange; a commit flagged dataChange=false (q57's v2
   // OPTIMIZE) is skipped at metadata cost — the flag is what keeps a
   // CDC consumer O(changes) across compactions.
+  /** Build-if-cold accessor for q57's versioned orders table (v0
+    * init, v1 merge, v2 optimize, v3 merge) — shared by q64/q65 and
+    * the CDF streaming entry (st14). */
+  private[graft] def versionedOrders(s: SparkSession, dir: String): String = {
+    q57_versioned_time_travel(s, dir)
+    q57Memo((s, dir))
+  }
+
   def q64_change_feed(s: SparkSession, dir: String): DataFrame = {
-    q57_versioned_time_travel(s, dir) // build-if-cold (memoized table)
-    val path = q57Memo((s, dir))
+    val path = versionedOrders(s, dir)
     graft.sources.VersionedTable.changeFeed(s, path, 0L, 1L, "o_orderkey")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority"), col("o_month").cast(LongType).as("o_month"),
@@ -1590,8 +1597,7 @@ object CoreQueries {
   // pass over each commit's changed slice — the materialized-view
   // maintenance loop every warehouse runs on its CDC feeds.
   def q65_cdf_maintenance(s: SparkSession, dir: String): DataFrame = {
-    q57_versioned_time_travel(s, dir) // build-if-cold (memoized table)
-    val path = q57Memo((s, dir))
+    val path = versionedOrders(s, dir)
     val vt = graft.sources.VersionedTable
     // scale 3, not the house scale 2: the v1 inserts carry *0.5 of a
     // 2-dp price — a THREE-decimal value, which a scale-2 cast must

@@ -668,6 +668,42 @@ object StreamQueries {
     }
   }
 
+  /** The CHANGE DATA FEED as a STREAM — `readChangeFeed=true` on the
+    * versioned source: each micro-batch carries its commit range's
+    * row-level change events (payload + change_type +
+    * change_version, [[graft.sources.VersionedTable.changeFeed]]'s
+    * relation served incrementally), which makes UPDATE/DELETE
+    * commits streamable — the append-only st13 must refuse them.
+    * The table is q57's (v0 init, v1 merge, v2 OPTIMIZE, v3 merge):
+    * the stream serves v0's snapshot as `insert` events, both
+    * merges' event sets tagged with their versions, and nothing for
+    * the optimize — the oracle re-derives every event in closed
+    * form, so the hash pins the per-commit manifest-diff
+    * classification end to end through a real streaming query. This
+    * is the live input of an incrementally-maintained view (q65's
+    * batch fold, streaming); at 100 TB each batch's I/O is its
+    * commits' rewritten slices, never the table.
+    */
+  def st14_cdf_stream(s: SparkSession, dir: String): DataFrame = {
+    val table = graft.queries.CoreQueries.versionedOrders(s, dir)
+    withStreamRun(s) { (_, outDir, cpDir, delete) =>
+      val src = s.readStream.format("graft-versioned")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("key", "o_orderkey").load()
+      val outSchema = src.schema
+      val q = src.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally stopAndUnload(q)
+      delete(cpDir)
+      s.read.schema(outSchema).parquet(outDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_month").cast("long").as("o_month"),
+          col("change_type"), col("change_version"))
+    }
+  }
+
   /** Watermark delay (ms) of [[st04_late_data]] — interpolated into
     * the oracle so the two sides can't silently desync.
     */
@@ -822,6 +858,50 @@ object StreamQueries {
         |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
         |    AS o_month
         |FROM orders""".stripMargin,
+    // st14's events in closed form: v0's snapshot as inserts, v1's
+    // four event classes (q57's batch 1: keys ≡1 mod 10 updated
+    // +1000, ≡2 deleted, ≡3 inserted negated at half price), nothing
+    // for the v2 optimize, v3's three classes (batch 2: ≡4 updated
+    // +500 on the v1 state — untouched by batch 1, so the pre-image
+    // is the original — and ≡5 deleted).
+    "st14_cdf_stream" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    o_orderpriority,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS o_month
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  o_month, 'insert' AS change_type,
+        |  CAST(0 AS BIGINT) AS change_version
+        |FROM snap
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  o_month, 'update_preimage', 1
+        |FROM snap WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 1000.0,
+        |  o_orderpriority, o_month, 'update_postimage', 1
+        |FROM snap WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  o_month, 'delete', 1
+        |FROM snap WHERE o_orderkey % 10 = 2
+        |UNION ALL
+        |SELECT -o_orderkey, o_custkey, o_totalprice * 0.5, '5-LOW',
+        |  o_month, 'insert', 1
+        |FROM snap WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  o_month, 'update_preimage', 3
+        |FROM snap WHERE o_orderkey % 10 = 4
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 500.0,
+        |  o_orderpriority, o_month, 'update_postimage', 3
+        |FROM snap WHERE o_orderkey % 10 = 4
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  o_month, 'delete', 3
+        |FROM snap WHERE o_orderkey % 10 = 5""".stripMargin,
     "st06_sessions_stream" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
@@ -881,5 +961,6 @@ object StreamQueries {
     "st11_running_stats_update" -> (st11_running_stats_update _),
     "st12_restart_stream" -> (st12_restart_stream _),
     "st13_versioned_stream" -> (st13_versioned_stream _),
+    "st14_cdf_stream" -> (st14_cdf_stream _),
   )
 }

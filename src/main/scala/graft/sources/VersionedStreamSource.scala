@@ -42,7 +42,19 @@ case class VersionOffset(v: Long) extends Offset {
   * increment), `skipChangeCommits` (above), `maxVersionsPerBatch`
   * (admission control: cap how many commits one micro-batch absorbs —
   * a restarted stream facing 10k backlogged commits should catch up
-  * in bounded batches, not one giant one).
+  * in bounded batches, not one giant one), and `readChangeFeed`
+  * (below).
+  *
+  * `readChangeFeed=true` switches WHAT each batch carries: row-level
+  * CHANGE EVENTS ([[VersionedTable.changeFeed]]'s relation —
+  * payload + `change_type` + `change_version`) instead of appended
+  * rows — Delta's CDF streaming read. Update/delete commits become
+  * STREAMABLE (each batch derives its commits' events from the
+  * manifest diff, reading only the rewritten slice), append commits
+  * serve their rows as `insert` events, and `dataChange=false`
+  * commits still contribute nothing. This is the incremental input a
+  * live materialized view consumes; the batch twin is
+  * [[graft.queries.CoreQueries.q65_cdf_maintenance]].
   *
   * Scale shape: `getOffset` is one log listing (metadata);
   * `getBatch` reads manifests for the version RANGE (metadata) plus
@@ -55,12 +67,22 @@ class VersionedStreamProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-versioned"
 
-  private def headSchema(s: SparkSession, path: String): StructType = {
+  private def headSchema(s: SparkSession, path: String,
+                         changeFeed: Boolean): StructType = {
     val v = VersionedTable.currentVersion(s, path)
     require(v >= 0, s"$path is not a versioned table (no log)")
-    VersionedTable.schemaOf(s, path, v)
+    val base = VersionedTable.schemaOf(s, path, v)
       .getOrElse(VersionedTable.snapshot(s, path, v).schema)
+    if (!changeFeed) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("change_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
   }
+
+  private def wantsChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
@@ -69,19 +91,26 @@ class VersionedStreamProvider extends StreamSourceProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-versioned source requires option 'path'"))
-    (shortName(), schema.getOrElse(headSchema(ctx.sparkSession, path)))
+    (shortName(), schema.getOrElse(
+      headSchema(ctx.sparkSession, path, wantsChangeFeed(parameters))))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     val path = parameters("path")
+    val cdf = wantsChangeFeed(parameters)
+    val key = parameters.get("key")
+    require(!cdf || key.nonEmpty,
+      "readChangeFeed=true requires option 'key' (the primary key the " +
+        "before/after images join on)")
     new VersionedStreamSource(ctx.sparkSession, path,
-      schema.getOrElse(headSchema(ctx.sparkSession, path)),
+      schema.getOrElse(headSchema(ctx.sparkSession, path, cdf)),
       parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
       parameters.get("skipChangeCommits").exists(_.toBoolean),
       parameters.get("maxVersionsPerBatch").map(_.toLong)
-        .getOrElse(Long.MaxValue))
+        .getOrElse(Long.MaxValue),
+      changeFeedKey = if (cdf) key else None)
   }
 }
 
@@ -89,7 +118,8 @@ class VersionedStreamSource(s: SparkSession, tablePath: String,
                             override val schema: StructType,
                             startingVersion: Long,
                             skipChangeCommits: Boolean,
-                            maxVersionsPerBatch: Long)
+                            maxVersionsPerBatch: Long,
+                            changeFeedKey: Option[String] = None)
     extends Source {
 
   require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
@@ -129,6 +159,25 @@ class VersionedStreamSource(s: SparkSession, tablePath: String,
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
     offered = math.max(offered, to)
+    changeFeedKey match {
+      case Some(key) =>
+        // CDF mode: the batch is the range's row-level change events —
+        // per-commit manifest-diff joins over the rewritten slices
+        // (dataChange=false commits contribute nothing; v0 diffs
+        // against the empty table, its snapshot feeding as inserts),
+        // aligned by name across an evolution: changeFeed's exact
+        // semantics, incrementally
+        val steps = (from + 1 to to).flatMap { v =>
+          if (!VersionedTable.dataChangeOf(s, tablePath, v)) None
+          else Some(VersionedTable.diffFeed(s, tablePath, v - 1, v, key))
+        }
+        return org.apache.spark.sql.graft.ColumnBridge.asStreamingFrame(s,
+          alignToSchema(
+            if (steps.isEmpty) emptyBatch()
+            else steps.reduce((a, b) =>
+              a.unionByName(b, allowMissingColumns = true))))
+      case None => ()
+    }
     val files = (from + 1 to to).flatMap { v =>
       val cur = VersionedTable.manifest(s, tablePath, v).toSet
       val prev = if (v == 0) Set.empty[String]
@@ -148,9 +197,7 @@ class VersionedStreamSource(s: SparkSession, tablePath: String,
       } else added
     }
     val batch =
-      if (files.isEmpty)
-        s.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      if (files.isEmpty) emptyBatch()
       else
         s.read.schema(schema).option("basePath", tablePath)
           .parquet(files.map(f => s"$tablePath/$f"): _*)
@@ -159,6 +206,20 @@ class VersionedStreamSource(s: SparkSession, tablePath: String,
     // physical rows (the FileStreamSource recipe)
     org.apache.spark.sql.graft.ColumnBridge.asStreamingFrame(s, batch)
   }
+
+  private def emptyBatch(): DataFrame =
+    s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
+  /** Project onto the source's fixed schema — a late (evolved) column
+    * no step in the range carried serves a typed null, the same
+    * null-widening a historical read gets. */
+  private def alignToSchema(df: DataFrame): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+        .as(f.name)
+    }.toIndexedSeq: _*)
 
   override def commit(end: Offset): Unit = ()
 

@@ -359,12 +359,16 @@ object VersionedTable {
 
   /** One consecutive pair's feed from the raw manifest diff — the
     * fallback [[changeFeed]] takes when the commit may have changed
-    * rows. Exposed to the spec so the `dataChange=false` skip can be
-    * pinned against the diff it avoids (both must be empty). */
+    * rows. `fromV = -1` means "before the table existed" (empty
+    * before-set, so v0's whole snapshot feeds as inserts — what a CDF
+    * STREAM serves as its first batch). Exposed to the spec so the
+    * `dataChange=false` skip can be pinned against the diff it
+    * avoids (both must be empty). */
   private[sources] def diffFeed(s: SparkSession, tablePath: String,
                                 fromV: Long, toV: Long, key: String)
       : DataFrame = {
-    val mFrom = manifest(s, tablePath, fromV).toSet
+    val mFrom = if (fromV < 0) Set.empty[String]
+      else manifest(s, tablePath, fromV).toSet
     val mTo = manifest(s, tablePath, toV).toSet
     val removed = (mFrom -- mTo).toSeq.sorted
     val added = (mTo -- mFrom).toSeq.sorted

@@ -121,4 +121,41 @@ class VersionedStreamSpec extends AnyFunSuite {
     // three commits → three 6-row batches, never one 18-row gulp
     assert(batches.map(_._2).toSeq === Seq(6L, 6L, 6L), batches)
   }
+
+  test("readChangeFeed streams row-level events — change commits become streamable") {
+    val path = "target/test_vs_cdf"
+    VersionedTable.init(spark, path, chunk(0, 12), "m")
+    // a MERGE commit (update + delete) — the append-only mode refuses
+    // this; CDF mode serves its events
+    val ch = Seq(
+      (3L, "upd", 333.0, "m0", "U"),
+      (4L, "del", 0.0, "m1", "D")
+    ).toDF("k", "name", "v", "m", "op")
+    VersionedTable.commitMerge(spark, path, "m", ch, "k")
+    VersionedTable.commitOptimize(spark, path, "m", 128L * 1024 * 1024)
+    val (out, cp) = ("target/test_vs_cdf_out", "target/test_vs_cdf_cp")
+    del(out); del(cp)
+    runToParquet(readStreamOf(path,
+      "readChangeFeed" -> "true", "key" -> "k"), out, cp)
+    val got = spark.read.parquet(out)
+    // v0's snapshot feeds as inserts at version 0
+    assert(got.filter(col("change_type") === "insert" &&
+      col("change_version") === 0L).count() === 12L)
+    // v1's events exactly; v2's optimize contributes nothing
+    assert(ms(got.filter(col("change_version") === 1L)) === ms(Seq(
+      ("update_preimage", 3L, "n3", 30.0, "m0", 1L),
+      ("update_postimage", 3L, "upd", 333.0, "m0", 1L),
+      ("delete", 4L, "n4", 40.0, "m1", 1L)
+    ).toDF("change_type", "k", "name", "v", "m", "change_version")))
+    assert(got.count() === 15L)
+    // restart with a fresh commit: only ITS events arrive
+    VersionedTable.commitAppend(spark, path, Seq("m"), chunk(12, 14))
+    runToParquet(readStreamOf(path,
+      "readChangeFeed" -> "true", "key" -> "k"), out, cp)
+    val after = spark.read.parquet(out)
+    assert(after.count() === 17L)
+    assert(after.filter(col("change_version") === 3L)
+      .select("change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("insert"))
+  }
 }
