@@ -560,6 +560,8 @@ object VersionedTable {
         s"table's ${snapSchema.fieldNames.sorted.mkString(",")} — evolve " +
         "through commitMerge(evolveSchema = true)")
     val partTypes = partCols.map(c => snapSchema(c).dataType)
+    // bounded partition-value probe (the O9 shape): |affected leaf
+    // dirs| rows — the batch's footprint, never the table
     val parts: Seq[Seq[Any]] = df.select(
         partCols.zip(partTypes).map { case (c, t) => col(c).cast(t) }
           .toIndexedSeq: _*)
