@@ -48,12 +48,43 @@ object StreamQueries {
     s.conf.getOption("graft.stream.root")
       .orElse(sys.env.get("GRAFT_STREAM_ROOT")).getOrElse("target")
 
+  /** Stream-scoped session confs beyond the provider swap — the
+    * per-batch FIXED cost knobs (optimization guide §1.2 step 3 after
+    * §2's shape work; measured r18: the st family's cost at local[32]
+    * was 3–5× its local[4] cost, pure per-partition commit overhead):
+    *
+    *  - RocksDB CHANGELOG checkpointing: each batch commit uploads
+    *    the batch's delta instead of a full snapshot of every store
+    *    instance; snapshots move to background maintenance. Recovery
+    *    (st12, VersionedStreamSpec restarts) replays changelog over
+    *    the last snapshot — same state, pinned by the same oracles.
+    *  - `trackTotalNumberOfRows=false`: skips the get-before-put each
+    *    write otherwise pays purely for a numRowsTotal metric.
+    *  - `minBatchesToRetain=2`: checkpoint retention for a backfill
+    *    run; the default 100 keeps every version of every store ever
+    *    written (cleanup never fires on a ≤40-batch feed). Restart
+    *    resumes from the LATEST committed batch, so 2 suffices.
+    *
+    * All three are restored on exit and dialable
+    * (`graft.stream.conf.<key>` overrides via session conf if a
+    * deployment needs different retention).
+    */
+  private val streamConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true",
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" ->
+      "false",
+    "spark.sql.streaming.minBatchesToRetain" -> "2",
+  )
+
   /** Shared scaffolding of the streaming runners: unique run dirs
     * (src/out/cp), a leftover wipe — the seq restarts per JVM, and a
     * stale `out` dir's committed `_spark_metadata` log would be served
     * back by a fresh-checkpoint sink as already-committed files — the
-    * RocksDB provider swap (restored on exit), and the hadoop-FS
-    * delete handle the body uses for its own teardown.
+    * stream-scoped conf swap ([[streamConfs]], restored on exit), and
+    * the hadoop-FS delete handle the body uses for its own teardown.
     */
   private def withStreamRun[T](s: SparkSession)(
       body: (String, String, String, String => Unit) => T): T = {
@@ -63,14 +94,70 @@ object StreamQueries {
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     }
     delete(base)
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prev = streamConfs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    streamConfs.foreach { case (k, v) => s.conf.set(k, v) }
     try body(base + "/src", base + "/out", base + "/cp", delete)
+    finally prev.foreach {
+      case (k, Some(p)) => s.conf.set(k, p)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** SCALE-ADAPTIVE state partition count for one streaming run —
+    * the guide's §2 rule (derive partitioning from input size, never
+    * a constant tuned for either local mode or the cluster) applied
+    * to the one partitioning a streaming query PINS at start: the
+    * stateful-operator partition count (= shuffle partitions at query
+    * start, one state-store instance each). The bench session sets
+    * `spark.sql.shuffle.partitions` = cores, which at local[32] put
+    * 32 RocksDB instances behind EVERY stateful operator of every
+    * micro-batch of a 3 MB feed — measured this round at 3–5× the
+    * local[4] wall for identical plans (st01 16.7s vs 3.4s; the whole
+    * st family 131s of a 215s bench). Per-batch fixed cost is
+    * (instances × commit), so instances must track data volume:
+    *
+    *   partitions = clamp(feedBytes / advisoryBytes, 1, cores)
+    *
+    * with feedBytes = the landed batch-0 slice × the feed's slice
+    * count (slices are equal-width — no extra job), advisory dialed
+    * by `graft.stream.bytesPerStatePartition` (default 16 MB of
+    * parquet ≈ 64 MB of raw state — inside the per-instance budget
+    * every state-store sizing guide uses). sf0.1's 3 MB feed → 1
+    * instance at any core count; sf10's ~600 MB → 32+ → the measured
+    * local[32] optimum unchanged; a real cluster raises the clamp by
+    * setting shuffle partitions (the clamp ceiling) as usual. Results
+    * are partition-count-invariant (keyed state, deterministic
+    * per-key folds — the slice-invariance arguments each entry pins),
+    * which is also why this is safe to adapt per run.
+    */
+  private def statePartitions(s: SparkSession, srcDir: String,
+                              slices: Int): Int = {
+    val advisory = s.conf.getOption("graft.stream.bytesPerStatePartition")
+      .orElse(sys.env.get("GRAFT_STREAM_STATE_PARTITION_BYTES"))
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength * math.max(1, slices)
+    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+      (bytes + advisory - 1) / advisory)).toInt
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to the
+    * [[statePartitions]] count for this feed, restored after. The
+    * streaming query reads the conf once at start and keeps it for
+    * the checkpoint's lifetime, so the scope only needs to cover
+    * `start()`; restoring it immediately after the run keeps the
+    * batch queries around the stream on the session's own setting.
+    */
+  private def withStatePartitions[T](s: SparkSession, srcDir: String,
+                                     slices: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, statePartitions(s, srcDir, slices).toString)
+    try body
     finally prev match {
-      case Some(p) => s.conf.set(provKey, p)
-      case None => s.conf.unset(provKey)
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
     }
   }
 
@@ -132,17 +219,19 @@ object StreamQueries {
       val src = s.readStream.schema(input.schema).parquet(srcDir)
       val out = transform(src)
       val outSchema = out.schema
-      val q = out.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", cpDir)
-        .outputMode(OutputMode.Append).start()
-      try {
-        q.processAllAvailable()
-        laterBatches.foreach { b =>
-          landSlice(b, srcDir)
+      withStatePartitions(s, srcDir, 1 + laterBatches.size) {
+        val q = out.writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", cpDir)
+          .outputMode(OutputMode.Append).start()
+        try {
           q.processAllAvailable()
-        }
-      } finally stopAndUnload(q)
+          laterBatches.foreach { b =>
+            landSlice(b, srcDir)
+            q.processAllAvailable()
+          }
+        } finally stopAndUnload(q)
+      }
       // Drop the consumed feed + offset log; keep only the committed
       // output (bounds the per-invocation disk residue to the result).
       delete(srcDir); delete(cpDir)
@@ -170,16 +259,18 @@ object StreamQueries {
       val outSchema = out.schema
       val sink: (Dataset[Row], Long) => Unit = (batch, batchId) =>
         batch.write.mode("overwrite").parquet(outDir + "/batch_" + batchId)
-      val q = out.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", cpDir)
-        .outputMode(OutputMode.Update).start()
-      try {
-        q.processAllAvailable()
-        laterBatches.foreach { b =>
-          landSlice(b, srcDir)
+      withStatePartitions(s, srcDir, 1 + laterBatches.size) {
+        val q = out.writeStream.foreachBatch(sink)
+          .option("checkpointLocation", cpDir)
+          .outputMode(OutputMode.Update).start()
+        try {
           q.processAllAvailable()
-        }
-      } finally stopAndUnload(q)
+          laterBatches.foreach { b =>
+            landSlice(b, srcDir)
+            q.processAllAvailable()
+          }
+        } finally stopAndUnload(q)
+      }
       delete(srcDir); delete(cpDir)
       s.read.schema(outSchema).parquet(outDir + "/batch_*")
     }
@@ -214,24 +305,30 @@ object StreamQueries {
           .outputMode(OutputMode.Append).start())
       }
       val (before, after) = laterBatches.splitAt(restartAfter)
-      val (outSchema, q1) = start()
-      try {
-        q1.processAllAvailable()
-        before.foreach { b =>
-          landSlice(b, srcDir)
+      // One partition scope across BOTH query instances: the restart
+      // recovers the checkpoint, whose state partition count is
+      // pinned by query 1.
+      val outSchema = withStatePartitions(s, srcDir, 1 + laterBatches.size) {
+        val (outSchema, q1) = start()
+        try {
           q1.processAllAvailable()
-        }
-      } finally stopAndUnload(q1)
-      // the pipeline is DOWN; the backfill keeps arriving anyway
-      after.headOption.foreach(landSlice(_, srcDir))
-      val (_, q2) = start()
-      try {
-        q2.processAllAvailable()
-        after.drop(1).foreach { b =>
-          landSlice(b, srcDir)
+          before.foreach { b =>
+            landSlice(b, srcDir)
+            q1.processAllAvailable()
+          }
+        } finally stopAndUnload(q1)
+        // the pipeline is DOWN; the backfill keeps arriving anyway
+        after.headOption.foreach(landSlice(_, srcDir))
+        val (_, q2) = start()
+        try {
           q2.processAllAvailable()
-        }
-      } finally stopAndUnload(q2)
+          after.drop(1).foreach { b =>
+            landSlice(b, srcDir)
+            q2.processAllAvailable()
+          }
+        } finally stopAndUnload(q2)
+        outSchema
+      }
       delete(srcDir); delete(cpDir)
       s.read.schema(outSchema).parquet(outDir)
     }
@@ -692,10 +789,15 @@ object StreamQueries {
         .option("readChangeFeed", "true")
         .option("key", "o_orderkey").load()
       val outSchema = src.schema
-      val q = src.writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", cpDir)
-        .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally stopAndUnload(q)
+      // Stateless pipe, but each micro-batch plans the CDF diff JOIN
+      // of its commit's before/after slices — size those exchanges to
+      // the table, not the core count (same §2 rule as the runners).
+      withStatePartitions(s, table, 1) {
+        val q = src.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", cpDir)
+          .outputMode(OutputMode.Append).start()
+        try q.processAllAvailable() finally stopAndUnload(q)
+      }
       delete(cpDir)
       s.read.schema(outSchema).parquet(outDir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
