@@ -9,6 +9,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE re-optimize plans that read CACHED relations (the
+      // iterative graph loops persist every round; the shared base
+      // relations are persisted per family). The default `false`
+      // pins a cached relation's output partitioning so downstream
+      // co-partitioning can be reused — but every consumer here
+      // re-plans its own exchanges anyway, so the pin only disables
+      // AQE's partition coalescing and broadcast conversion for
+      // every query over a cached input. Measured r18 at local[32]
+      // sf0.1: g family 16.3s → 8.2s, s family 8.8s → 3.9s, whole
+      // bench 215s → 108s combined with the streaming commit fix;
+      // shuffle records drop 2.1M → 0.75M in g (AQE broadcast-joins
+      // the small cached rounds instead of shuffling both sides).
+      // Results are plan-shape-invariant (oracle-verified ×156).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -23,15 +23,31 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // match the Bench/Verify runtime posture (see the Bench note);
+      // GRAFT_EXPLAIN_CACHED_AQE=false reproduces the pre-r18 plans
+      // for before/after diffs
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_EXPLAIN_CACHED_AQE", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_EXPLAIN_EXEC=true: EXECUTE each query first (the full
+    // optimized plan, `toRdd.count()` — no count-side pruning), then
+    // print the plan. With AQE, the pre-execution explain only shows
+    // the initial plan (`isFinalPlan=false`); the re-optimized final
+    // plan — AQEShuffleRead coalescing, runtime join-strategy changes
+    // — exists only after execution (guide §7.2), which is what a
+    // runtime-behavior claim must be evidenced with.
+    val exec = sys.env.get("GRAFT_EXPLAIN_EXEC").contains("true")
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries.get(n) match {
-        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case Some(fn) =>
+          val df = fn(spark, sfDir)
+          if (exec) df.queryExecution.toRdd.count()
+          df.explain("formatted")
         case None => println(s"unknown query: $n")
       }
     }
