@@ -515,13 +515,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("d16 auto shard count: measured SF calibration, floor, cap, and sentinel parity") {
     val B = 300000000L // default pair budget (the measured sf10 envelope)
     // the three measured corpus stats (capped Σ n·(n−1)/2, BENCH_NOTES)
-    assert(DedupQueries.autoShards(326026L, B) === 4) // sf0.1
-    assert(DedupQueries.autoShards(44350867L, B) === 4) // sf1: fits at S=4
+    assert(DedupQueries.autoShards(326026L, B) === 2) // sf0.1
+    assert(DedupQueries.autoShards(44350867L, B) === 2) // sf1: 22M/shard fits
     assert(DedupQueries.autoShards(4484211527L, B) === 16) // sf10 envelope
-    assert(DedupQueries.autoShards(0L, B) === 4, "floor is the default 4")
+    assert(DedupQueries.autoShards(0L, B) === 2,
+      "floor is 2 — the least S that still exercises the sharded path")
     assert(DedupQueries.autoShards(Long.MaxValue, B) === 4096, "runaway cap")
     // sentinel path end-to-end: AUTO resolves on the real corpus
-    // (tiny here → the floor 4) and is row-identical to explicit S=4
+    // (tiny here → the floor 2) and is row-identical to explicit S=4
     val sh = DedupQueries.containmentShingles(spark, dir)
     def rows(spec: Int, tag: String) =
       DedupQueries.containmentSharded(sh, DedupQueries.DefaultMaxPosting,
