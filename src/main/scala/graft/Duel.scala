@@ -143,6 +143,10 @@ object Duel {
       // match the Bench/Verify runtime posture (see the Bench note)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // allow shuffled-hash joins (see the Bench builder note)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

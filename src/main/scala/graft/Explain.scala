@@ -28,6 +28,10 @@ object Explain {
       // for before/after diffs
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("GRAFT_EXPLAIN_CACHED_AQE", "true"))
+      // allow shuffled-hash joins (see the Bench builder note)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
