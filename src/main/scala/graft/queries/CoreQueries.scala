@@ -62,13 +62,6 @@ object CoreQueries {
   // shape — join key ≠ grouping key). No broadcast hint on purpose.
   def q05_join_sortmerge(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      // MERGE hint: this entry IS the sort-merge demonstration (O21),
-      // so its strategy is pinned in the query rather than left to
-      // session conf — the r18 runtime mains allow SHJ conversion
-      // (preferSortMergeJoin=false + the AQE local-map threshold),
-      // which would silently turn the one deliberate SMJ exercise
-      // into a hash join at bench SFs.
-      .hint("merge")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(dsum("l_quantity").as("sum_qty"),
