@@ -146,8 +146,127 @@ class VersionedFileIndex(
   }
 }
 
+/** A Catalyst [[FileIndex]] over an EXPLICIT file list with a KNOWN
+  * partition schema — the read primitive behind every manifest-driven
+  * slice read ([[VersionedTable.snapshot]], the change feed's
+  * before/after slices, commit audits, and the streaming source's
+  * per-batch increments).
+  *
+  * The point is what it does NOT do: no directory listing and no
+  * footer schema inference. `spark.read.parquet(file, file, …)` over
+  * an N-file manifest slice runs a "listing leaf files" Spark JOB of
+  * N tasks per read (measured r19: ~0.5 s per 240-path slice, several
+  * times per change-feed query — pure metadata overhead the manifest
+  * already paid for), and re-infers the schema from footers the log
+  * already records. Here the driver resolves the N `FileStatus`es
+  * directly (one RPC per file — the metadata a production manifest
+  * stores inline) and hands Spark a ready listing; partition values
+  * parse from the hive directory names against the RECORDED types, so
+  * partition pruning still evaluates inside the index.
+  */
+private[sources] class ExplicitFilesIndex(
+    s: SparkSession, tablePath: String, files: Seq[String],
+    override val partitionSchema: StructType)
+    extends FileIndex {
+
+  private val fs = new Path(tablePath)
+    .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private val partTypes: Seq[DataType] =
+    partitionSchema.fields.map(_.dataType).toSeq
+
+  /** (partition values, file statuses) per directory, ordered by the
+    * relative directory path. */
+  private val byDir: Seq[(InternalRow, Array[FileStatus])] = files
+    .groupBy(f => f.substring(0, f.lastIndexOf('/'))).toSeq.sortBy(_._1)
+    .map { case (dir, fsn) =>
+      val raws = dir.split("/").toList.map { seg =>
+        val r = seg.split("=", 2)(1)
+        if (r == "__HIVE_DEFAULT_PARTITION__") null
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(r)
+      }
+      val row = InternalRow.fromSeq(raws.zip(partTypes).map {
+        case (r, t) => ZoneMap.valueOf(r, t) })
+      row -> fsn.map(f => fs.getFileStatus(new Path(tablePath, f))).toArray
+    }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+
+  override def refresh(): Unit = () // an explicit file list is immutable
+
+  override def sizeInBytes: Long =
+    byDir.iterator.flatMap(_._2).map(_.getLen).sum
+
+  override def inputFiles: Array[String] =
+    byDir.iterator.flatMap(_._2).map(_.getPath.toString).toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val slot = partitionSchema.fieldNames.zipWithIndex.toMap
+    val partPred = partitionFilters.reduceOption(
+      org.apache.spark.sql.catalyst.expressions.And.apply).map { e =>
+      Predicate.create(e.transform {
+        case a: AttributeReference if slot.contains(a.name) =>
+          BoundReference(slot(a.name), partTypes(slot(a.name)),
+            nullable = true)
+      })
+    }
+    byDir.iterator
+      .filter { case (row, _) => partPred.forall(_.eval(row)) }
+      .map { case (row, sts) => PartitionDirectory(row, sts) }
+      .toSeq
+  }
+}
+
 /** Companion read API — see [[VersionedTable.snapshotRelation]]. */
 object VersionedFileIndex {
+
+  /** Partition-value types [[ExplicitFilesIndex]] can parse back out
+    * of a hive directory name ([[ZoneMap.valueOf]]'s domain). */
+  private def pathParseable(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  /** DataFrame over exactly `files` (paths relative to `tablePath`,
+    * hive-partitioned one or more levels deep) serving `fullSchema`
+    * (data columns AND partition columns, the recorded-manifest
+    * order) — [[ExplicitFilesIndex]] wired into a `HadoopFsRelation`,
+    * so the read is Spark's own parquet scan with pushdown intact but
+    * with ZERO listing/inference work. Falls back to the plain
+    * `spark.read.schema(...).parquet(...)` path when a partition
+    * value type isn't path-parseable (exotic layouts keep working,
+    * just without the fast path). */
+  private[sources] def filesRelation(s: SparkSession, tablePath: String,
+                                     files: Seq[String],
+                                     fullSchema: StructType): DataFrame = {
+    require(files.nonEmpty, s"filesRelation on $tablePath needs >= 1 file")
+    val partCols = files.head.substring(0, files.head.lastIndexOf('/'))
+      .split("/").toSeq.map(_.split("=", 2)(0))
+    val known = partCols.forall(c => fullSchema.fieldNames.contains(c))
+    if (!known ||
+        !partCols.forall(c => pathParseable(fullSchema(c).dataType))) {
+      return s.read.schema(fullSchema).option("basePath", tablePath)
+        .parquet(files.map(f => s"$tablePath/$f"): _*)
+        .select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    val partSchema = StructType(partCols.map(c => fullSchema(c)))
+    val dataSchema =
+      StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
+    val idx = new ExplicitFilesIndex(s, tablePath, files, partSchema)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx, partSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat, Map.empty)(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    ColumnBridge.ofRows(s,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+      .select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   /** Single-partition-column form of [[relationMulti]]. */
   def relation(s: SparkSession, tablePath: String, partCol: String,

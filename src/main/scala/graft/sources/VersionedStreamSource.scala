@@ -198,10 +198,9 @@ class VersionedStreamSource(s: SparkSession, tablePath: String,
     }
     val batch =
       if (files.isEmpty) emptyBatch()
-      else
-        s.read.schema(schema).option("basePath", tablePath)
-          .parquet(files.map(f => s"$tablePath/$f"): _*)
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      // manifest-driven read (no listing job / footer inference —
+      // see VersionedFileIndex.filesRelation)
+      else VersionedFileIndex.filesRelation(s, tablePath, files, schema)
     // a v1 Source must hand back a STREAMING frame over the batch's
     // physical rows (the FileStreamSource recipe)
     org.apache.spark.sql.graft.ColumnBridge.asStreamingFrame(s, batch)

@@ -104,6 +104,37 @@ object VersionedTable {
       .map(f => s"$dirName/${f.getPath.getName}").toSet
   }
 
+  /** Total data bytes currently under `dirs` — driver-side metadata
+    * listing of the affected slice, the sizing input for
+    * [[commitWriteWidth]]. */
+  private def dirsBytes(fs: FileSystem, tablePath: String,
+                        dirs: Seq[String]): Long =
+    dirs.iterator.map { d =>
+      val p = new Path(tablePath, d)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).iterator
+        .filter(f => f.isFile && isDataFile(f.getPath)).map(_.getLen).sum
+    }.sum
+
+  /** Exchange width for a commit's data write:
+    * ceil(sliceBytes / graft.commit.targetFileBytes) — the guide §2
+    * rule (derive partitioning from data volume, never from a
+    * core-count constant) applied to the write half of every commit.
+    * Before r19 a commit wrote (upstream task count) files into EVERY
+    * affected directory — at local[32] that made each merge commit
+    * leave ~3 files per directory and each change-feed read pay ~3×
+    * the per-file open cost, while the file count itself scaled with
+    * the core count (the r18 scaling block's ratio<1 signature). The
+    * default 128 MB target matches [[commitOptimize]]'s; dial with
+    * `graft.commit.targetFileBytes`. */
+  private def commitWriteWidth(s: SparkSession, sliceBytes: Long): Int = {
+    val target = s.conf.getOption("graft.commit.targetFileBytes")
+      .orElse(sys.env.get("GRAFT_COMMIT_TARGET_FILE_BYTES"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    math.max(1L, (sliceBytes + target - 1) / target)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** Every LEAF partition directory of the tree (relative paths),
     * found by descending `col=value`-named directories — depth-
     * agnostic, so single- and multi-column layouts walk alike. */
@@ -272,13 +303,16 @@ object VersionedTable {
     val v = if (version < 0) currentVersion(s, tablePath) else version
     val files = manifest(s, tablePath, v)
     require(files.nonEmpty, s"version $v of $tablePath has no live files")
-    val paths = files.map(f => s"$tablePath/$f")
     schemaOf(s, tablePath, v) match {
       case Some(st) =>
-        s.read.schema(st).option("basePath", tablePath).parquet(paths: _*)
-          .select(st.fieldNames.map(col).toIndexedSeq: _*)
+        // manifest-driven read: the explicit-files index serves the
+        // recorded schema with no listing job and no footer inference
+        // (guide §6 metadata-scale reads — the listing alone was a
+        // ~0.5 s Spark job per 240-file slice before r19)
+        VersionedFileIndex.filesRelation(s, tablePath, files, st)
       case None =>
-        s.read.option("basePath", tablePath).parquet(paths: _*)
+        s.read.option("basePath", tablePath)
+          .parquet(files.map(f => s"$tablePath/$f"): _*)
     }
   }
 
@@ -377,9 +411,7 @@ object VersionedTable {
     def slice(files: Seq[String]): DataFrame =
       if (files.isEmpty) s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), st)
-      else s.read.schema(st).option("basePath", tablePath)
-        .parquet(files.map(f => s"$tablePath/$f"): _*)
-        .select(st.fieldNames.map(col).toIndexedSeq: _*)
+      else VersionedFileIndex.filesRelation(s, tablePath, files, st)
     val cols = st.fieldNames.toSeq
     val after = slice(added)
     val before = slice(removed)
@@ -503,7 +535,18 @@ object VersionedTable {
     // because dynamic OVERWRITE deletes the files it reads).
     val dataCols = snap.columns.filterNot(partCols.contains)
     val outCols = dataCols ++ partCols
+    // One slice-sized hash exchange on the partition key clusters the
+    // merged slice before the write (Iceberg's
+    // write.distribution-mode=hash): each affected directory gets
+    // ceil(dirBytes/target) files instead of one file per upstream
+    // task per directory. Width derives from the slice's on-disk
+    // bytes ([[commitWriteWidth]]); the key-hash slot splits a
+    // directory that outgrows one target file across tasks.
+    val width = commitWriteWidth(s, dirsBytes(fs, tablePath, affectedDirs))
+    val slotsPerDir = (width.toLong + parts.size - 1) / parts.size
+    val slot = pmod(xxhash64(col(key)), lit(slotsPerDir))
     merged.select(outCols.map(col).toIndexedSeq: _*)
+      .repartition(width, (partCols.map(col) :+ slot).toIndexedSeq: _*)
       .write.mode(SaveMode.Append).partitionBy(partCols: _*)
       .parquet(tablePath)
     val newFiles = affectedDirs.flatMap(listDir(fs, tablePath, _))
@@ -514,16 +557,16 @@ object VersionedTable {
     // must hold exactly the merged state of the affected slice plus
     // the untouched survivors. Cheap footer-count audit, same
     // rationale as Compaction's.
+    val schemaSrc = merged.select(outCols.map(col).toIndexedSeq: _*).schema
     val expected = merged.count()
     val got = if (newFiles.isEmpty) 0L
-      else s.read.option("basePath", tablePath)
-        .parquet(newFiles.toSeq.sorted.map(f => s"$tablePath/$f"): _*).count()
+      else VersionedFileIndex.filesRelation(s, tablePath,
+        newFiles.toSeq.sorted, schemaSrc).count()
     require(expected == got,
       s"commit $v+1 on $tablePath: merged slice has $expected rows but " +
         s"the appended files hold $got — partition rendering diverged")
     preCommitHook()
     // schema BEFORE manifest: the manifest is the sole commit point
-    val schemaSrc = merged.select(outCols.map(col).toIndexedSeq: _*).schema
     writeSchema(fs, tablePath, v + 1, schemaSrc)
     writeManifest(fs, tablePath, v + 1, survivors ++ newFiles)
     // Post-commit maintenance, the copyOnWrite hook contract — but
@@ -571,15 +614,30 @@ object VersionedTable {
     val before = affectedDirs.flatMap(listDir(fs, tablePath, _)).toSet
     val dataCols = snapSchema.fieldNames.filterNot(partCols.contains)
     val outCols = dataCols ++ partCols
+    // Size the landing write like the merge commit's (see
+    // commitMergeMulti): the batch isn't on disk yet, so width comes
+    // from the optimizer's size estimate, clamped by the session's
+    // shuffle width as a mis-estimate guard (a deployment ingesting
+    // more than shufflePartitions × target per batch raises shuffle
+    // partitions anyway).
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+    val width = math.min(commitWriteWidth(s, est),
+      math.max(1, s.conf.get("spark.sql.shuffle.partitions").toInt))
+    val slotsPerDir = (width.toLong + parts.size - 1) / parts.size
+    val slot = pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*),
+      lit(slotsPerDir))
     df.select(outCols.map(col).toIndexedSeq: _*)
+      .repartition(width, (partCols.map(col) :+ slot).toIndexedSeq: _*)
       .write.mode(SaveMode.Append).partitionBy(partCols: _*)
       .parquet(tablePath)
     val newFiles = affectedDirs.flatMap(listDir(fs, tablePath, _))
       .toSet -- before
     val expected = df.count()
     val got = if (newFiles.isEmpty) 0L
-      else s.read.option("basePath", tablePath)
-        .parquet(newFiles.toSeq.sorted.map(f => s"$tablePath/$f"): _*).count()
+      else VersionedFileIndex.filesRelation(s, tablePath,
+        newFiles.toSeq.sorted,
+        StructType(outCols.map(snapSchema(_)))).count()
     require(expected == got,
       s"append commit on $tablePath: batch has $expected rows but the " +
         s"landed files hold $got — partition rendering diverged")
@@ -760,13 +818,14 @@ object VersionedTable {
                             partCols: Seq[String]): Long = {
     val newFiles = affectedDirs.flatMap(listDir(fs, tablePath, _))
       .toSet -- before
+    val dataCols = snap.columns.filterNot(partCols.contains)
     val expected = snap.count()
-    val got = s.read.option("basePath", tablePath)
-      .parquet(newFiles.toSeq.sorted.map(f => s"$tablePath/$f"): _*).count()
+    val got = VersionedFileIndex.filesRelation(s, tablePath,
+      newFiles.toSeq.sorted,
+      StructType((dataCols ++ partCols).map(snap.schema(_)))).count()
     require(expected == got,
       s"optimize on $tablePath must be row-preserving: live $expected " +
         s"rows but rewrote $got")
-    val dataCols = snap.columns.filterNot(partCols.contains)
     writeSchema(fs, tablePath, v + 1,
       StructType((dataCols ++ partCols).map(snap.schema(_))))
     // a pure rewrite rearranges rows without changing any — record it,
