@@ -36,6 +36,18 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         "64m")
+      // Scan splits derive from BYTES alone (guide §2/§6): the stock
+      // floor (= defaultParallelism) re-splits every small file into
+      // one sliver per core, so file-count-heavy paths (the versioned
+      // tables' 80-directory slices, the layout trees) paid ~40
+      // near-empty scan tasks per read at local[32] and got FASTER at
+      // 8 cores (r18 scaling ratios 0.5-0.8 on q42/q57/q59/q64/q65).
+      // At 100 TB maxPartitionBytes governs and this floor is inert;
+      // compute-heavy small scans that genuinely want cores are
+      // spread explicitly where they are built (DedupQueries.spread).
+      // Measured r19 at sf0.1: q65 1.7→1.0s, q42 0.5→0.1s, q57 cold
+      // build 12.8→11.7s on top of the explicit-files index.
+      .config("spark.sql.files.minPartitionNum", "1")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -32,6 +32,8 @@ object Explain {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         "64m")
+      // bytes-derived scan splits, same as Bench (see the note there)
+      .config("spark.sql.files.minPartitionNum", "1")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -243,7 +243,14 @@ object CoreQueries {
     import spark.implicits._
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .repartition(col("l_orderkey"))
+      // EXPLICIT reducer count, exactly as an MR job sets it: a keyed
+      // repartition with no width is AQE-coalescible, and byte-derived
+      // coalescing would run the per-partition sort + sequence pass
+      // one-wide at this SF (measured r19: 0.59→0.97 s under
+      // advisory-size coalescing). Cores = the MR default for a
+      // compute-bound reduce; seq_in_order is per-group, so the width
+      // can't change the relation.
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
       .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .as[(Long, Long, Double)]
       .mapPartitions { it =>

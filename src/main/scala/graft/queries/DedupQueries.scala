@@ -31,6 +31,24 @@ object DedupQueries {
   /** Mersenne-prime modulus shared with the oracle. */
   private val P = 2147483647L
 
+  /** Spread a small scan across the session's cores before a
+    * CPU-heavy derivation: scan split counts derive from BYTES
+    * (guide §6 — a few-MB corpus arrives as ONE split under a
+    * bytes-true split rule), so the gram explode + hash + partial-agg
+    * pipelines below — and every later pass over a persisted result,
+    * which keeps the build's layout — would otherwise run
+    * single-threaded at any core count. Compute-bound parallelism
+    * tracks cores (guide §1.2 "per-task work"), unlike exchange
+    * widths, which track data volume (§2); the round-robin exchange
+    * costs one pass over the raw corpus slice. Never NARROWS an
+    * already-parallel scan (a 100 TB corpus keeps its byte-derived
+    * splits).
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** MinHash permutation constants (a·h + b) mod P. */
   private val Perms: Seq[(Long, Long)] =
     Seq((1L, 0L), (7L, 3L), (13L, 17L), (31L, 29L),
@@ -45,7 +63,7 @@ object DedupQueries {
     */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     SharedRelations(s, dir, "doc_shingles") {
-      shingleRowsOf(t(s, dir, "documents"))
+      shingleRowsOf(spread(s, t(s, dir, "documents")))
     }
 
   /** [[shingles]]' derivation on any (doc_id, lang, text) relation —
@@ -164,7 +182,7 @@ object DedupQueries {
       // Codegen'd position explode (TextQueries.gramPositions; the
       // interpreted-lambda rationale is documented there), window text
       // via slice + array_join AFTER the generator.
-      TextQueries.gramPositions(t(s, dir, "documents"), SpanN)
+      TextQueries.gramPositions(spread(s, t(s, dir, "documents")), SpanN)
         .select(col("doc_id"), col("i").as("pos"),
           md5(array_join(slice(col("w"), col("i"), lit(SpanN)), " ")).as("k"))
     }
@@ -297,7 +315,18 @@ object DedupQueries {
       .agg(count(lit(1)).as("psize"))
       .filter(col("psize").between(2, maxPosting))
       .select(col("lang"), col("sh"))
+    // EXPLICIT width on the posting exchange (same keys as the groupBy,
+    // so it IS the aggregation's exchange, not an extra one): the pair
+    // explode below fans each posting out to O(maxPosting²/2) rows, so
+    // its input partitioning must track COMPUTE (cores), not the
+    // posting relation's few shuffled megabytes — AQE's byte-derived
+    // coalescing (advisory-size mode) would fold the explode onto one
+    // task (measured r19: d02 1.5→2.3 s, d14/d16 likewise, under
+    // coalescePartitions.parallelismFirst=false). An explicit width is
+    // AQE-proof; the skew ceiling stays [[DefaultMaxPosting]].
+    val width = sh.sparkSession.sparkContext.defaultParallelism
     val posting = sh.join(keep, Seq("lang", "sh"), "left_semi")
+      .repartition(width, col("lang"), col("sh"))
       .groupBy(col("lang"), col("sh"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
     val pairs = posting.select(explode(expr(
@@ -383,7 +412,7 @@ object DedupQueries {
       .select((col("doc_id") + col("off")).as("doc_id"), col("lang"),
         expr("concat_ws(' ', slice(w, 1, greatest(CAST(size(w) / 2 AS INT), 3)))")
           .as("text"))
-    val corpus = d.unionByName(exc)
+    val corpus = spread(s, d.unionByName(exc))
     // Codegen'd position explode (TextQueries.gramPositions), NOT the
     // transform-lambda shingle build: the excerpt text is a nested
     // slice/concat expression, and inside an interpreted HOF every
@@ -740,7 +769,7 @@ object DedupQueries {
       // element — the position/element_at form is the same rows at
       // ~4.4× the throughput (measured, BENCH_NOTES "interpreted
       // gram explodes").
-      val sh = TextQueries.gramPositions(t(s, dir, "documents"), 3)
+      val sh = TextQueries.gramPositions(spread(s, t(s, dir, "documents")), 3)
         .select(col("doc_id"), concat_ws(" ",
           element_at(col("w"), col("i")),
           element_at(col("w"), col("i") + 1),
@@ -804,7 +833,7 @@ object DedupQueries {
       // cached. Hash-then-distinct vs distinct-then-hash differs only
       // if two of a doc's shingles collide in polyHash (~50²/2³² per
       // doc); the oracle applies the same order, so parity is exact.
-      val h = TextQueries.gramPositions(t(s, dir, "documents"), 3)
+      val h = TextQueries.gramPositions(spread(s, t(s, dir, "documents")), 3)
         .select(col("doc_id"), graft.functions.GraftExpressions.polyHash(
           concat_ws(" ",
             element_at(col("w"), col("i")),

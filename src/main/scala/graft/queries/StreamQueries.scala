@@ -95,7 +95,13 @@ object StreamQueries {
     }
     delete(base)
     val prev = streamConfs.keys.map(k => k -> s.conf.getOption(k)).toMap
-    streamConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    // the documented dial: `graft.stream.conf.<key>` in the session
+    // conf overrides a default for the run's duration (a deployment
+    // that needs different retention sets it once, and the runner
+    // stops clobbering it)
+    streamConfs.foreach { case (k, v) =>
+      s.conf.set(k, s.conf.getOption(s"graft.stream.conf.$k").getOrElse(v))
+    }
     try body(base + "/src", base + "/out", base + "/cp", delete)
     finally prev.foreach {
       case (k, Some(p)) => s.conf.set(k, p)
@@ -138,7 +144,14 @@ object StreamQueries {
     val p = new org.apache.hadoop.fs.Path(srcDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength * math.max(1, slices)
-    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+    // ceiling = the session's shuffle width (the quantity the scaladoc
+    // names and the one the streaming query would otherwise pin) —
+    // NOT defaultParallelism, which only coincides with it in local
+    // mode; on a cluster raising spark.sql.shuffle.partitions must
+    // raise this clamp too
+    val ceiling = s.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(s.sparkContext.defaultParallelism)
+    math.max(1L, math.min(math.max(1, ceiling).toLong,
       (bytes + advisory - 1) / advisory)).toInt
   }
 
