@@ -77,6 +77,17 @@ object StreamQueries {
     "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" ->
       "false",
     "spark.sql.streaming.minBatchesToRetain" -> "2",
+    // Stream–stream join state format v3 (Spark 4.x, RocksDB-only —
+    // which this provider is): ONE store with virtual column families
+    // per partition instead of FOUR separate stores, so every
+    // per-store fixed cost of a batch — load, changelog commit, fsync,
+    // snapshot — is paid once, not four times. Checkpoints are created
+    // fresh per run here, so the version-pinned-at-start rule costs
+    // nothing. Measured (sf0.1, local[32], 1 state partition): st03's
+    // shape 9.0→7.0s wall; at 4 partitions commit 674 ms vs v2's 4×
+    // file-sync waves. Only join operators read this conf; the other
+    // stateful entries are unaffected.
+    "spark.sql.streaming.join.stateFormatVersion" -> "3",
   )
 
   /** Shared scaffolding of the streaming runners: unique run dirs
@@ -125,22 +136,52 @@ object StreamQueries {
     *   partitions = clamp(feedBytes / advisoryBytes, 1, cores)
     *
     * with feedBytes = the landed batch-0 slice × the feed's slice
-    * count (slices are equal-width — no extra job), advisory dialed
-    * by `graft.stream.bytesPerStatePartition` (default 16 MB of
-    * parquet ≈ 64 MB of raw state — inside the per-instance budget
-    * every state-store sizing guide uses). sf0.1's 3 MB feed → 1
-    * instance at any core count; sf10's ~600 MB → 32+ → the measured
-    * local[32] optimum unchanged; a real cluster raises the clamp by
-    * setting shuffle partitions (the clamp ceiling) as usual. Results
-    * are partition-count-invariant (keyed state, deterministic
-    * per-key folds — the slice-invariance arguments each entry pins),
-    * which is also why this is safe to adapt per run.
+    * count (slices are equal-width — no extra job), advisory passed
+    * by the runner ([[stateAdvisoryBytes]] for commit-bound
+    * operators, [[joinStateAdvisoryBytes]] for the probe-bound
+    * symmetric join — see each). sf0.1's 2 MB feed → 1 instance for
+    * the commit-bound class at any core count; sf10's ~200 MB → the
+    * ceiling → the measured local[32] optimum unchanged; a real
+    * cluster raises the clamp by setting shuffle partitions (the
+    * clamp ceiling) as usual. Results are partition-count-invariant
+    * (keyed state, deterministic per-key folds — the slice-invariance
+    * arguments each entry pins), which is also why this is safe to
+    * adapt per run.
     */
-  private def statePartitions(s: SparkSession, srcDir: String,
-                              slices: Int): Int = {
-    val advisory = s.conf.getOption("graft.stream.bytesPerStatePartition")
+  /** Advisory feed-bytes per state partition for COMMIT-bound stateful
+    * operators (aggregations, dedup, transformWithState): per-batch
+    * fixed cost is (instances × commit), so instances stay few until
+    * data volume demands more. 16 MB of parquet ≈ 64 MB of raw state —
+    * inside the per-instance budget every state-store sizing guide
+    * uses. Dial: `graft.stream.bytesPerStatePartition`.
+    */
+  private def stateAdvisoryBytes(s: SparkSession): Long =
+    s.conf.getOption("graft.stream.bytesPerStatePartition")
       .orElse(sys.env.get("GRAFT_STREAM_STATE_PARTITION_BYTES"))
       .map(_.toLong).getOrElse(16L * 1024 * 1024)
+
+  /** Advisory feed-bytes per state partition for the stream–stream
+    * INTERVAL JOIN entries (st03/st08), whose per-partition cost is
+    * PROBE COMPUTE, not commit: the symmetric join store probes every
+    * buffered same-key row of the opposite side per input row —
+    * measured at sf0.1 ~12 RocksDB gets per put (1.46 M gets for
+    * 120 k puts), an order of magnitude more state-machine work per
+    * feed byte than the commit-bound class. Its partition-count
+    * U-curve bottoms far earlier: at sf0.1 local[32] one partition
+    * runs the whole probe volume single-threaded (9.0 s wall) while
+    * 4–16 partitions parallelize it (3.0–2.5 s) and 32 pays commit
+    * waves again (3.5 s). 256 KB/partition puts the measured optimum
+    * (8) at this feed; larger feeds hit the shuffle-width ceiling,
+    * which is the deployment's dial, exactly as for the commit-bound
+    * class. Dial: `graft.stream.bytesPerJoinStatePartition`.
+    */
+  private def joinStateAdvisoryBytes(s: SparkSession): Long =
+    s.conf.getOption("graft.stream.bytesPerJoinStatePartition")
+      .orElse(sys.env.get("GRAFT_STREAM_JOIN_STATE_PARTITION_BYTES"))
+      .map(_.toLong).getOrElse(256L * 1024)
+
+  private def statePartitions(s: SparkSession, srcDir: String,
+                              slices: Int, advisory: Long): Int = {
     val p = new org.apache.hadoop.fs.Path(srcDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength * math.max(1, slices)
@@ -163,10 +204,10 @@ object StreamQueries {
     * batch queries around the stream on the session's own setting.
     */
   private def withStatePartitions[T](s: SparkSession, srcDir: String,
-                                     slices: Int)(body: => T): T = {
+                                     slices: Int, advisory: Long)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(key)
-    s.conf.set(key, statePartitions(s, srcDir, slices).toString)
+    s.conf.set(key, statePartitions(s, srcDir, slices, advisory).toString)
     try body
     finally prev match {
       case Some(p) => s.conf.set(key, p)
@@ -226,13 +267,14 @@ object StreamQueries {
     */
   private[graft] def runFileStream(s: SparkSession, input: DataFrame,
       transform: DataFrame => DataFrame,
-      laterBatches: Seq[DataFrame] = Nil): DataFrame =
+      laterBatches: Seq[DataFrame] = Nil,
+      advisoryBytes: SparkSession => Long = stateAdvisoryBytes): DataFrame =
     withStreamRun(s) { (srcDir, outDir, cpDir, delete) =>
       input.write.mode("overwrite").parquet(srcDir)
       val src = s.readStream.schema(input.schema).parquet(srcDir)
       val out = transform(src)
       val outSchema = out.schema
-      withStatePartitions(s, srcDir, 1 + laterBatches.size) {
+      withStatePartitions(s, srcDir, 1 + laterBatches.size, advisoryBytes(s)) {
         val q = out.writeStream.format("parquet")
           .option("path", outDir)
           .option("checkpointLocation", cpDir)
@@ -272,7 +314,8 @@ object StreamQueries {
       val outSchema = out.schema
       val sink: (Dataset[Row], Long) => Unit = (batch, batchId) =>
         batch.write.mode("overwrite").parquet(outDir + "/batch_" + batchId)
-      withStatePartitions(s, srcDir, 1 + laterBatches.size) {
+      withStatePartitions(s, srcDir, 1 + laterBatches.size,
+          stateAdvisoryBytes(s)) {
         val q = out.writeStream.foreachBatch(sink)
           .option("checkpointLocation", cpDir)
           .outputMode(OutputMode.Update).start()
@@ -321,7 +364,8 @@ object StreamQueries {
       // One partition scope across BOTH query instances: the restart
       // recovers the checkpoint, whose state partition count is
       // pinned by query 1.
-      val outSchema = withStatePartitions(s, srcDir, 1 + laterBatches.size) {
+      val outSchema = withStatePartitions(s, srcDir, 1 + laterBatches.size,
+          stateAdvisoryBytes(s)) {
         val (outSchema, q1) = start()
         try {
           q1.processAllAvailable()
@@ -497,7 +541,7 @@ object StreamQueries {
   def st03_error_follow_stream(s: SparkSession, dir: String): DataFrame = {
     val slices = timeSlices(s, eventCols(s, dir))
     runFileStream(s, slices.head, StreamOps.errorFollowJoin(_),
-      laterBatches = slices.tail)
+      laterBatches = slices.tail, advisoryBytes = joinStateAdvisoryBytes)
   }
 
   /** Streaming windowed aggregation in APPEND mode — the fourth
@@ -565,7 +609,7 @@ object StreamQueries {
   def st08_error_follow_outer(s: SparkSession, dir: String): DataFrame = {
     val slices = timeSlices(s, eventCols(s, dir))
     runFileStream(s, slices.head, StreamOps.errorFollowJoinOuter(_),
-      laterBatches = slices.tail)
+      laterBatches = slices.tail, advisoryBytes = joinStateAdvisoryBytes)
   }
 
   /** The streaming FUNNEL state machine under the oracle gate — the
@@ -805,7 +849,7 @@ object StreamQueries {
       // Stateless pipe, but each micro-batch plans the CDF diff JOIN
       // of its commit's before/after slices — size those exchanges to
       // the table, not the core count (same §2 rule as the runners).
-      withStatePartitions(s, table, 1) {
+      withStatePartitions(s, table, 1, stateAdvisoryBytes(s)) {
         val q = src.writeStream.format("parquet").option("path", outDir)
           .option("checkpointLocation", cpDir)
           .outputMode(OutputMode.Append).start()
