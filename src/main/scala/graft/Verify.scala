@@ -20,9 +20,6 @@ object Verify {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       // allow shuffled-hash joins (see the Bench builder note)
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "64m")
       // bytes-derived scan splits, same as Bench (see the note there)
       .config("spark.sql.files.minPartitionNum", "1")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
